@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship CDC-spine query on sf0.001.
+``queries()``   — one callable per implemented SURVEY.md §2 operator.
+``oracle_sql()``— matching DuckDB SQL per key (column names aligned).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from cdc_debezium_spark import registry  # noqa: E402
+from cdc_debezium_spark.session import tune  # noqa: E402
+
+registry.load_all()
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full CDC spine (SURVEY.md §3.2) on sf0.001.
+
+    envelope view → unwrap/delete-rewrite → dedup → latest-state per key
+    → broadcast-join the customer dim → revenue by market segment.
+    """
+    import pyspark.sql.functions as F
+
+    from cdc_debezium_spark.operators import cdc
+    from cdc_debezium_spark.sources.catalog import load_table
+
+    tune(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    ce = cdc.cdc_events(spark, sf_dir)
+    deduped = cdc.dedup_exact(ce, ["pk", "ord2"])
+    state = cdc.latest_state(deduped)
+    customer = load_table(spark, sf_dir, "customer")
+    enriched = state.join(
+        F.broadcast(customer), state.pk == customer.c_custkey, "inner"
+    )
+    return (
+        enriched.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.sum("val"), 2).alias("sum_last_val"),
+        )
+        .orderBy("c_mktsegment")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(registry.ORACLES)

@@ -1,0 +1,269 @@
+"""Driver keys for sources + the CDC kernel (SURVEY.md §2.A / §2.B).
+
+Each query has a DuckDB oracle over the same parquet; the shared
+``cdc_events`` CTE mirrors operators.cdc.cdc_events exactly
+(FIXTURES.md "Derived CDC-envelope view").
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from .operators import cdc
+from .registry import query
+from .sources.catalog import load_table
+from .sources.debezium import route_topic
+
+# Shared oracle CTE — must stay in lockstep with operators.cdc.cdc_events.
+CDC_CTE = """
+WITH cdc_events AS (
+  SELECT
+    event_id AS ord2,
+    ts,
+    epoch_us(ts) AS ts_us,
+    user_id AS pk,
+    CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+    value AS val,
+    props
+  FROM events
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.A sources
+# ---------------------------------------------------------------------------
+
+@query(
+    "scan_events",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+           round(value, 2) AS val, props
+    FROM events
+    """,
+)
+def scan_events(spark, sf_dir):
+    """A1: full scan of the change/event log (the CDC topic analog)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "ts_us",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("val"),
+        "props",
+    )
+
+
+@query(
+    "filter_table_include",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+    """,
+)
+def filter_table_include(spark, sf_dir):
+    """A5: table.include.list analog — capture only listed streams
+    (reference postgresql-connector.yaml:39). Predicate pushes to scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type").isin("click", "view", "purchase")).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@query(
+    "snapshot_union_stream",
+    oracle=CDC_CTE
+    + f"""
+    SELECT pk, ord2, ts_us, 'r' AS op, val
+    FROM cdc_events WHERE ts_us <= {cdc.SNAPSHOT_CUT_US}
+    UNION ALL
+    SELECT pk, ord2, ts_us, op, val
+    FROM cdc_events WHERE ts_us > {cdc.SNAPSHOT_CUT_US}
+    """,
+)
+def snapshot_union_stream(spark, sf_dir):
+    """A4: snapshot.mode=initial — full read emitted as op='r' rows,
+    then the live stream (reference postgresql-connector.yaml:47)."""
+    ce = cdc.cdc_events(spark, sf_dir).select("pk", "ord2", "ts_us", "op", "val")
+    snap = ce.filter(F.col("ts_us") <= cdc.SNAPSHOT_CUT_US).withColumn("op", F.lit("r"))
+    stream = ce.filter(F.col("ts_us") > cdc.SNAPSHOT_CUT_US)
+    return snap.unionByName(stream)
+
+
+@query(
+    "json_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'k' AS INT) AS k,
+           to_json(struct_pack(k := CAST(props->>'k' AS INT))) AS js
+    FROM events
+    """,
+)
+def json_roundtrip(spark, sf_dir):
+    """A12: schemaless-JSON wire format — parse then re-serialize
+    (JsonConverter with schemas.enable=false, prod-resources.yaml:10-13)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int").alias("k")
+    return ev.select("event_id", k).withColumn("js", F.to_json(F.struct(F.col("k"))))
+
+
+# ---------------------------------------------------------------------------
+# §2.B SMT chain + CDC kernels
+# ---------------------------------------------------------------------------
+
+@query(
+    "route_regex",
+    oracle=r"""
+    SELECT regexp_extract('prod.public.' || event_type,
+                          '([^.]+)\.([^.]+)\.([^.]+)', 3) AS routed,
+           count(*) AS n_events
+    FROM events
+    GROUP BY routed
+    """,
+)
+def route_regex(spark, sf_dir):
+    """B1: RegexRouter SMT — strip env+schema prefix, route to bare
+    table name (reference postgresql-connector.yaml:50-53)."""
+    ev = load_table(spark, sf_dir, "events")
+    topic = F.concat(F.lit("prod.public."), F.col("event_type"))
+    return (
+        ev.withColumn("routed", route_topic(topic))
+        .groupBy("routed")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "cdc_unwrap",
+    oracle=CDC_CTE + "SELECT pk, ord2, ts_us, op, val, props FROM cdc_events",
+)
+def cdc_unwrap(spark, sf_dir):
+    """B2: ExtractNewRecordState — envelope → flat payload row
+    (reference postgresql-connector.yaml:54)."""
+    return cdc.cdc_events(spark, sf_dir).select("pk", "ord2", "ts_us", "op", "val", "props")
+
+
+@query(
+    "cdc_delete_rewrite",
+    oracle=CDC_CTE
+    + """
+    SELECT pk, ord2, ts_us, op, val, (op = 'd') AS __deleted
+    FROM cdc_events
+    """,
+)
+def cdc_delete_rewrite(spark, sf_dir):
+    """B3: delete.handling.mode=rewrite — deletes become rows flagged
+    __deleted (reference postgresql-connector.yaml:56)."""
+    ce = cdc.cdc_events(spark, sf_dir)
+    return ce.select("pk", "ord2", "ts_us", "op", "val").withColumn(
+        "__deleted", F.col("op") == "d"
+    )
+
+
+@query(
+    "type_coercion",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)) AS total_dec,
+           CAST(o_orderdate AS DATE) AS od
+    FROM orders
+    """,
+)
+def type_coercion(spark, sf_dir):
+    """B5: decimal-as-string + temporal modes — reference transports
+    NUMERIC as strings (decimal.handling.mode=string,
+    postgresql-connector.yaml:48) and time at µs precision (line 49);
+    the engine casts at the boundary."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("string").cast("decimal(18,2)").alias("total_dec"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+
+
+@query(
+    "cdc_latest_state",
+    oracle=CDC_CTE
+    + """
+    SELECT pk, ts_us AS last_ts_us, val AS last_val, props AS last_props
+    FROM (
+      SELECT * FROM cdc_events
+      QUALIFY row_number() OVER (PARTITION BY pk ORDER BY ts_us DESC, ord2 DESC) = 1
+    )
+    WHERE op <> 'd'
+    """,
+)
+def cdc_latest_state(spark, sf_dir):
+    """B6: log-compaction semantics — newest event per key wins,
+    deleted keys vanish (the Redis/ES/DW contract, README.md:48-51)."""
+    ce = cdc.cdc_events(spark, sf_dir)
+    return cdc.latest_state(ce).select(
+        "pk",
+        F.col("ts_us").alias("last_ts_us"),
+        F.col("val").alias("last_val"),
+        F.col("props").alias("last_props"),
+    )
+
+
+@query(
+    "cdc_scd2_history",
+    oracle=CDC_CTE
+    + """
+    SELECT pk, ord2, op, val,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER (PARTITION BY pk ORDER BY ts_us, ord2) AS valid_to_us
+    FROM cdc_events
+    """,
+)
+def cdc_scd2_history(spark, sf_dir):
+    """B7: SCD2 audit history over the retained log
+    (500Gi io2 log volumes, prod-resources.yaml:126-134)."""
+    ce = cdc.cdc_events(spark, sf_dir)
+    return cdc.scd2(ce).select("pk", "ord2", "op", "val", "valid_from_us", "valid_to_us")
+
+
+@query(
+    "cdc_as_of_snapshot",
+    oracle=CDC_CTE
+    + f"""
+    SELECT pk, ts_us AS last_ts_us, val AS last_val
+    FROM (
+      SELECT * FROM cdc_events WHERE ts_us <= {cdc.AS_OF_2024_01_15_US}
+      QUALIFY row_number() OVER (PARTITION BY pk ORDER BY ts_us DESC, ord2 DESC) = 1
+    )
+    WHERE op <> 'd'
+    """,
+)
+def cdc_as_of_snapshot(spark, sf_dir):
+    """B8: state as of 2024-01-15 — replay the log up to T, compact
+    (replayability per backup.sh appendix, setup-infrastructure.sh:386-441)."""
+    ce = cdc.cdc_events(spark, sf_dir)
+    return cdc.as_of_snapshot(ce, cdc.AS_OF_2024_01_15_US).select(
+        "pk",
+        F.col("ts_us").alias("last_ts_us"),
+        F.col("val").alias("last_val"),
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle=CDC_CTE
+    + """
+    SELECT DISTINCT pk, ord2, ts_us, op, val
+    FROM (
+      SELECT pk, ord2, ts_us, op, val FROM cdc_events
+      UNION ALL
+      SELECT pk, ord2, ts_us, op, val FROM cdc_events
+    )
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """C22/E6: at-least-once redelivery absorbed on the (pk, ord)
+    identity (offset flush every 5 s ⇒ replays on crash,
+    prod-resources.yaml:14-20). Duplicates injected in-query."""
+    ce = cdc.cdc_events(spark, sf_dir).select("pk", "ord2", "ts_us", "op", "val")
+    doubled = ce.unionByName(ce)
+    return cdc.dedup_exact(doubled, ["pk", "ord2"])

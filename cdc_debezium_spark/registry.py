@@ -1,0 +1,38 @@
+"""Query registry: the driver-contract surface.
+
+Every implemented operator from SURVEY.md §2 registers here as
+  key -> (spark, sf_dir) -> DataFrame          (QUERIES)
+  key -> ANSI SQL string for the DuckDB oracle (ORACLES)
+
+Column names are aliased identically on both sides — the driver's
+compare sorts columns by name then value-hashes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(key: str, oracle: str | None = None):
+    """Register a driver-visible query (and its DuckDB oracle)."""
+
+    def deco(fn):
+        QUERIES[key] = fn
+        if oracle is not None:
+            ORACLES[key] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module (side effect: registration)."""
+    from . import queries_cdc  # noqa: F401
+    from . import queries_relational  # noqa: F401
+    from . import queries_scalar  # noqa: F401
+    from . import queries_ext  # noqa: F401

@@ -1,0 +1,70 @@
+"""SparkSession construction and runtime tuning.
+
+The driver (and any host application) may hand us an already-built
+session, so every conf we depend on for *correctness* must be settable
+at runtime — they are applied in :func:`tune` and invoked from the
+table loader, not only at build time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe to set on a live session and that the engine
+# depends on. Keep this list minimal and documented.
+RUNTIME_CONFS: dict[str, str] = {
+    # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no ns
+    # timestamp type — read as raw int64 ns and convert with integer
+    # division (see sources.catalog.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic wall-clock semantics for timestamp<->ntz casts.
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: partition coalescing, skew-join splitting,
+    # broadcast conversion — the core of the 100 TB posture.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for every Pandas UDF / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A host may have pinned a conf as static; never fail here.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "cdc-debezium-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned local session.
+
+    Defaults mirror the reference's parallelism: 12 topic partitions in
+    prod (reference prod-resources.yaml:94-95) scale to
+    ``spark.sql.shuffle.partitions`` here; at local test scale we use
+    the core count.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

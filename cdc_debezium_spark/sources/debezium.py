@@ -1,0 +1,106 @@
+"""Debezium change-event envelope: schema, parsing, SMT chain.
+
+Reproduces, as declarative Spark transforms, the wire semantics the
+reference activates by config:
+
+- envelope ``{before, after, source{...}, op, ts_ms}`` — connector class
+  `io.debezium.connector.postgresql.PostgresConnector`
+  (reference k8s-manifests/connectors/postgresql-connector.yaml:32)
+- schemaless JSON value (JsonConverter, ``schemas.enable=false``,
+  reference prod-resources.yaml:10-13) → we must supply the schema at
+  parse time (`from_json`) with a permissive corrupt-record lane
+- SMT chain (reference postgresql-connector.yaml:50-56):
+  RegexRouter → ExtractNewRecordState(rewrite deletes, keep tombstones)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Topic re-route regex — reference postgresql-connector.yaml:51-53:
+#   transforms.route.regex = "([^.]+)\\.([^.]+)\\.([^.]+)"
+#   transforms.route.replacement = "$3"
+ROUTE_REGEX = r"([^.]+)\.([^.]+)\.([^.]+)"
+
+SOURCE_SCHEMA = StructType(
+    [
+        StructField("db", StringType()),
+        StructField("schema", StringType()),
+        StructField("table", StringType()),
+        StructField("lsn", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("snapshot", StringType()),
+    ]
+)
+
+
+def envelope_schema(row_schema: StructType) -> StructType:
+    """Debezium envelope for a given source-row schema."""
+    return StructType(
+        [
+            StructField("before", row_schema),
+            StructField("after", row_schema),
+            StructField("source", SOURCE_SCHEMA),
+            StructField("op", StringType()),
+            StructField("ts_ms", LongType()),
+        ]
+    )
+
+
+def parse_envelope(
+    raw: DataFrame,
+    row_schema: StructType,
+    value_col: str = "value",
+    topic_col: str = "topic",
+) -> DataFrame:
+    """Deserialize JSON change events (Kafka `value`) into the envelope.
+
+    PERMISSIVE mode + ``_corrupt_record`` keeps schema drift visible
+    without failing the stream (reference emits DDL to a schema-change
+    topic rather than breaking: postgresql-connector.yaml:44-46).
+    """
+    schema = envelope_schema(row_schema).add("_corrupt_record", StringType())
+    parsed = raw.withColumn(
+        "_event",
+        F.from_json(
+            F.col(value_col).cast("string"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    cols = [F.col(f"_event.{f.name}").alias(f.name) for f in schema.fields]
+    if topic_col in raw.columns:
+        cols.insert(0, route_topic(F.col(topic_col)).alias("table_name"))
+    return parsed.select(*cols)
+
+
+def route_topic(topic: Column) -> Column:
+    """RegexRouter SMT: `prod.postgres.public.orders` → `orders`."""
+    return F.regexp_extract(topic, ROUTE_REGEX, 3)
+
+
+def unwrap(parsed: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
+    """ExtractNewRecordState + delete-rewrite, as one projection.
+
+    - non-deletes: the flat `after` row
+    - deletes (op='d'): the `before` image with ``__deleted=true``
+      (reference ``delete.handling.mode=rewrite``,
+      postgresql-connector.yaml:56)
+    - tombstones (null before AND after) are retained as null rows
+      (``drop.tombstones=false``, line 55); callers compact them via
+      operators.cdc.latest_state.
+    """
+    row = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    keep = extra_cols or ["op", "ts_ms"]
+    return (
+        parsed.withColumn("_row", row)
+        .select("_row.*", *keep)
+        .withColumn("__deleted", (F.col("op") == "d"))
+    )
