@@ -1,0 +1,43 @@
+"""Relational helpers: thin, reusable compositions over Catalyst built-ins.
+
+The reference's processing layer ("Kafka Streams / Spark Streaming"
+enrich + aggregate, reference README.md:75-81) is realized with plain
+DataFrame operators; Catalyst plans them (broadcast vs SMJ, partial
+aggregation, AQE). Only patterns worth naming live here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-K per key: rank inside the key's partition, filter rk<=k.
+
+    Scales as one shuffle; the per-key sort is bounded by the key's row
+    count and AQE splits skewed keys. Never a global sort.
+    """
+    w = Window.partitionBy(*partition).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def grouped_processor(df: DataFrame, keys: Sequence[str], fn, schema: str) -> DataFrame:
+    """Per-key user processor: the Spark-native analog of a Kafka
+    Streams app slotted into the pipeline (reference values.yaml:71-83,
+    `userProcessor`/`orderProcessor` user-supplied images).
+
+    Arrow-batched grouped-map (`applyInPandas`) — each key's rows reach
+    `fn` as one pandas DataFrame; stays off the row-at-a-time path.
+    """
+    return df.groupBy(*list(keys)).applyInPandas(fn, schema=schema)

@@ -1,3 +1,618 @@
-"""Driver keys for the relational surface (SURVEY.md §2.C) — M2."""
+"""Driver keys for the relational surface (SURVEY.md §2.C / §2.F).
+
+Realizes the reference's declared processing layer — "enriched data"
+and "aggregated data" from the captured business tables (reference
+README.md:75-81) — over the TPC-H-ish fixtures. Every aggregate/computed
+column is aliased identically in Spark and oracle SQL.
+"""
 
 from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from .operators import cdc
+from .operators.relational import grouped_processor, topk_per_group
+from .registry import query
+from .sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# C1/C2 projection + filter
+# ---------------------------------------------------------------------------
+
+@query(
+    "project_basic",
+    oracle="""
+    SELECT c_custkey, upper(c_name) AS uname, round(c_acctbal, 2) AS bal,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def project_basic(spark, sf_dir):
+    """C1: projection/rename/compute — the SMT chain is projections
+    (reference postgresql-connector.yaml:50-56)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.round("c_acctbal", 2).alias("bal"),
+        "c_mktsegment",
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag = 'R'
+      AND l_shipdate IS NOT NULL
+      AND (l_discount < 0.02 OR l_tax > 0.05)
+    """,
+)
+def filter_predicates(spark, sf_dir):
+    """C2: compound predicates; all push down to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & (F.col("l_returnflag") == "R")
+        & F.col("l_shipdate").isNotNull()
+        & ((F.col("l_discount") < 0.02) | (F.col("l_tax") > 0.05))
+    ).select("l_orderkey", "l_linenumber", F.round("l_quantity", 2).alias("qty"))
+
+
+# ---------------------------------------------------------------------------
+# C3–C9 joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, c_name, round(o_totalprice, 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner(spark, sf_dir):
+    """C3: enrich orders with customer attrs (reference README.md:77)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT p_brand, count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast(spark, sf_dir):
+    """C4: small dim × big fact — explicit broadcast, no fact shuffle.
+    At 100 TB the fact side streams map-side; only the agg shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_large",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_large(spark, sf_dir):
+    """C5: large×large equi-join — Catalyst picks sort-merge; AQE
+    handles skew. Both sides shuffle once on the join key."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_outer",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_outer(spark, sf_dir):
+    """C6: outer join — customers without orders kept (missing refs
+    during enrichment)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT c_custkey, 'has_orders' AS tag FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT c_custkey, 'no_orders' AS tag FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi_anti(spark, sf_dir):
+    """C7: existence filtering — semi/anti joins never materialize the
+    probe side's payload."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = c.c_custkey == o.o_custkey
+    semi = c.join(o, cond, "left_semi").select("c_custkey").withColumn(
+        "tag", F.lit("has_orders")
+    )
+    anti = c.join(o, cond, "left_anti").select("c_custkey").withColumn(
+        "tag", F.lit("no_orders")
+    )
+    return semi.unionByName(anti)
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT band, count(*) AS n_events, round(sum(value), 2) AS sum_val
+    FROM events
+    JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 120.0, 'mid'),
+                 (120.0, 1e12, 'high')) AS bands(lo, hi, band)
+      ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)
+def join_range(spark, sf_dir):
+    """C8: non-equi (range) join — tiny build side broadcasts, so the
+    nested-loop probe is map-side and scales linearly with the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 120.0, "mid"), (120.0, 1e12, "high")],
+        "lo double, hi double, band string",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_val"),
+        )
+    )
+
+
+@query(
+    "join_as_of",
+    oracle="""
+    SELECT event_id, user_id, ts_us, asof_ts_us, asof_val
+    FROM (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                        IGNORE NULLS) OVER w AS asof_ts_us,
+             last_value(CASE WHEN event_type = 'click' THEN round(value, 2) END
+                        IGNORE NULLS) OVER w AS asof_val
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    WHERE event_type = 'purchase'
+    """,
+)
+def join_as_of(spark, sf_dir):
+    """C9: as-of join — each purchase matched to the user's latest
+    click at or before it, via operators.cdc.asof_join (union + window:
+    one shuffle, no range explosion)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_us",
+        F.col("event_id").alias("ord2"),
+        F.round("value", 2).alias("val"),
+    )
+    return cdc.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_order=["ts_us", "event_id"],
+        right_order=["ts_us", "ord2"],
+        right_value_cols=["ts_us", "val"],
+        prefix="asof_",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "asof_ts_us",
+        F.col("asof_val").alias("asof_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C11–C14 aggregation
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark, sf_dir):
+    """C11: hash aggregation (TPC-H Q1 shape) — partial map-side
+    combine + final merge, automatic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    """C12: exact distinct aggregation (the HLL approx variant is
+    exposed separately — approximations can't hash-match an oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           grouping_id(o_orderstatus, o_orderpriority) AS gid
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """C13: multi-granularity DW aggregates (DW sink, README.md:49)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """C14: statistical aggregates; exact interpolated median on both
+    engines (approx percentile can't oracle-match)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("med_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C15–C17 windows
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rk,
+           dense_rank() OVER w AS drk,
+           ntile(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank(spark, sf_dir):
+    """C15: ranking windows — B6 latest-state is literally rn=1."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(round(value, 2)) OVER w AS prev_val,
+           lead(round(value, 2)) OVER w AS next_val,
+           first_value(round(value, 2)) OVER w AS first_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    """C16: analytic windows over the per-key event order (the only
+    order Kafka guarantees — SURVEY §1.1)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    v = F.round("value", 2)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag(v).over(w).alias("prev_val"),
+        F.lead(v).over(w).alias("next_val"),
+        F.first(v).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("first_val"),
+    )
+
+
+@query(
+    "window_running",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER w, 2) AS run_total,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_running(spark, sf_dir):
+    """C17: frame aggregates — running totals and moving averages."""
+    o = load_table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = base.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(run), 2).alias("run_total"),
+        F.round(F.avg("o_totalprice").over(mov), 4).alias("mov_avg3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C18–C24 sort/topk/setops/pivot/explode
+# ---------------------------------------------------------------------------
+
+@query(
+    "sort_orderby",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def sort_orderby(spark, sf_dir):
+    """C18/C19: global top-N — Spark plans TakeOrderedAndProject
+    (per-partition heap + driver merge), never a full global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    )
+    WHERE rk <= 3
+    """,
+)
+def topk_per_group_q(spark, sf_dir):
+    """C19: top-K per key via operators.relational.topk_per_group."""
+    o = load_table(spark, sf_dir, "orders")
+    return topk_per_group(
+        o,
+        partition=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    ).select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rk"
+    )
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_custkey AS key FROM customer
+    UNION
+    SELECT o_custkey AS key FROM orders
+    """,
+)
+def set_union(spark, sf_dir):
+    """C20: set union (snapshot ∪ stream shape, reference
+    snapshot.mode=initial postgresql-connector.yaml:47)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return c.unionByName(o).distinct()
+
+
+@query(
+    "set_intersect_except",
+    oracle="""
+    SELECT key, 'both' AS tag FROM (
+      SELECT c_custkey AS key FROM customer
+      INTERSECT
+      SELECT o_custkey AS key FROM orders
+    )
+    UNION ALL
+    SELECT key, 'customer_only' AS tag FROM (
+      SELECT c_custkey AS key FROM customer
+      EXCEPT
+      SELECT o_custkey AS key FROM orders
+    )
+    """,
+)
+def set_intersect_except(spark, sf_dir):
+    """C21: set reconciliation (source-vs-sink DR checks, backup.sh
+    appendix setup-infrastructure.sh:386-441)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    both = c.intersect(o).withColumn("tag", F.lit("both"))
+    only = c.subtract(o).withColumn("tag", F.lit("customer_only"))
+    return both.unionByName(only)
+
+
+@query(
+    "pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status(spark, sf_dir):
+    """C23: long→wide pivot with pinned values (pinning avoids the
+    extra distinct-values job — required at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.round("F", 2).alias("F"),
+        F.round("O", 2).alias("O"),
+        F.round("P", 2).alias("P"),
+    )
+
+
+@query(
+    "explode_array",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def explode_array(spark, sf_dir):
+    """C24: explode/flatten (MongoDB/doc lane, reference
+    values.yaml:60-61) — word frequency over documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.F UDF surface
+# ---------------------------------------------------------------------------
+
+@query(
+    "udf_grouped_processor",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_val,
+           max(epoch_us(ts)) AS last_ts_us
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def udf_grouped_processor(spark, sf_dir):
+    """§2.F: a `userProcessor`-style per-key processor as Arrow-batched
+    applyInPandas (reference values.yaml:71-83 user-supplied images)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_us", "value")
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "sum_val": [round(pdf["value"].sum(), 2)],
+                "last_ts_us": [pdf["ts_us"].max()],
+            }
+        )
+
+    return grouped_processor(
+        ev,
+        ["user_id"],
+        process,
+        "user_id long, n_events long, sum_val double, last_ts_us long",
+    )
