@@ -270,7 +270,8 @@ def join_as_of(spark, sf_dir):
            round(sum(l_quantity), 2) AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
-           round(avg(l_quantity), 4) AS avg_qty,
+           CAST(floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*) * 10000 + 0.5) AS BIGINT) AS avg_qty_e4,
            count(*) AS n
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -286,7 +287,17 @@ def agg_groupby(spark, sf_dir):
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "sum_disc"
         ),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        # exact decimal sum → identical double on every engine → the
+        # floor trick rounds identically even at true .5 ties (round()
+        # half-up vs multiply-based rounding would diverge there)
+        F.floor(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+            * 10000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("avg_qty_e4"),
         F.count("*").alias("n"),
     )
 

@@ -1,0 +1,114 @@
+"""Driver keys for event-time windowing (SURVEY.md §2.E E3–E5).
+
+These run the *same* window expressions Structured Streaming executes
+incrementally, in batch mode, so they are oracle-checkable; the
+streaming runtime behavior (watermarks, triggers, state) is covered by
+tests/test_streaming.py golden parity tests.
+
+Oracle formulations:
+- tumbling: epoch-aligned integer bucketing
+- sliding (2d, step 1d): each event belongs to exactly 2 windows —
+  cross join with offsets {0,1}
+- session (gap 30m): classic gaps-and-islands (lag + running sum),
+  the batch formulation SURVEY §7.3.5 prescribes as the oracle
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from .registry import query
+from .sources.catalog import load_table
+from .streaming.windows import (
+    US_PER_DAY,
+    session,
+    sliding,
+    tumbling,
+    window_end_us,
+    window_start_us,
+)
+
+GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+@query(
+    "agg_tumbling_window",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {US_PER_DAY}) * {US_PER_DAY} AS start_us,
+           event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_val
+    FROM events
+    GROUP BY start_us, event_type
+    """,
+)
+def agg_tumbling_window(spark, sf_dir):
+    """E3: tumbling 1-day windows per event type (per-interval counts,
+    monitoring cadence analog prometheus-config.yaml:8-9)."""
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling(ev, "ts", "1 day", "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_val")
+    ).select(
+        window_start_us().alias("start_us"),
+        "event_type",
+        "n",
+        "sum_val",
+    )
+
+
+@query(
+    "agg_sliding_window",
+    oracle=f"""
+    SELECT ((epoch_us(ts) // {US_PER_DAY}) - i) * {US_PER_DAY} AS start_us,
+           count(*) AS n, round(sum(value), 2) AS sum_val
+    FROM events CROSS JOIN (VALUES (0), (1)) AS offs(i)
+    GROUP BY start_us
+    """,
+)
+def agg_sliding_window(spark, sf_dir):
+    """E4: sliding 2-day windows, 1-day step (alert `for: 5m` moving
+    windows analog, prometheus-rules.yaml:14)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sliding(ev, "ts", "2 days", "1 day").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_val")
+    ).select(window_start_us().alias("start_us"), "n", "sum_val")
+
+
+@query(
+    "agg_session_window",
+    oracle=f"""
+    WITH t AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    marked AS (
+      SELECT user_id, us,
+             CASE WHEN us - lag(us) OVER w > {GAP_US}
+                    OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sessions AS (
+      SELECT user_id, us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, count(*) AS n,
+           min(us) AS start_us, max(us) AS last_us
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def agg_session_window(spark, sf_dir):
+    """E5: session windows (30 min gap) over user activity
+    (`analytics.events` capture, postgresql-connector.yaml:95).
+
+    Spark session_window end = last event + gap, so last_us is
+    recovered as end - gap to match the gaps-and-islands oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return session(ev, "ts", "30 minutes", "user_id").agg(
+        F.count("*").alias("n")
+    ).select(
+        "user_id",
+        "n",
+        window_start_us("session_window").alias("start_us"),
+        (window_end_us("session_window") - F.lit(GAP_US)).alias("last_us"),
+    )

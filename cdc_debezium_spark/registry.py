@@ -35,4 +35,5 @@ def load_all() -> None:
     from . import queries_cdc  # noqa: F401
     from . import queries_relational  # noqa: F401
     from . import queries_scalar  # noqa: F401
+    from . import queries_streaming  # noqa: F401
     from . import queries_ext  # noqa: F401
