@@ -45,23 +45,30 @@ AS_OF_2024_01_15_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z in epoch µs
 SNAPSHOT_CUT_US = 1_704_844_800_000_000  # 2024-01-10T00:00:00Z in epoch µs
 
 
-def cdc_events(spark, sf_dir: str) -> DataFrame:
-    """Derive the normative change-event view from the events fixture."""
-    ev = load_table(spark, sf_dir, "events")
+def to_cdc(events_df: DataFrame) -> DataFrame:
+    """Apply the normative activity→change-event mapping to any
+    events-shaped DataFrame (batch table or file/Kafka stream)."""
     op = (
         F.when(F.col("event_type") == "signup", F.lit("c"))
         .when(F.col("event_type") == "error", F.lit("d"))
         .otherwise(F.lit("u"))
     )
-    return ev.select(
+    cols = [
         F.col("event_id").alias("ord2"),
-        F.col("ts"),
         F.col("ts_us"),
         F.col("user_id").alias("pk"),
         op.alias("op"),
         F.col("value").alias("val"),
         F.col("props"),
-    )
+    ]
+    if "ts" in events_df.columns:
+        cols.insert(1, F.col("ts"))
+    return events_df.select(*cols)
+
+
+def cdc_events(spark, sf_dir: str) -> DataFrame:
+    """Derive the normative change-event view from the events fixture."""
+    return to_cdc(load_table(spark, sf_dir, "events"))
 
 
 def _order_cols(order: Sequence[str], desc: bool) -> list:

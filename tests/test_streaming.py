@@ -1,0 +1,200 @@
+"""Streaming golden tests (SURVEY §5.2.2): the replayed stream must
+produce exactly the state the batch engine computes, duplicates must be
+absorbed, windows must agree with their batch formulation, and metrics
+must see every row.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cdc_debezium_spark.operators import cdc
+from cdc_debezium_spark.streaming.metrics import ProgressCapture, backlog_exceeded
+from cdc_debezium_spark.streaming.replay import (
+    read_event_stream,
+    write_event_chunks,
+)
+from cdc_debezium_spark.streaming.state import (
+    ParquetUpsertSink,
+    dedup_within_watermark,
+    run_upsert_stream,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_streamed_state_equals_batch_state(spark, sf_dir, tmp_path):
+    """E7/E10 golden parity: chunked replay through the upsert sink
+    lands exactly the batch latest-state."""
+    chunk_dir = str(tmp_path / "chunks")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=5)
+
+    stream = cdc.to_cdc(read_event_stream(spark, chunk_dir))
+    sink = ParquetUpsertSink(str(tmp_path / "state"), keys=["pk"], order=["ts_us", "ord2"])
+    q = run_upsert_stream(stream, sink, str(tmp_path / "cp"))
+    q.awaitTermination(120)
+
+    got = _rows(sink.read_live(spark), ["pk", "ts_us", "val"])
+    want = _rows(cdc.latest_state(cdc.cdc_events(spark, sf_dir)), ["pk", "ts_us", "val"])
+    assert got == want
+
+
+def test_streamed_state_idempotent_on_redelivery(spark, sf_dir, tmp_path):
+    """E6/E10: every chunk delivered twice (at-least-once replay) must
+    not change the final state."""
+    chunk_dir = str(tmp_path / "chunks2")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=4, repeat=2)
+
+    stream = cdc.to_cdc(read_event_stream(spark, chunk_dir))
+    sink = ParquetUpsertSink(str(tmp_path / "state2"))
+    q = run_upsert_stream(stream, sink, str(tmp_path / "cp2"))
+    q.awaitTermination(120)
+
+    got = _rows(sink.read_live(spark), ["pk", "ts_us", "val"])
+    want = _rows(cdc.latest_state(cdc.cdc_events(spark, sf_dir)), ["pk", "ts_us", "val"])
+    assert got == want
+
+
+def test_restart_from_checkpoint_resumes_without_dupes(spark, sf_dir, tmp_path):
+    """A13 analog: stop after draining the first half of the log,
+    restart on the same checkpoint with more data — no loss, no dupes
+    (state dir carries over, checkpoint skips processed files)."""
+    import pyarrow.parquet as pq
+
+    chunk_dir = str(tmp_path / "chunks3")
+    staged = str(tmp_path / "staged3")
+    write_event_chunks(spark, sf_dir, staged, n_chunks=6)
+    files = sorted(__import__("os").listdir(staged))
+    __import__("os").makedirs(chunk_dir)
+
+    def publish(names):
+        for n in names:
+            pq.write_table(pq.read_table(f"{staged}/{n}"), f"{chunk_dir}/{n}")
+
+    state_path = str(tmp_path / "state3")
+    cp = str(tmp_path / "cp3")
+
+    # phase 1: first half of the log, drain fully, query stops
+    publish(files[:3])
+    sink = ParquetUpsertSink(state_path)
+    q = run_upsert_stream(cdc.to_cdc(read_event_stream(spark, chunk_dir)), sink, cp)
+    q.awaitTermination(120)
+
+    # phase 2: rest of the log arrives; restart on the SAME checkpoint
+    publish(files[3:])
+    sink2 = ParquetUpsertSink(state_path)
+    sink2._initialized = True  # state dir survives the restart
+    q2 = run_upsert_stream(cdc.to_cdc(read_event_stream(spark, chunk_dir)), sink2, cp)
+    q2.awaitTermination(120)
+
+    got = _rows(sink2.read_live(spark), ["pk", "ts_us", "val"])
+    want = _rows(cdc.latest_state(cdc.cdc_events(spark, sf_dir)), ["pk", "ts_us", "val"])
+    assert got == want
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """E6: dropDuplicatesWithinWatermark absorbs redelivered events."""
+    chunk_dir = str(tmp_path / "chunks4")
+    n_written = write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=3, repeat=2)
+
+    raw = read_event_stream(spark, chunk_dir).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+    deduped = dedup_within_watermark(raw, ["event_id"], "ts", "60 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM dedup_sink").collect()[0]["n"]
+    distinct_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n_written == 2 * distinct_events
+    assert got == distinct_events
+
+
+def test_streaming_tumbling_window_matches_batch(spark, sf_dir, tmp_path):
+    """E3: incremental windowed aggregation == batch aggregation."""
+    chunk_dir = str(tmp_path / "chunks5")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+
+    raw = read_event_stream(spark, chunk_dir).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+    agg = (
+        raw.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 day"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["window"].start.isoformat(), r["event_type"], r["n"])
+        for r in spark.sql("SELECT * FROM tumbling_sink").collect()
+    )
+    from cdc_debezium_spark.sources.catalog import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    want = sorted(
+        (r["window"].start.isoformat(), r["event_type"], r["n"])
+        for r in batch.collect()
+    )
+    assert got == want
+
+
+def test_progress_listener_sees_all_rows(spark, sf_dir, tmp_path):
+    """E9: the monitoring listener accounts for every input row and
+    the lag-SLO helper evaluates."""
+    chunk_dir = str(tmp_path / "chunks6")
+    total = write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=3)
+
+    cap = ProgressCapture()
+    spark.streams.addListener(cap)
+    try:
+        stream = cdc.to_cdc(read_event_stream(spark, chunk_dir))
+        sink = ParquetUpsertSink(str(tmp_path / "state6"))
+        q = run_upsert_stream(stream, sink, str(tmp_path / "cp6"))
+        qid = str(q.id)
+        q.awaitTermination(120)
+        import time
+
+        def mine():
+            return cap.total_input_rows(qid)
+
+        deadline = time.time() + 30
+        while mine() < total and time.time() < deadline:
+            time.sleep(0.5)
+        assert mine() == total
+        assert isinstance(backlog_exceeded(cap.progress, threshold=10**9), bool)
+        assert not backlog_exceeded(cap.progress, threshold=10**9)
+    finally:
+        spark.streams.removeListener(cap)
+
+
+@pytest.mark.parametrize("n_chunks", [1, 7])
+def test_parity_invariant_to_chunking(spark, sf_dir, tmp_path, n_chunks):
+    """Property: final state independent of micro-batch boundaries."""
+    chunk_dir = str(tmp_path / f"chunks_p{n_chunks}")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=n_chunks)
+    stream = cdc.to_cdc(read_event_stream(spark, chunk_dir))
+    sink = ParquetUpsertSink(str(tmp_path / f"state_p{n_chunks}"))
+    q = run_upsert_stream(stream, sink, str(tmp_path / f"cp_p{n_chunks}"))
+    q.awaitTermination(120)
+    got = _rows(sink.read_live(spark), ["pk", "ts_us", "val"])
+    want = _rows(cdc.latest_state(cdc.cdc_events(spark, sf_dir)), ["pk", "ts_us", "val"])
+    assert got == want
