@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "headline_suite_wall", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is materialized with the noop sink (full execution on
+executors, zero driver collect) so the timing measures the Spark plan,
+not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from cdc_debezium_spark import registry  # noqa: E402
+from cdc_debezium_spark.session import get_spark  # noqa: E402
+
+# Headline set: the CDC spine plus the heaviest relational/extension
+# operators — the ones whose plans must survive a 100 TB scale-up.
+HEADLINE = [
+    "cdc_latest_state",      # B6  window rn=1 materialization
+    "cdc_scd2_history",      # B7  lead() interval audit
+    "cdc_as_of_snapshot",    # B8  replay to a past instant
+    "dedup_exact",           # C22 at-least-once absorption
+    "join_large",            # C5  large x large sort-merge
+    "join_as_of",            # C9  event-time as-of enrichment
+    "agg_groupby",           # C11 hash agg w/ partial aggregation
+    "agg_rollup",            # C13 multi-granularity DW agg
+    "window_running",        # C17 frame aggregates
+    "topk_per_group",        # C19 rank + filter
+    "udf_grouped_processor", # §2.F applyInPandas processor
+    "agg_sliding_window",    # E4  sliding event-time windows
+    "ext_dedup_minhash",     # §2.G near-dup detection
+    "ext_similarity_topk",   # §2.G brute-force ANN baseline
+    "ext_text_stats",        # §2.G text quality/language analysis
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark(app_name="cdc-debezium-spark-bench")
+    registry.load_all()
+
+    # JVM/codegen warmup outside the timed region.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for key in HEADLINE:
+        fn = registry.QUERIES.get(key)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        dt = round(time.perf_counter() - t0, 3)
+        timings[key] = dt
+        total += dt
+        print(f"# {key}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,252 @@
+"""Deduplication operators for a training-data pipeline (SURVEY.md §2.G).
+
+Five lanes, ordered by cost:
+
+  exact          — md5 of normalized text, hash groupBy. One shuffle on
+                   the digest; at 100 TB this is the cheapest possible
+                   full-corpus dedup (no pairwise work at all).
+  ngram_jaccard  — exact word-n-gram Jaccard via an inverted-index
+                   self-join on shingles. Scales as sum of posting-list
+                   squares, NOT corpus^2: the join key is the shingle,
+                   so only documents sharing a shingle ever meet.
+  minhash_lsh    — MinHash signatures + banded LSH bucket join, then
+                   exact-Jaccard verification of candidates only. The
+                   100 TB path: candidate generation is a shuffle on
+                   (band, band-signature) — constant work per document.
+  simhash        — 32-bit weighted-bit signature per document; near-dup
+                   pairs are Hamming-close signatures.
+  embedding      — cosine near-dup over `array<float>` embeddings
+                   (brute-force reference lane; see similarity.py for
+                   the bucketed ANN path).
+
+All hashes are the engine-agnostic polynomial hash from `hashing.py`
+so the DuckDB oracles reproduce values bit-for-bit. All arithmetic is
+JVM-side (higher-order functions, no Python UDFs).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .hashing import (
+    round4,
+    MINHASH_SEEDS,
+    N_BANDS,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+    char_hash,
+    minhash_col,
+)
+from .text import shingles_col, tokens_col
+
+
+def exact_dupes(docs: DataFrame) -> DataFrame:
+    """Exact dedup: digest groupBy; keeps the min doc_id as canonical."""
+    h = docs.select("doc_id", F.md5("text").alias("digest"))
+    return h.groupBy("digest").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    return docs.select("doc_id", shingles_col(n=n).alias("sh"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    explode(shingles) -> self-join on the shingle -> |A∩B| per pair ->
+    Jaccard from per-doc set sizes. The shuffle key is the shingle, so
+    cost follows shingle posting lists (bounded by dropping ultra-common
+    shingles in a real corpus), not |corpus|².
+    """
+    sets = _shingle_sets(docs, n).cache()
+    sizes = sets.select("doc_id", F.size("sh").alias("n_sh"))
+    posting = sets.select("doc_id", F.explode("sh").alias("s"))
+    inter = (
+        posting.alias("a")
+        .join(posting.alias("b"), "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_int"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        .withColumn("jaccard", F.col("n_int") / (F.col("na") + F.col("nb") - F.col("n_int")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", round4(F.col("jaccard")).alias("jaccard"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """8-permutation MinHash signature per document (columns m0..m7).
+
+    Shingle-hash once, then all permutations are min-aggregations over
+    the same exploded column: one narrow pass + one groupBy(doc_id).
+    """
+    hashed = _shingle_sets(docs, n).select(
+        "doc_id", F.explode("sh").alias("s")
+    ).withColumn("h", char_hash(F.col("s")))
+    aggs = [
+        F.min(minhash_col(F.col("h"), j)).alias(f"m{j}")
+        for j in range(len(MINHASH_SEEDS))
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH banding: equal (band, sig-slice) => candidate pair.
+
+    Bands are exploded to rows and self-joined on the band bucket — a
+    plain shuffle join on a compound key, which is the piece that keeps
+    working at 100 TB (no cross product anywhere).
+    """
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        *[
+                            F.col(f"m{b * ROWS_PER_BAND + r}").alias(f"v{r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    )
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), F.col("a.bk") == F.col("b.bk"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dupes(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> DataFrame:
+    """MinHash LSH candidates verified with exact Jaccard (the standard
+    two-phase near-dup pipeline: cheap recall, exact precision)."""
+    sets = _shingle_sets(docs, n).cache()
+    sizes = sets.select("doc_id", F.size("sh").alias("n_sh"))
+    posting = sets.select("doc_id", F.explode("sh").alias("s"))
+    cands = minhash_candidate_pairs(minhash_signatures(docs, n))
+    inter = (
+        cands.join(posting.withColumnsRenamed({"doc_id": "doc_a", "s": "sa"}), "doc_a")
+        .join(
+            posting.withColumnsRenamed({"doc_id": "doc_b", "s": "sb"}), "doc_b"
+        )
+        .where(F.col("sa") == F.col("sb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_int"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        .withColumn("jaccard", F.col("n_int") / (F.col("na") + F.col("nb") - F.col("n_int")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", round4(F.col("jaccard")).alias("jaccard"))
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """Term-frequency-weighted 32-bit SimHash per document.
+
+    token -> polynomial hash -> for each bit b, sum(tf * ±1) -> sign.
+    Computed as 32 conditional-sum aggregations in ONE groupBy pass
+    (partial aggregation map-side — the shuffle carries 32 longs per
+    document group, independent of document length).
+    """
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", char_hash(F.col("t")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h div {1 << b}) % 2") == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = tf.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Hamming-close SimHash pairs. Blocked on the high 16 bits so the
+    join is an equi-join per block rather than a full cross product
+    (documents within `max_hamming` of each other usually share the
+    high half; a production pipeline uses 4-way bit-slices for recall)."""
+    sigs = simhash_signatures(docs).withColumn(
+        "blk", F.expr(f"simhash div {1 << 16}")
+    )
+    pop = F.bit_count  # Hamming distance = popcount(xor)
+    return (
+        sigs.alias("a")
+        .join(sigs.alias("b"), "blk")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "hamming",
+            pop(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+    )
+
+
+def embedding_near_dupes(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force reference lane).
+
+    All arithmetic in float64 with a strict left-to-right fold so the
+    DuckDB oracle reproduces values exactly. The O(n²) pair space is the
+    *reference* implementation — the scale path is the LSH-bucketed
+    variant in similarity.py.
+    """
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        v.alias("a")
+        .join(v.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos", dot / (F.col("a.norm") * F.col("b.norm")))
+        .where(F.col("cos") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            round4(F.col("cos")).alias("cosine"),
+        )
+    )

@@ -1,0 +1,138 @@
+"""Multimodal (image/audio/video) column handling (SURVEY.md §2.G).
+
+Media are opaque `binary` columns plus a typed metadata struct —
+exactly how a 100 TB training corpus stores them in parquet (payload
+column with large row groups; metadata columns prunable without
+touching payload bytes). The fixture corpus has no real media, so the
+payload here is the utf-8 text bytes and metadata is derived
+deterministically; the *plumbing* — schema, Arrow batch shape,
+mapInPandas signature, partition behavior — is the real, tested part.
+
+Real codec work (PIL/ffmpeg/torchaudio) is stubbed behind
+`decode_media`: it raises NotImplementedError unless the deterministic
+fake decoder is selected, and the fake produces stable per-row
+features so tests and oracles are reproducible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from .hashing import round4
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MIMES = ("image/png", "audio/wav", "video/mp4")
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def media_table(docs: DataFrame) -> DataFrame:
+    """documents -> media table: binary payload + typed metadata struct.
+
+    Metadata (mime, width, height, duration) is deterministic from
+    doc_id so every engine derives identical rows. The payload column
+    stays untouched by metadata-only queries — column pruning keeps
+    payload I/O at zero for them.
+    """
+    mime = F.element_at(F.array(*[F.lit(m) for m in MIMES]), (F.col("doc_id") % 3 + 1).cast("int"))
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        mime.alias("mime"),
+        F.struct(
+            F.length(payload).alias("n_bytes"),
+            (F.col("doc_id") % 16 * 64 + 256).alias("width"),
+            (F.col("doc_id") % 9 * 64 + 144).alias("height"),
+            F.round(F.col("n_chars") / 100.0, 2).alias("duration_s"),
+        ).alias("meta"),
+    )
+
+
+def media_scan_stats(docs: DataFrame) -> DataFrame:
+    """Metadata-only scan: per-mime byte/size stats without ever
+    decoding (or at scale, even reading) the payload column."""
+    m = media_table(docs)
+    return (
+        m.select("doc_id", "mime", F.md5("payload").alias("content_md5"), "meta.*")
+        .groupBy("mime")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("width").alias("max_width"),
+            round4(F.avg("duration_s")).alias("avg_duration_s"),
+            F.count(F.col("content_md5")).alias("n_hashed"),
+        )
+    )
+
+
+def _fake_decode(payload: bytes, mime: str) -> list[float]:
+    """Deterministic stand-in for a codec: 4 moments of the byte
+    histogram. Replace with PIL/ffmpeg in a media-enabled image."""
+    if not payload:
+        return [0.0, 0.0, 0.0, 0.0]
+    n = float(len(payload))
+    s = float(sum(payload))
+    mean = s / n
+    var = float(sum((b - mean) ** 2 for b in payload)) / n
+    return [n, mean, round(var, 6), float(payload[0])]
+
+
+def decode_media(payload: bytes, mime: str, backend: str = "fake") -> list[float]:
+    """Decode one payload to a feature vector.
+
+    backend='fake' is the deterministic test path; real backends are
+    not installed in this environment and raise.
+    """
+    if backend == "fake":
+        return _fake_decode(payload, mime)
+    raise NotImplementedError(
+        f"media backend {backend!r} (PIL/ffmpeg) is not available in this "
+        "image; plug a codec in here — the Spark-side plumbing is done"
+    )
+
+
+def extract_features(docs: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """mapInPandas feature extraction over media payloads.
+
+    Arrow-batched: each pandas batch carries `batch_hint`-ish rows of
+    (doc_id, payload, mime); per-partition iteration means executors
+    stream batches without materializing a partition in memory — the
+    shape a real GPU/codec stage needs at 100 TB.
+    """
+    m = media_table(docs).select("doc_id", "payload", "mime")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_media(p, mm, backend="fake")
+                for p, mm in zip(pdf["payload"], pdf["mime"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return m.mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (SURVEY.md §2.G).
+
+Two lanes:
+
+  brute_force_topk — exact cosine top-k: query-set × corpus join with a
+      rank window. The query side is small by construction, so Spark
+      broadcasts it and the scan side streams — per-executor work is
+      |queries| × |local corpus partition|, embarrassingly parallel.
+
+  ivf_topk — inverted-file ANN: deterministic centroids, corpus
+      partitioned by nearest centroid ("cell"), queries probe only the
+      `nprobe` nearest cells. The 100 TB path: the corpus join key is
+      the cell id, so a query touches nprobe/k_cells of the data; cells
+      map 1:1 to parquet partitions in a real deployment.
+
+All arithmetic is float64 with strict left-to-right folds so the DuckDB
+oracle matches bit-for-bit (see dedup.embedding_near_dupes).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from .hashing import round4
+
+
+def _with_unit(emb: DataFrame) -> DataFrame:
+    """Cast to float64 and attach the L2 norm (narrow, codegen-only)."""
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k for the first `n_queries` vectors.
+
+    Deterministic tie-break (cosine desc, neighbor id asc) so results
+    are reproducible and oracle-comparable.
+    """
+    v = _with_unit(emb)
+    q = v.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            round4(F.col("cos")).alias("cosine"),
+        )
+    )
+
+
+def assign_cells(emb: DataFrame, centroid_stride: int = 100) -> DataFrame:
+    """IVF cell assignment with deterministic centroids.
+
+    Centroids are the vectors whose id is a multiple of `stride` (a
+    k-means iteration would drop in here; determinism matters more than
+    cluster quality for the correctness gate). Assignment is a
+    broadcast join against the centroid set + a max-by over cosine.
+    """
+    v = _with_unit(emb)
+    cents = v.where(F.col("vec_id") % centroid_stride == 0).select(
+        F.col("vec_id").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = v.join(F.broadcast(cents)).withColumn(
+        "cos", _dot(F.col("cv"), F.col("v")) / (F.col("cnorm") * F.col("norm"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "norm", "cell")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_stride: int = 100,
+) -> DataFrame:
+    """ANN top-k probing only the `nprobe` nearest cells per query.
+
+    The corpus side is joined on the cell id — at scale this is a
+    partition-pruned read of nprobe cells, not a corpus scan.
+    """
+    v = _with_unit(emb)
+    cells = assign_cells(emb, centroid_stride)
+    cents = v.where(F.col("vec_id") % centroid_stride == 0).select(
+        F.col("vec_id").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    q = v.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    qc = q.join(F.broadcast(cents)).withColumn(
+        "ccos", _dot(F.col("cv"), F.col("qv")) / (F.col("cnorm") * F.col("qnorm"))
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wprobe))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "qnorm", "cell")
+    )
+    scored = (
+        probes.join(cells, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos", _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            round4(F.col("cos")).alias("cosine"),
+        )
+    )

@@ -1,3 +1,378 @@
-"""Driver keys for LLM-data-pipeline extensions (SURVEY.md §2.G) — M5."""
+"""Driver keys for LLM-data-pipeline extensions (SURVEY.md §2.G) — M5.
+
+Every key has a full DuckDB oracle except `ext_multimodal_features`
+(mapInPandas decode plumbing — genuinely non-SQL; rows-only check).
+The oracles emulate the ENTIRE pipeline (including MinHash banding),
+not just the ideal result, so recall characteristics are verified too.
+All float thresholds are applied to bit-identical float64 arithmetic
+(strict left-to-right folds on both engines); outputs round to 4dp.
+"""
 
 from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from .ext import dedup, multimodal, similarity, text
+from .ext.hashing import (
+    MINHASH_SEEDS,
+    MOD,
+    N_BANDS,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+    duck_char_hash,
+)
+from .registry import query
+from .sources.catalog import load_table
+
+STOP_SQL = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
+
+# Shared DuckDB CTEs ---------------------------------------------------------
+
+TOK_CTE = """
+tok AS (
+  SELECT doc_id, lang, text, length(text) AS n_chars,
+         regexp_split_to_array(text, ' ') AS w
+  FROM documents
+)"""
+
+SHINGLE_CTE = (
+    TOK_CTE
+    + """,
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM tok
+)"""
+)
+
+JACCARD_TAIL = """
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+post AS (SELECT doc_id, unnest(s) AS sg FROM sh)
+"""
+
+
+# --- text analysis ----------------------------------------------------------
+
+@query(
+    "ext_text_stats",
+    oracle=f"""
+    WITH {TOK_CTE},
+    s AS (
+      SELECT doc_id,
+        len(w) AS n_tokens,
+        len(regexp_extract_all(text, '{text.BPE_RE}')) AS n_bpe_tokens,
+        len(list_distinct(w)) AS n_types,
+        len(list_filter(w, t -> list_contains({STOP_SQL}, t))) AS n_stop,
+        length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+        n_chars
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, n_bpe_tokens, n_types,
+      floor((n_stop / n_tokens) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+      floor((n_types / n_tokens) * 10000.0 + 0.5) / 10000.0 AS ttr,
+      floor((n_alpha / n_chars) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio,
+      floor(((n_chars - (n_tokens - 1)) / n_tokens) * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+      floor((least(n_stop / n_tokens * 4, 1.0) * 0.4
+            + n_types / n_tokens * 0.3 + n_alpha / n_chars * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality,
+      CASE WHEN n_stop / n_tokens >= 0.02 THEN 'en' ELSE 'other' END AS pred_lang
+    FROM s
+    """,
+)
+def ext_text_stats(spark, sf_dir):
+    """Per-document quality scoring / token counting / language guess."""
+    return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ext_text_langid",
+    oracle=f"""
+    WITH {TOK_CTE},
+    p AS (
+      SELECT lang,
+        CASE WHEN len(list_filter(w, t -> list_contains({STOP_SQL}, t))) / len(w) >= 0.02
+             THEN 'en' ELSE 'other' END AS pred_lang
+      FROM tok
+    )
+    SELECT lang, pred_lang, count(*) AS n_docs FROM p GROUP BY 1, 2
+    """,
+)
+def ext_text_langid(spark, sf_dir):
+    """Heuristic language-ID vs labels: confusion counts."""
+    return text.lang_confusion(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ext_text_fingerprint",
+    oracle=f"""
+    WITH {SHINGLE_CTE}
+    SELECT t.doc_id,
+      {duck_char_hash('t.text')} AS fp,
+      list_min(list_transform(sh.s, x -> {duck_char_hash('x')})) AS min_shingle_fp,
+      len(sh.s) AS n_shingles
+    FROM tok t JOIN sh ON t.doc_id = sh.doc_id
+    """,
+)
+def ext_text_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprints (engine-agnostic values)."""
+    return text.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# --- dedup ------------------------------------------------------------------
+
+@query(
+    "ext_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest, min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def ext_dedup_exact(spark, sf_dir):
+    """Exact dedup: one shuffle on the md5 digest."""
+    return dedup.exact_dupes(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ext_dedup_ngram",
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    {JACCARD_TAIL},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM post a JOIN post b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           floor((ni / (sa.n + sb.n - ni)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ni / (sa.n + sb.n - ni) >= 0.5
+    """,
+)
+def ext_dedup_ngram(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index join)."""
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+
+
+def _duck_sig_cols() -> str:
+    return ", ".join(
+        f"min((h * {a} + {b}) % {MOD}) AS m{j}"
+        for j, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+
+
+def _duck_band_cond() -> str:
+    bands = []
+    for b in range(N_BANDS):
+        cols = [f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append("(" + " AND ".join(f"a.{c} = b.{c}" for c in cols) + ")")
+    return " OR ".join(bands)
+
+
+@query(
+    "ext_dedup_minhash",
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    {JACCARD_TAIL},
+    hs AS (SELECT doc_id, {duck_char_hash('sg')} AS h FROM post),
+    sig AS (SELECT doc_id, {_duck_sig_cols()} FROM hs GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id AND ({_duck_band_cond()})
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS ni
+      FROM cand c
+      JOIN post pa ON pa.doc_id = c.doc_a
+      JOIN post pb ON pb.doc_id = c.doc_b AND pb.sg = pa.sg
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           floor((ni / (sa.n + sb.n - ni)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE ni / (sa.n + sb.n - ni) >= 0.5
+    """,
+)
+def ext_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup detection, exact-Jaccard-verified.
+
+    The oracle emulates the full signature/banding pipeline, so LSH
+    recall behavior is verified, not assumed.
+    """
+    return dedup.minhash_near_dupes(load_table(spark, sf_dir, "documents"), 0.5)
+
+
+def _duck_simhash_sums() -> str:
+    return ", ".join(
+        f"sum(CASE WHEN (hv // {1 << b}) % 2 = 1 THEN tf ELSE -tf END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+
+
+def _duck_simhash_combine() -> str:
+    return " + ".join(
+        f"(CASE WHEN b{b} >= 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+
+
+@query(
+    "ext_dedup_simhash",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    h AS (SELECT doc_id, tf, {duck_char_hash('tok')} AS hv FROM tf),
+    sums AS (SELECT doc_id, {_duck_simhash_sums()} FROM h GROUP BY doc_id)
+    SELECT doc_id, ({_duck_simhash_combine()}) AS simhash FROM sums
+    """,
+)
+def ext_dedup_simhash(spark, sf_dir):
+    """TF-weighted 32-bit SimHash signatures (single-pass groupBy)."""
+    return dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+EMB_CTE = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM e
+)"""
+
+DUCK_DOT = (
+    "list_reduce(list_transform(range(1, len(a.v) + 1), "
+    "i -> a.v[i] * b.v[i]), (x, y) -> x + y)"
+)
+
+
+@query(
+    "ext_dedup_embedding",
+    oracle=f"""
+    WITH {EMB_CTE},
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {DUCK_DOT} / (a.nrm * b.nrm) AS c
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, floor((c) * 10000.0 + 0.5) / 10000.0 AS cosine FROM p WHERE c >= 0.4
+    """,
+)
+def ext_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (float64, bit-identical fold)."""
+    return dedup.embedding_near_dupes(load_table(spark, sf_dir, "embeddings"), 0.4)
+
+
+# --- similarity search ------------------------------------------------------
+
+@query(
+    "ext_similarity_topk",
+    oracle=f"""
+    WITH {EMB_CTE},
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {DUCK_DOT} / (a.nrm * b.nrm) AS c
+      FROM n a JOIN n b ON b.vec_id != a.vec_id
+      WHERE a.vec_id < 10
+    )
+    SELECT query_id, rank, neighbor_id, floor((c) * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM (SELECT query_id, neighbor_id, c,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def ext_similarity_topk(spark, sf_dir):
+    """Brute-force exact cosine top-10 for the first 10 query vectors."""
+    return similarity.brute_force_topk(load_table(spark, sf_dir, "embeddings"), 10, 10)
+
+
+@query(
+    "ext_similarity_ivf",
+    oracle=f"""
+    WITH {EMB_CTE},
+    cents AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id % 100 = 0),
+    asg AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT n.vec_id, n.v, n.nrm, c.cell,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY list_reduce(list_transform(range(1, len(c.v) + 1),
+                            i -> c.v[i] * n.v[i]), (x, y) -> x + y)
+                          / (c.nrm * n.nrm) DESC, c.cell) AS rn
+        FROM n CROSS JOIN cents c)
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, qn, cell FROM (
+        SELECT n.vec_id AS query_id, n.v AS qv, n.nrm AS qn, c.cell,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY list_reduce(list_transform(range(1, len(c.v) + 1),
+                            i -> c.v[i] * n.v[i]), (x, y) -> x + y)
+                          / (c.nrm * n.nrm) DESC, c.cell) AS rn
+        FROM n CROSS JOIN cents c WHERE n.vec_id < 10)
+      WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, len(p.qv) + 1),
+               i -> p.qv[i] * a.v[i]), (x, y) -> x + y) / (p.qn * a.nrm) AS c
+      FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.query_id
+    )
+    SELECT query_id, rank, neighbor_id, floor((c) * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM (SELECT query_id, neighbor_id, c,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ext_similarity_ivf(spark, sf_dir):
+    """IVF ANN: nprobe=2 cells per query — the partition-pruned scale path."""
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5, nprobe=2
+    )
+
+
+# --- multimodal -------------------------------------------------------------
+
+@query(
+    "ext_multimodal_scan",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+        (['{multimodal.MIMES[0]}', '{multimodal.MIMES[1]}',
+          '{multimodal.MIMES[2]}'])[(doc_id % 3 + 1)::INT] AS mime,
+        octet_length(encode(text)) AS n_bytes,
+        doc_id % 16 * 64 + 256 AS width,
+        round(n_chars / 100.0, 2) AS duration_s,
+        md5(text) AS content_md5
+      FROM documents
+    )
+    SELECT mime, count(*) AS n_media, sum(n_bytes) AS total_bytes,
+           max(width) AS max_width,
+           floor((avg(duration_s)) * 10000.0 + 0.5) / 10000.0 AS avg_duration_s,
+           count(content_md5) AS n_hashed
+    FROM m GROUP BY mime
+    """,
+)
+def ext_multimodal_scan(spark, sf_dir):
+    """Metadata-only media scan: stats without decoding payloads."""
+    return multimodal.media_scan_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query("ext_multimodal_features")  # mapInPandas decode — rows-only check
+def ext_multimodal_features(spark, sf_dir):
+    """Arrow-batched feature extraction over binary payloads (stubbed
+    codec, real Spark plumbing). Non-SQL-expressible: no oracle."""
+    return multimodal.extract_features(load_table(spark, sf_dir, "documents"))

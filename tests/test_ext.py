@@ -1,0 +1,107 @@
+"""Internal invariants for the extension operators (SURVEY.md §5.2.3,
+§7.3.6) — self-checks beyond the DuckDB oracles, exercising the
+relationships the oracles can't express (recall containment, ANN vs
+exact agreement, Arrow batch plumbing)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_debezium_spark.ext import dedup, multimodal, similarity
+from cdc_debezium_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_minhash_pairs_subset_of_exact(docs):
+    """LSH-verified pairs must be a subset of exhaustive-Jaccard pairs
+    at the same threshold (LSH can lose recall, never gain pairs)."""
+    exact = {
+        (r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in dedup.minhash_near_dupes(docs, 0.5).collect()}
+    assert lsh <= exact
+    if exact:  # planted near-dups: banding should recover most of them
+        assert len(lsh) >= len(exact) * 0.5
+
+
+def test_exact_dedup_partitions_corpus(docs):
+    """Digest groups must partition the corpus: copies sum to |docs|."""
+    n_docs = docs.count()
+    groups = dedup.exact_dupes(docs)
+    agg = groups.groupBy().sum("n_copies").collect()[0][0]
+    assert agg == n_docs
+
+
+def test_simhash_in_32bit_range(docs):
+    rows = dedup.simhash_signatures(docs).collect()
+    assert rows and all(0 <= r.simhash < (1 << 32) for r in rows)
+
+
+def test_simhash_near_pairs_bounded(docs):
+    for r in dedup.simhash_near_pairs(docs, max_hamming=6).collect():
+        assert r.hamming <= 6 and r.doc_a < r.doc_b
+
+
+def test_brute_force_topk_is_sorted_and_sane(emb):
+    rows = similarity.brute_force_topk(emb, n_queries=3, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+        assert all(-1.0001 <= c <= 1.0001 for c in cosines)
+
+
+def test_ivf_results_subset_of_bruteforce_scores(emb):
+    """Every IVF hit's cosine must equal the brute-force cosine for the
+    same (query, neighbor) pair — ANN may miss neighbors, never invent
+    or mis-score them."""
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.brute_force_topk(emb, n_queries=5, k=10**6).collect()
+    }
+    for r in similarity.ivf_topk(emb, n_queries=5, k=5, nprobe=2).collect():
+        assert bf[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_multimodal_features_shape(docs):
+    feats = multimodal.extract_features(docs)
+    assert [f.name for f in feats.schema.fields] == [
+        "doc_id",
+        "mime",
+        "n_bytes",
+        "feature",
+    ]
+    rows = feats.limit(20).collect()
+    assert rows
+    for r in rows:
+        assert len(r.feature) == 4
+        assert r.feature[0] == float(r.n_bytes)  # moment 0 = byte count
+        assert r.mime in multimodal.MIMES
+
+
+def test_multimodal_real_backend_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG", "image/png", backend="pillow")
+
+
+def test_media_metadata_prunes_payload(docs, spark):
+    """Metadata-only projection must not carry the payload column
+    (column pruning — at 100 TB this is the difference between a
+    metadata query and a full-corpus read)."""
+    m = multimodal.media_table(docs).select("doc_id", "mime", "meta")
+    plan = m._jdf.queryExecution().optimizedPlan().toString()
+    assert "payload" not in plan.split("Relation")[0]
