@@ -27,16 +27,19 @@ JVM-side (higher-order functions, no Python UDFs).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from .hashing import (
-    round4,
+    COMBINE,
+    INIT,
     MINHASH_SEEDS,
+    MOD,
     N_BANDS,
     ROWS_PER_BAND,
     SIMHASH_BITS,
-    char_hash,
     minhash_col,
+    round4,
+    word_hash,
 )
 from .text import shingles_col, tokens_col
 
@@ -81,20 +84,57 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> 
     )
 
 
+def _shingle_hash_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shash) — one row per DISTINCT hashed shingle.
+
+    Row-shaped on purpose: posexplode the tokens, hash each word as a
+    plain column (md5-prefix — whole-stage codegen, no interpreted
+    lambda anywhere), then build each shingle hash from lead() over a
+    per-document window. Costs one shuffle on doc_id; at 100 TB that
+    shuffle is bounded by token count and partitions evenly by doc.
+    Values are identical to hashing.shingle_hashes / the DuckDB oracle.
+    """
+    words = docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "t")
+    ).select("doc_id", "pos", word_hash(F.col("t")).alias("h0"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    acc = F.lit(INIT).cast("long")
+    for k in range(n):
+        c = F.col("h0") if k == 0 else F.lead("h0", k).over(win)
+        acc = (acc * COMBINE + c) % MOD
+    # a shingle starting within n-1 of the end has a null lead -> null acc
+    return (
+        words.select("doc_id", acc.alias("shash"))
+        .where(F.col("shash").isNotNull())
+        .dropDuplicates(["doc_id", "shash"])
+    )
+
+
+def _shingle_hash_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shh: array<long>) — distinct hashed shingles per doc.
+
+    Jaccard over hashed shingles equals string Jaccard up to ~2^-31
+    collision odds — and the oracle hashes identically, so results are
+    exactly comparable.
+    """
+    return (
+        _shingle_hash_rows(docs, n)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shash").alias("shh"))
+    )
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """8-permutation MinHash signature per document (columns m0..m7).
 
-    Shingle-hash once, then all permutations are min-aggregations over
-    the same exploded column: one narrow pass + one groupBy(doc_id).
+    One groupBy(doc_id) computes all permutations as min-aggregations
+    over the shared shingle-hash rows (partial aggregation map-side).
     """
-    hashed = _shingle_sets(docs, n).select(
-        "doc_id", F.explode("sh").alias("s")
-    ).withColumn("h", char_hash(F.col("s")))
     aggs = [
-        F.min(minhash_col(F.col("h"), j)).alias(f"m{j}")
+        F.min(minhash_col(F.col("shash"), j)).alias(f"m{j}")
         for j in range(len(MINHASH_SEEDS))
     ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    return _shingle_hash_rows(docs, n).groupBy("doc_id").agg(*aggs)
 
 
 def minhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
@@ -102,28 +142,21 @@ def minhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
     Bands are exploded to rows and self-joined on the band bucket — a
     plain shuffle join on a compound key, which is the piece that keeps
-    working at 100 TB (no cross product anywhere).
+    working at 100 TB (no cross product anywhere). The two sig values
+    of a band are packed into one long (v0*MOD + v1, injective since
+    v1 < MOD) so the join key is primitive, not a struct.
     """
+    assert ROWS_PER_BAND == 2, "packed band key assumes 2 rows per band"
+    packed = [
+        F.col(f"m{b * ROWS_PER_BAND}") * MOD + F.col(f"m{b * ROWS_PER_BAND + 1}")
+        for b in range(N_BANDS)
+    ]
     bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        *[
-                            F.col(f"m{b * ROWS_PER_BAND + r}").alias(f"v{r}")
-                            for r in range(ROWS_PER_BAND)
-                        ],
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        "doc_id", F.posexplode(F.array(*packed)).alias("band", "k")
     )
     return (
         bands.alias("a")
-        .join(bands.alias("b"), F.col("a.bk") == F.col("b.bk"))
+        .join(bands.alias("b"), ["band", "k"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -134,24 +167,30 @@ def minhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
 def minhash_near_dupes(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> DataFrame:
     """MinHash LSH candidates verified with exact Jaccard (the standard
-    two-phase near-dup pipeline: cheap recall, exact precision)."""
-    sets = _shingle_sets(docs, n).cache()
-    sizes = sets.select("doc_id", F.size("sh").alias("n_sh"))
-    posting = sets.select("doc_id", F.explode("sh").alias("s"))
-    cands = minhash_candidate_pairs(minhash_signatures(docs, n))
-    inter = (
-        cands.join(posting.withColumnsRenamed({"doc_id": "doc_a", "s": "sa"}), "doc_a")
-        .join(
-            posting.withColumnsRenamed({"doc_id": "doc_b", "s": "sb"}), "doc_b"
-        )
-        .where(F.col("sa") == F.col("sb"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_int"))
-    )
+    two-phase near-dup pipeline: cheap recall, exact precision).
+
+    Hashed shingle sets are computed ONCE (cached) and verification
+    joins the candidate pairs (few, by construction) back to the
+    per-doc shingle-hash ARRAYS — `array_intersect` per pair instead of
+    a posting-list self-join, so verify cost is
+    O(|candidates| * doc_len), independent of corpus size.
+    """
+    rows = _shingle_hash_rows(docs, n).cache()
+    aggs = [
+        F.min(minhash_col(F.col("shash"), j)).alias(f"m{j}")
+        for j in range(len(MINHASH_SEEDS))
+    ]
+    cands = minhash_candidate_pairs(rows.groupBy("doc_id").agg(*aggs))
+    sets = rows.groupBy("doc_id").agg(F.collect_list("shash").alias("shh"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sha"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("shb"))
+    n_int = F.size(F.array_intersect("sha", "shb"))
     return (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
-        .withColumn("jaccard", F.col("n_int") / (F.col("na") + F.col("nb") - F.col("n_int")))
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard", n_int / (F.size("sha") + F.size("shb") - n_int)
+        )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", round4(F.col("jaccard")).alias("jaccard"))
     )
@@ -169,7 +208,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         docs.select("doc_id", F.explode(tokens_col()).alias("t"))
         .groupBy("doc_id", "t")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", char_hash(F.col("t")))
+        .withColumn("h", word_hash(F.col("t")))
     )
     bit_sums = [
         F.sum(

@@ -42,6 +42,58 @@ def char_hash(col: Column | str) -> Column:
     )
 
 
+COMBINE = 1_000_003  # word-hash -> shingle-hash combiner (prime)
+
+
+def word_hash(col: Column | str) -> Column:
+    """32-bit token hash: integer value of the first 8 hex chars of md5.
+
+    Unlike char_hash's per-character fold (an interpreted lambda per
+    character), md5/substring/conv are JVM builtins inside whole-stage
+    codegen — ~30× less overhead on token-sized strings. DuckDB mirrors
+    it by parsing the same 8 hex chars (duck_word_hash).
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def duck_word_hash(expr: str) -> str:
+    return (
+        f"list_reduce(list_transform(string_split(substr(md5({expr}), 1, 8), ''), "
+        "c -> strpos('0123456789abcdef', c) - 1), (a, x) -> a * 16 + x)::BIGINT"
+    )
+
+
+def shingle_hashes(words: Column, n: int = 3) -> Column:
+    """Array of distinct shingle hashes from a token-array column.
+
+    Hashes each WORD once (md5-prefix, codegen builtins), then combines
+    n word-hashes per shingle with a polynomial — O(words + shingles)
+    per document; shingle strings are never materialized.
+    Mirror: duck_shingle_hashes() over an `hwl` word-hash list.
+    """
+    hw = F.transform(words, word_hash)
+    length = F.size(words) - (n - 1)
+    parts = [F.slice(hw, k + 1, length) for k in range(n)]
+    z = F.transform(parts[0], lambda x: (F.lit(INIT).cast("long") * COMBINE + x) % MOD)
+    for p in parts[1:]:
+        z = F.zip_with(z, p, lambda acc, x: (acc * COMBINE + x) % MOD)
+    return F.when(F.size(words) >= n, F.array_distinct(z)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def duck_shingle_hashes(words_expr: str, n: int = 3) -> str:
+    """DuckDB fragment: distinct shingle hashes of a token-list expr."""
+    acc = f"{INIT}::BIGINT"
+    for k in range(n):
+        acc = f"(({acc}) * {COMBINE} + hwl[i + {k}]) % {MOD}"
+    return (
+        f"list_distinct(list_transform(range(1, len({words_expr}) - {n - 2}), "
+        f"i -> {acc}))"
+    )
+
+
 def minhash_col(hash_col: Column, j: int) -> Column:
     """j-th minhash permutation of a shingle-hash column (pre-min)."""
     a, b = MINHASH_SEEDS[j]

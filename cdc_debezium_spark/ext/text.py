@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from .hashing import char_hash, round4
+from .hashing import char_hash, round4, shingle_hashes
 
 # Tiny embedded stopword list (public knowledge). The fixture corpus is
 # lowercase space-separated words, so membership is a plain array test.
@@ -41,11 +41,16 @@ def shingles_col(text: Column | str = "text", n: int = 3) -> Column:
     at 100 TB this never leaves the scan stage.
     """
     w = tokens_col(text)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(n)]),
-    )
-    # sequence(0, negative) counts down — guard short docs to an empty set
+    # slice+zip_with, NOT element_at inside a transform lambda: a lambda
+    # body re-evaluates captured expressions per element, turning
+    # shingling into O(tokens²) splits per document. Slices evaluate the
+    # token array n times total, then zip_with is one concat per shingle.
+    length = F.size(w) - (n - 1)
+    parts = [F.slice(w, k + 1, length) for k in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
+    # guard short docs (slice with non-positive length errors)
     return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
@@ -102,11 +107,14 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
 
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprints: full-text rolling hash + min-shingle hash
-    (winnowing-style representative). Equal fingerprints => dup cluster."""
-    sh = shingles_col()
+    (winnowing-style representative). Equal fingerprints => dup cluster.
+
+    The full-text fp is the char-fold rolling hash; the shingle lane
+    uses the cheap md5-prefix word hashes (hashing.shingle_hashes)."""
+    shh = shingle_hashes(tokens_col())
     return docs.select(
         "doc_id",
         char_hash(F.col("text")).alias("fp"),
-        F.array_min(F.transform(sh, char_hash)).alias("min_shingle_fp"),
-        F.size(sh).alias("n_shingles"),
+        F.array_min(shh).alias("min_shingle_fp"),
+        F.size(shh).alias("n_shingles"),
     )

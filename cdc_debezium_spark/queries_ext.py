@@ -20,6 +20,8 @@ from .ext.hashing import (
     ROWS_PER_BAND,
     SIMHASH_BITS,
     duck_char_hash,
+    duck_shingle_hashes,
+    duck_word_hash,
 )
 from .registry import query
 from .sources.catalog import load_table
@@ -105,12 +107,20 @@ def ext_text_langid(spark, sf_dir):
 @query(
     "ext_text_fingerprint",
     oracle=f"""
-    WITH {SHINGLE_CTE}
-    SELECT t.doc_id,
-      {duck_char_hash('t.text')} AS fp,
-      list_min(list_transform(sh.s, x -> {duck_char_hash('x')})) AS min_shingle_fp,
-      len(sh.s) AS n_shingles
-    FROM tok t JOIN sh ON t.doc_id = sh.doc_id
+    WITH {TOK_CTE},
+    hwt AS (
+      SELECT doc_id, text, w,
+             list_transform(w, t -> {duck_word_hash('t')}) AS hwl
+      FROM tok
+    ),
+    shh AS (
+      SELECT doc_id, text, {duck_shingle_hashes('w')} AS s FROM hwt
+    )
+    SELECT doc_id,
+      {duck_char_hash('text')} AS fp,
+      list_min(s) AS min_shingle_fp,
+      len(s) AS n_shingles
+    FROM shh
     """,
 )
 def ext_text_fingerprint(spark, sf_dir):
@@ -174,28 +184,34 @@ def _duck_band_cond() -> str:
 @query(
     "ext_dedup_minhash",
     oracle=f"""
-    WITH {SHINGLE_CTE},
-    {JACCARD_TAIL},
-    hs AS (SELECT doc_id, {duck_char_hash('sg')} AS h FROM post),
-    sig AS (SELECT doc_id, {_duck_sig_cols()} FROM hs GROUP BY doc_id),
+    WITH {TOK_CTE},
+    hwt AS (
+      SELECT doc_id, w,
+             list_transform(w, t -> {duck_word_hash('t')}) AS hwl
+      FROM tok
+    ),
+    shh AS (
+      SELECT doc_id, {duck_shingle_hashes('w')} AS s FROM hwt
+    ),
+    post AS (SELECT doc_id, unnest(s) AS h FROM shh),
+    sig AS (SELECT doc_id, {_duck_sig_cols()} FROM post GROUP BY doc_id),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sig a JOIN sig b
         ON a.doc_id < b.doc_id AND ({_duck_band_cond()})
     ),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS ni
+    ver AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(x.s, y.s)) AS ni,
+             len(x.s) AS na, len(y.s) AS nb
       FROM cand c
-      JOIN post pa ON pa.doc_id = c.doc_a
-      JOIN post pb ON pb.doc_id = c.doc_b AND pb.sg = pa.sg
-      GROUP BY 1, 2
+      JOIN shh x ON x.doc_id = c.doc_a
+      JOIN shh y ON y.doc_id = c.doc_b
     )
-    SELECT i.doc_a, i.doc_b,
-           floor((ni / (sa.n + sb.n - ni)) * 10000.0 + 0.5) / 10000.0 AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE ni / (sa.n + sb.n - ni) >= 0.5
+    SELECT doc_a, doc_b,
+           floor((ni / (na + nb - ni)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM ver
+    WHERE ni / (na + nb - ni) >= 0.5
     """,
 )
 def ext_dedup_minhash(spark, sf_dir):
@@ -230,7 +246,7 @@ def _duck_simhash_combine() -> str:
             FROM documents)
       GROUP BY 1, 2
     ),
-    h AS (SELECT doc_id, tf, {duck_char_hash('tok')} AS hv FROM tf),
+    h AS (SELECT doc_id, tf, {duck_word_hash('tok')} AS hv FROM tf),
     sums AS (SELECT doc_id, {_duck_simhash_sums()} FROM h GROUP BY doc_id)
     SELECT doc_id, ({_duck_simhash_combine()}) AS simhash FROM sums
     """,
