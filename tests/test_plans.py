@@ -1,0 +1,105 @@
+"""Physical-plan regression tests: the 100 TB posture (SURVEY §4.2).
+
+Correctness tests prove the right ROWS come back; these prove the right
+PLAN produces them — broadcast where a side is small, predicate
+pushdown reaching the parquet scan, column pruning, no redundant
+shuffles. A plan regression here is a 100× cost regression at scale
+even though every row stays correct.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from cdc_debezium_spark import registry
+from cdc_debezium_spark.operators.relational import (
+    grouped_processor,
+    grouped_processor_batched,
+)
+from cdc_debezium_spark.sources.catalog import load_table
+
+registry.load_all()
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = _physical(registry.QUERIES["join_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the fact side must NOT shuffle for the join itself
+    assert "Exchange hashpartitioning(l_partkey" not in plan
+
+
+def test_small_dim_join_auto_broadcasts(spark, sf_dir):
+    """Even without an explicit hint, Catalyst should pick broadcast
+    for a dim under the threshold (autoBroadcastJoinThreshold, AQE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    j = li.join(n, li.l_suppkey % 25 == n.n_nationkey).groupBy("n_name").count()
+    assert "BroadcastHashJoin" in _physical(j) or "BroadcastNestedLoop" in _physical(j)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _physical(registry.QUERIES["filter_table_include"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "event_type" in plan.split("PushedFilters")[1][:200]
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    plan = _physical(registry.QUERIES["project_basic"](spark, sf_dir))
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "c_custkey" in read_schema
+    # untouched wide columns must not be read at all
+    for col in ("c_address", "c_comment", "c_phone"):
+        assert col not in read_schema
+
+
+def test_similarity_query_side_broadcasts(spark, sf_dir):
+    plan = _physical(registry.QUERIES["ext_similarity_topk"](spark, sf_dir))
+    assert "Broadcast" in plan  # query set ships to executors, corpus streams
+
+
+def test_latest_state_single_shuffle(spark, sf_dir):
+    """B6 materialization needs exactly one hash exchange (by pk for
+    the rank window); more means an accidental extra shuffle."""
+    plan = _physical(registry.QUERIES["cdc_latest_state"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_whole_stage_codegen_covers_cdc_spine(spark, sf_dir):
+    plan = _physical(registry.QUERIES["cdc_unwrap"](spark, sf_dir))
+    # executedPlan prints codegen stages as "*(n) Op"
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
+def test_grouped_processor_paths_agree(spark, sf_dir):
+    """applyInPandas (per-key) and mapInPandas (partition-batched)
+    processor paths must produce identical results."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "n": [len(pdf)],
+             "s": [round(pdf["value"].sum(), 2)]}
+        )
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pdf.groupby("user_id", sort=False)
+            .agg(n=("value", "size"), s=("value", "sum"))
+            .reset_index()
+        )
+        out["s"] = out["s"].round(2)
+        return out
+
+    schema = "user_id long, n long, s double"
+    a = sorted(map(tuple, grouped_processor(ev, ["user_id"], per_key, schema).collect()))
+    b = sorted(map(tuple, grouped_processor_batched(ev, ["user_id"], per_partition, schema).collect()))
+    assert a == b
