@@ -41,3 +41,30 @@ def grouped_processor(df: DataFrame, keys: Sequence[str], fn, schema: str) -> Da
     `fn` as one pandas DataFrame; stays off the row-at-a-time path.
     """
     return df.groupBy(*list(keys)).applyInPandas(fn, schema=schema)
+
+
+def grouped_processor_batched(
+    df: DataFrame, keys: Sequence[str], fn, schema: str
+) -> DataFrame:
+    """Partition-batched user processor: one Python call per PARTITION.
+
+    `applyInPandas` pays Python/pandas overhead once per KEY — fine for
+    fat groups, dominant for millions of small ones. Here each key's
+    rows are co-located with `repartition(keys)`, then `mapInPandas`
+    hands the whole partition to `fn` (which does a vectorized pandas
+    groupby inside). Per-group overhead is amortized across the
+    partition; the shuffle guarantees no group spans partitions, so
+    per-partition results are final. The scale knob is the partition
+    count — state per task is one partition's rows, as in any shuffle.
+    """
+    import pandas as pd
+
+    def run(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        if len(pdf):
+            yield fn(pdf)
+
+    return df.repartition(*list(keys)).mapInPandas(run, schema=schema)

@@ -12,7 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from .operators import cdc
-from .operators.relational import grouped_processor, topk_per_group
+from .operators.relational import grouped_processor_batched, topk_per_group
 from .registry import query
 from .sources.catalog import load_table
 
@@ -605,25 +605,32 @@ def explode_array(spark, sf_dir):
     """,
 )
 def udf_grouped_processor(spark, sf_dir):
-    """§2.F: a `userProcessor`-style per-key processor as Arrow-batched
-    applyInPandas (reference values.yaml:71-83 user-supplied images)."""
+    """§2.F: a `userProcessor`-style per-key processor (reference
+    values.yaml:71-83 user-supplied images) on the partition-batched
+    path — one Python call per partition with a vectorized pandas
+    groupby inside, not one per key (operators.relational.
+    grouped_processor_batched; the per-key applyInPandas surface is
+    grouped_processor, parity-tested against this one)."""
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts_us", "value")
 
-    def process(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "sum_val": [round(pdf["value"].sum(), 2)],
-                "last_ts_us": [pdf["ts_us"].max()],
-            }
+    def process_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pdf.groupby("user_id", sort=False)
+            .agg(
+                n_events=("value", "size"),
+                sum_val=("value", "sum"),
+                last_ts_us=("ts_us", "max"),
+            )
+            .reset_index()
         )
+        out["sum_val"] = out["sum_val"].round(2)
+        return out
 
-    return grouped_processor(
+    return grouped_processor_batched(
         ev,
         ["user_id"],
-        process,
+        process_partition,
         "user_id long, n_events long, sum_val double, last_ts_us long",
     )

@@ -140,3 +140,40 @@ def dedup_within_watermark(
     duplicates arriving within the watermark horizon are dropped
     without unbounded state."""
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+
+
+def stateful_running_totals(stream: DataFrame) -> DataFrame:
+    """Per-key running totals as an `applyInPandasWithState` processor.
+
+    The Spark-native analog of a stateful Kafka Streams app (reference
+    values.yaml:71-83 `userProcessor`): arbitrary per-key Python state
+    carried across micro-batches in the state store, Arrow-batched in
+    and out (SURVEY §2.F "Stateful processor"). Each trigger emits the
+    updated (user_id, n_events, sum_val) rows — the update-mode
+    changelog a downstream cache (Redis analog) consumes.
+
+    State is one (count, sum) pair per key: bounded, partitioned by the
+    grouping key across executors — the 100 TB posture is state-store
+    sharding, which Structured Streaming does per grouping partition.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def totals(key, pdfs, state):
+        (user_id,) = key
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_val": [s]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        totals,
+        outputStructType="user_id long, n_events long, sum_val double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -198,3 +198,87 @@ def test_parity_invariant_to_chunking(spark, sf_dir, tmp_path, n_chunks):
     got = _rows(sink.read_live(spark), ["pk", "ts_us", "val"])
     want = _rows(cdc.latest_state(cdc.cdc_events(spark, sf_dir)), ["pk", "ts_us", "val"])
     assert got == want
+
+
+def test_stateful_processor_running_totals(spark, sf_dir, tmp_path):
+    """§2.F stateful processor: applyInPandasWithState running totals
+    across micro-batches must end at exactly the batch aggregates."""
+    from cdc_debezium_spark.sources.catalog import load_table
+    from cdc_debezium_spark.streaming.state import stateful_running_totals
+
+    chunk_dir = str(tmp_path / "chunks")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+    out = stateful_running_totals(read_event_stream(spark, chunk_dir))
+
+    emitted = []
+
+    def sink(batch, batch_id):
+        emitted.extend(
+            (batch_id, r.user_id, r.n_events, r.sum_val) for r in batch.collect()
+        )
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # last emission per key == final running state
+    final = {}
+    for bid, uid, n, s in sorted(emitted):
+        final[uid] = (n, s)
+
+    batch = {
+        r.user_id: (r.n, r.s)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, s) in batch.items():
+        fn, fs = final[uid]
+        assert fn == n
+        assert abs(fs - s) < 1e-6
+
+
+def test_stream_stream_join_smoke(spark, sf_dir, tmp_path):
+    """C10: stream-stream inner join with watermarks on both sides —
+    every event must pair with its projected twin exactly once."""
+    chunk_dir = str(tmp_path / "chunks")
+    n_rows = write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=3)
+
+    def with_ts(df):
+        return df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+
+    left = with_ts(read_event_stream(spark, chunk_dir)).withWatermark("ts", "10 minutes")
+    right = (
+        with_ts(read_event_stream(spark, chunk_dir))
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("value").alias("r_value"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("event_id") == F.col("r_event_id"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr("interval 1 hour"))
+        & (F.col("r_ts") <= F.col("ts") + F.expr("interval 1 hour")),
+        "inner",
+    )
+
+    counts = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _: counts.append(b.count()))
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sum(counts) == n_rows
