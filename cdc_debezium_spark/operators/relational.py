@@ -32,6 +32,33 @@ def topk_per_group(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side.
+
+    A hot key concentrates one reducer at 100 TB; AQE's skew-join split
+    (enabled in session.py) handles most cases at runtime, but when the
+    small side is replicable this classic rewrite removes the hot
+    partition statically: the big side gets a deterministic salt in
+    [0, salt), the small side is exploded `salt` ways, and the join key
+    becomes (key, salt) — the hot key now spreads over `salt` reducers.
+    Results are identical to the unsalted join (salt columns are
+    internal and dropped).
+    """
+    keys = list(on)
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), salt)
+    big_s = big.withColumn("_salt", salt_col)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"))
+    )
+    return big_s.join(small_s, [*keys, "_salt"], how).drop("_salt")
+
+
 def grouped_processor(df: DataFrame, keys: Sequence[str], fn, schema: str) -> DataFrame:
     """Per-key user processor: the Spark-native analog of a Kafka
     Streams app slotted into the pipeline (reference values.yaml:71-83,

@@ -103,3 +103,23 @@ def test_grouped_processor_paths_agree(spark, sf_dir):
     a = sorted(map(tuple, grouped_processor(ev, ["user_id"], per_key, schema).collect()))
     b = sorted(map(tuple, grouped_processor_batched(ev, ["user_id"], per_partition, schema).collect()))
     assert a == b
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Skew rewrite must be result-identical to the plain join."""
+    from cdc_debezium_spark.operators.relational import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 3).alias("k"), "value"
+    )  # 3 hot keys
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select((F.col("user_id") % 3).alias("k"))
+        .distinct()
+        .withColumn("tag", F.concat(F.lit("t"), F.col("k")))
+    )
+    plain = sorted(map(tuple, ev.join(dim, "k").select("event_id", "tag").collect()))
+    salted = sorted(
+        map(tuple, salted_join(ev, dim, ["k"]).select("event_id", "tag").collect())
+    )
+    assert plain == salted
