@@ -81,6 +81,32 @@ def parse_envelope(
     return parsed.select(*cols)
 
 
+def kafka_cdc_stream(
+    spark,
+    bootstrap_servers: str,
+    topics: list[str],
+    row_schema: StructType,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """The production source: Kafka topics → parsed CDC envelope stream.
+
+    Mirrors the reference's consumer side exactly: per-table topics,
+    keyed JSON values (reference prod-resources.yaml:10-13,94-95),
+    resumable offsets via the streaming checkpoint (the offset-flush
+    analog, prod-resources.yaml:14-20). Tests replay the same wire
+    shape from files (streaming.replay) — every transform downstream of
+    `load()` is identical, which is what the wire-chain tests pin.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", ",".join(topics))
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_envelope(raw, row_schema)
+
+
 def route_topic(topic: Column) -> Column:
     """RegexRouter SMT: `prod.postgres.public.orders` → `orders`."""
     return F.regexp_extract(topic, ROUTE_REGEX, 3)
