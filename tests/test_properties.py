@@ -1,0 +1,119 @@
+"""Property tests for the CDC kernels (SURVEY §5.2.3).
+
+The operational invariants the reference's alerts monitor in production
+(no loss, no dupes, delete correctness — prometheus-rules.yaml:12-37)
+restated as algebraic properties over random event logs:
+
+  P1  input row order never matters (Kafka only guarantees per-key
+      order — the engine must order by (ts, ord), not arrival)
+  P2  at-least-once redelivery is absorbed (dup injection is a no-op)
+  P3  SCD2 intervals chain exactly (each valid_to = next valid_from;
+      one open interval per key)
+  P4  as-of(T) == latest-state of the log truncated at T
+
+One shared Spark round-trip per generated example; examples are small
+by design (the properties are about structure, not volume).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cdc_debezium_spark.operators import cdc
+
+# a random event log: (pk, ord2, ts_us, op, val) with unique (pk, ord2)
+EVENT_LOGS = st.lists(
+    st.tuples(
+        st.integers(0, 4),                       # pk: few keys -> collisions
+        st.integers(0, 30),                      # ord2 (uniquified below)
+        st.integers(1000, 1020),                 # ts_us: ties on purpose
+        st.sampled_from(["c", "u", "u", "d"]),   # op mix
+        st.integers(0, 100),                     # val
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+SCHEMA = "pk long, ord2 long, ts_us long, op string, val long"
+
+
+def _mk(spark, rows):
+    # uniquify (pk, ord2): the event identity the log guarantees
+    seen, out = set(), []
+    for pk, o, ts, op, val in rows:
+        while (pk, o) in seen:
+            o += 100
+        seen.add((pk, o))
+        out.append((pk, o, ts, op, val))
+    return out, spark.createDataFrame(out, SCHEMA)
+
+
+def _state(df):
+    return sorted(
+        (r.pk, r.ord2, r.ts_us, r.val)
+        for r in cdc.latest_state(df).collect()
+    )
+
+
+@given(EVENT_LOGS, st.randoms(use_true_random=False))
+@SETTINGS
+def test_p1_input_order_never_matters(spark, rows, rnd):
+    rows, df = _mk(spark, rows)
+    shuffled = rows[:]
+    rnd.shuffle(shuffled)
+    assert _state(df) == _state(spark.createDataFrame(shuffled, SCHEMA))
+
+
+@given(EVENT_LOGS, st.randoms(use_true_random=False))
+@SETTINGS
+def test_p2_redelivery_absorbed(spark, rows, rnd):
+    rows, df = _mk(spark, rows)
+    dupes = rows + [r for r in rows if rnd.random() < 0.5]
+    rnd.shuffle(dupes)
+    replayed = cdc.dedup_exact(
+        spark.createDataFrame(dupes, SCHEMA), ["pk", "ord2"]
+    )
+    assert _state(df) == _state(replayed)
+
+
+@given(EVENT_LOGS)
+@SETTINGS
+def test_p3_scd2_intervals_chain(spark, rows):
+    rows, df = _mk(spark, rows)
+    hist = cdc.scd2(df).collect()
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r.pk, []).append(r)
+    for pk, rs in by_key.items():
+        rs.sort(key=lambda r: (r.ts_us, r.ord2))
+        opens = [r for r in rs if r.valid_to_us is None]
+        assert len(opens) == 1 and opens[0] is rs[-1]
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to_us == b.ts_us
+
+
+@given(EVENT_LOGS, st.integers(1000, 1020))
+@SETTINGS
+def test_p4_as_of_equals_truncated_latest(spark, rows, cut):
+    rows, df = _mk(spark, rows)
+    via_op = sorted(
+        (r.pk, r.ord2, r.val)
+        for r in cdc.as_of_snapshot(df, cut).collect()
+    )
+    truncated = spark.createDataFrame(
+        [r for r in rows if r[2] <= cut] or [(99, 0, 0, "d", 0)], SCHEMA
+    )
+    via_trunc = sorted(
+        (r.pk, r.ord2, r.val) for r in cdc.latest_state(truncated).collect()
+    )
+    assert via_op == via_trunc
