@@ -243,3 +243,35 @@ def scalar_hash(spark, sf_dir):
         F.sha2("c_name", 256).alias("sha_name"),
         F.length(F.sha2("c_name", 256)).alias("sha_len"),
     )
+
+
+@query(
+    "json_map_explode",
+    oracle="""
+    SELECT key AS k, count(*) AS n, sum(v) AS sum_v,
+           min(v) AS min_v, max(v) AS max_v
+    FROM (SELECT unnest(json_keys(props)) AS key,
+                 json_extract(props, '$.' || unnest(json_keys(props)))::BIGINT AS v
+          FROM events)
+    GROUP BY key
+    """,
+)
+def json_map_explode(spark, sf_dir):
+    """A3 document lane: schemaless JSON payload -> typed map -> rows.
+
+    The MongoDB-style path (reference values.yaml:60-61): no fixed
+    struct, parse to map<string,long> and explode — the generic
+    document-flattening primitive (SURVEY §2.C C24 + §1.3 map lane).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select(F.explode(m).alias("k", "v"))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
