@@ -49,3 +49,28 @@ def write_kv_latest(
     """Redis analog: latest value per key, deleted keys absent
     (values.yaml:95-99; the B6 log-compaction contract)."""
     latest_state(df, keys=keys, order=order).write.mode(mode).parquet(path)
+
+
+def to_kafka_wire(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    topic: str,
+    num_partitions: int = 12,
+) -> DataFrame:
+    """Encode rows to the Kafka wire shape the reference produces:
+    JSON key/value bytes, schemaless (JsonConverter schemas.enable=false,
+    prod-resources.yaml:10-13), hash-partitioned by key into the
+    default 12 partitions (prod-resources.yaml:94-95).
+
+    Feed the result to ``writeStream.format("kafka")`` in prod or to
+    `sources.debezium.parse_envelope` in tests — the roundtrip is the
+    wire-format contract (A6/A12).
+    """
+    keys = [F.col(c) for c in list(key_cols)]
+    wire = df.select(
+        F.lit(topic).alias("topic"),
+        F.encode(F.to_json(F.struct(*keys)), "utf-8").alias("key"),
+        F.encode(F.to_json(F.struct(*df.columns)), "utf-8").alias("value"),
+        F.pmod(F.hash(*keys), num_partitions).alias("partition"),
+    )
+    return wire.repartition(num_partitions, F.col("partition"))
