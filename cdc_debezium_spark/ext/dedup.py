@@ -84,8 +84,10 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> 
     )
 
 
-def _shingle_hash_rows(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shash) — one row per DISTINCT hashed shingle.
+def _shingle_hash_rows(
+    docs: DataFrame, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shash) — one row per hashed shingle.
 
     Row-shaped on purpose: posexplode the tokens, hash each word as a
     plain column (md5-prefix — whole-stage codegen, no interpreted
@@ -93,6 +95,9 @@ def _shingle_hash_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     per-document window. Costs one shuffle on doc_id; at 100 TB that
     shuffle is bounded by token count and partitions evenly by doc.
     Values are identical to hashing.shingle_hashes / the DuckDB oracle.
+
+    ``distinct=False`` skips the dedup shuffle — correct whenever the
+    consumer is duplicate-insensitive (MIN aggregation, collect_set).
     """
     words = docs.select(
         "doc_id", F.posexplode(tokens_col()).alias("pos", "t")
@@ -103,11 +108,10 @@ def _shingle_hash_rows(docs: DataFrame, n: int = 3) -> DataFrame:
         c = F.col("h0") if k == 0 else F.lead("h0", k).over(win)
         acc = (acc * COMBINE + c) % MOD
     # a shingle starting within n-1 of the end has a null lead -> null acc
-    return (
-        words.select("doc_id", acc.alias("shash"))
-        .where(F.col("shash").isNotNull())
-        .dropDuplicates(["doc_id", "shash"])
+    rows = words.select("doc_id", acc.alias("shash")).where(
+        F.col("shash").isNotNull()
     )
+    return rows.dropDuplicates(["doc_id", "shash"]) if distinct else rows
 
 
 def _shingle_hash_sets(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -118,9 +122,9 @@ def _shingle_hash_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     exactly comparable.
     """
     return (
-        _shingle_hash_rows(docs, n)
+        _shingle_hash_rows(docs, n, distinct=False)
         .groupBy("doc_id")
-        .agg(F.collect_list("shash").alias("shh"))
+        .agg(F.collect_set("shash").alias("shh"))
     )
 
 
@@ -134,7 +138,10 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
         F.min(minhash_col(F.col("shash"), j)).alias(f"m{j}")
         for j in range(len(MINHASH_SEEDS))
     ]
-    return _shingle_hash_rows(docs, n).groupBy("doc_id").agg(*aggs)
+    # MIN is duplicate-insensitive: skip the dedup shuffle entirely
+    return (
+        _shingle_hash_rows(docs, n, distinct=False).groupBy("doc_id").agg(*aggs)
+    )
 
 
 def minhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
@@ -175,13 +182,13 @@ def minhash_near_dupes(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> D
     a posting-list self-join, so verify cost is
     O(|candidates| * doc_len), independent of corpus size.
     """
-    rows = _shingle_hash_rows(docs, n).cache()
+    rows = _shingle_hash_rows(docs, n, distinct=False).cache()
     aggs = [
         F.min(minhash_col(F.col("shash"), j)).alias(f"m{j}")
         for j in range(len(MINHASH_SEEDS))
     ]
     cands = minhash_candidate_pairs(rows.groupBy("doc_id").agg(*aggs))
-    sets = rows.groupBy("doc_id").agg(F.collect_list("shash").alias("shh"))
+    sets = rows.groupBy("doc_id").agg(F.collect_set("shash").alias("shh"))
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sha"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("shb"))
     n_int = F.size(F.array_intersect("sha", "shb"))
