@@ -42,18 +42,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (postgresql-connector.yaml:49 adaptive_time_microseconds) and
     DuckDB's ns→µs truncation on the oracle side.
     """
+    from ..functions.scalars import micros_to_ts, ns_to_us, ts_to_micros
+
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         dtypes = dict(df.dtypes)
         if dtypes.get("ts") == "bigint":
-            df = df.withColumn("ts_us", F.expr("ts div 1000"))
+            df = df.withColumn("ts_us", ns_to_us("ts"))
         else:  # already a timestamp type (µs)
-            df = df.withColumn(
-                "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
-            )
+            df = df.withColumn("ts_us", ts_to_micros("ts"))
         df = df.withColumn(
-            "ts", F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz")
+            "ts", micros_to_ts(F.col("ts_us")).cast("timestamp_ntz")
         )
         df = df.select("event_id", "ts", "ts_us", "user_id", "event_type", "value", "props")
     return df
