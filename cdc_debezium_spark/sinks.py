@@ -74,3 +74,29 @@ def to_kafka_wire(
         F.pmod(F.hash(*keys), num_partitions).alias("partition"),
     )
     return wire.repartition(num_partitions, F.col("partition"))
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: the co-located-join storage layout.
+
+    Both sides of a recurring join written with the same bucket spec
+    join WITHOUT any exchange — the shuffle is paid once at write time
+    and amortized over every subsequent join/aggregation on the bucket
+    key (verified by tests/test_plans.py::test_bucketed_join_no_shuffle).
+    12 buckets mirrors the reference's 12-partition keyed topics
+    (prod-resources.yaml:94-95) — same idea, at rest.
+    """
+    cols = list(bucket_cols)
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, *cols)
+        .sortBy(*cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -121,3 +121,23 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         map(tuple, salted_join(ev, dim, ["k"]).select("event_id", "tag").collect())
     )
     assert plain == salted
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Tables bucketed on the join key must join with ZERO exchanges —
+    the shuffle was paid at write time (the reference's keyed-topic
+    layout, at rest)."""
+    from cdc_debezium_spark.plans.inspect import count_shuffles
+    from cdc_debezium_spark.sinks import write_bucketed_table
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(orders, "b_orders", ["o_orderkey"], 8)
+    write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", ["o_orderkey"], 8
+    )
+    j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+    assert count_shuffles(j) == 0
+    assert j.count() > 0
