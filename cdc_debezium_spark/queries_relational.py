@@ -634,3 +634,24 @@ def udf_grouped_processor(spark, sf_dir):
         process_partition,
         "user_id long, n_events long, sum_val double, last_ts_us long",
     )
+
+
+@query("agg_approx_distinct")  # sketch output: no exact oracle; error-bound tested
+def agg_approx_distinct(spark, sf_dir):
+    """C12 approximate lane: HyperLogLog++ distinct counts per segment.
+
+    At 100 TB exact distinct is a full shuffle of every key; the HLL
+    sketch is a few KB per group and mergeable across partitions (the
+    DW cardinality-monitoring lane). No SQL oracle — approx values are
+    engine-specific; tests/test_ext.py pins the error bound against the
+    exact count instead (rsd=0.02 -> |err| well under 5%).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -11,6 +11,10 @@ if REPO not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+from cdc_debezium_spark import registry  # noqa: E402
+
+registry.load_all()
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -105,3 +105,22 @@ def test_media_metadata_prunes_payload(docs, spark):
     m = multimodal.media_table(docs).select("doc_id", "mime", "meta")
     plan = m._jdf.queryExecution().optimizedPlan().toString()
     assert "payload" not in plan.split("Relation")[0]
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL sketch must land within its configured error of the exact
+    count (rsd=0.02 -> assert 5% to leave slack)."""
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    from cdc_debezium_spark.registry import QUERIES
+
+    for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect():
+        err = abs(r.approx_orders - exact[r.l_returnflag]) / exact[r.l_returnflag]
+        assert err < 0.05, (r.l_returnflag, r.approx_orders, exact[r.l_returnflag])

@@ -130,8 +130,14 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
     from cdc_debezium_spark.plans.inspect import count_shuffles
     from cdc_debezium_spark.sinks import write_bucketed_table
 
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a previous session may have left the managed location behind
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     write_bucketed_table(orders, "b_orders", ["o_orderkey"], 8)
