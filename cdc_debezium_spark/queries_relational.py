@@ -655,3 +655,78 @@ def agg_approx_distinct(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "udf_cogroup_processor",
+    oracle="""
+    SELECT c_custkey AS custkey, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def udf_cogroup_processor(spark, sf_dir):
+    """§2.F cogrouped processor: two keyed inputs meet per key in one
+    Python function (`cogroup().applyInPandas`) — the two-topic
+    Kafka-Streams-join analog with arbitrary merge logic. Both sides
+    shuffle once on the key; Python sees each key's slices only."""
+    import pandas as pd
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        key = left["c_custkey"].iloc[0] if len(left) else right["o_custkey"].iloc[0]
+        if not len(left):  # orders for an unknown customer: drop (left join)
+            return pd.DataFrame(
+                {"custkey": [], "n_orders": [], "total": []}
+            ).astype({"custkey": "int64", "n_orders": "int64", "total": "float64"})
+        return pd.DataFrame(
+            {
+                "custkey": [key],
+                "n_orders": [int(right["o_orderkey"].count())],
+                "total": [round(float(right["o_totalprice"].sum()), 2)],
+            }
+        )
+
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(merge, "custkey long, n_orders long, total double")
+    )
+
+
+@query(
+    "udtf_tokenize",
+    oracle="""
+    SELECT doc_id, i - 1 AS pos, w[i] AS word
+    FROM (SELECT doc_id, regexp_split_to_array(text, ' ') AS w
+          FROM documents WHERE doc_id < 50),
+         UNNEST(range(1, len(w) + 1)) AS u(i)
+    """,
+)
+def udtf_tokenize(spark, sf_dir):
+    """§2.F UDTF surface: a Python table function in a LATERAL join —
+    the row-expanding extension point (Spark 3.5+ `udtf`). Bounded to
+    50 docs: UDTFs are the row-at-a-time path, kept off hot loops (the
+    vectorized equivalent is explode/posexplode — see explode_array)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, word: string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.word
+        FROM _docs_udtf d, LATERAL split_words(d.text) s
+        WHERE d.doc_id < 50
+        """
+    )
