@@ -404,3 +404,36 @@ def test_late_event_beyond_watermark_dropped(spark, tmp_path):
     # the closed first window holds ONLY the on-time row; the late row
     # (id=3, 1µs after base) was dropped at the watermark
     assert first == [1], (got, first)
+
+
+def test_stream_static_join_smoke(spark, sf_dir, tmp_path):
+    """C10: stream×static dim join — every streamed event enriches
+    against the static customer table without state (map-side lookup)."""
+    from cdc_debezium_spark.sources.catalog import load_table
+
+    chunk_dir = str(tmp_path / "chunks")
+    n_rows = write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=3)
+
+    static_dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    joined = read_event_stream(spark, chunk_dir).join(
+        F.broadcast(static_dim), "user_id", "left"
+    )
+
+    counts, matched = [], []
+    def sink(b, _):
+        counts.append(b.count())
+        matched.append(b.where(F.col("c_mktsegment").isNotNull()).count())
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sum(counts) == n_rows       # no loss through the join
+    assert sum(matched) > 0            # enrichment actually hit
