@@ -296,3 +296,48 @@ def embedding_near_dupes(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
             round4(F.col("cos")).alias("cosine"),
         )
     )
+
+
+def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, canonical_id).
+
+    Min-label propagation: every member adopts the smallest doc_id
+    reachable through the pair graph; the canonical document of a dup
+    cluster is its minimum id. Iterations are pure DataFrame joins —
+    each round is one shuffle on the edge key — and near-dup components
+    are shallow (dup clusters, not social graphs), so convergence is a
+    handful of rounds; at 100 TB this is the standard alternating
+    large-star/small-star layout with checkpointed lineage.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    edges = edges.localCheckpoint()
+
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate the iterative lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("canonical_id"))

@@ -392,3 +392,48 @@ def ext_multimodal_features(spark, sf_dir):
     """Arrow-batched feature extraction over binary payloads (stubbed
     codec, real Spark plumbing). Non-SQL-expressible: no oracle."""
     return multimodal.extract_features(load_table(spark, sf_dir, "documents"))
+
+
+NGRAM_PAIRS_SQL = f"""
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    post AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM post a JOIN post b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ni / (sa.n + sb.n - ni) >= 0.5
+    )
+"""
+
+
+@query(
+    "ext_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {SHINGLE_CTE},
+    {NGRAM_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS doc_id, min(v) AS canonical_id FROM reach GROUP BY u
+    """,
+)
+def ext_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: connected components over the exact-Jaccard
+    pair graph; each member maps to its cluster's canonical (min) id —
+    the keep-one-per-cluster step of corpus dedup. Oracle: recursive
+    transitive closure in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters(dedup.ngram_jaccard_pairs(docs, 0.5))

@@ -124,3 +124,18 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect():
         err = abs(r.approx_orders - exact[r.l_returnflag]) / exact[r.l_returnflag]
         assert err < 0.05, (r.l_returnflag, r.approx_orders, exact[r.l_returnflag])
+
+
+def test_clusters_consistent_with_pairs(docs):
+    """Both endpoints of every near-dup pair must land in the same
+    cluster, and the canonical id must be a member <= all members."""
+    pairs = dedup.ngram_jaccard_pairs(docs, 0.5)
+    labels = {
+        r.doc_id: r.canonical_id
+        for r in dedup.near_dup_clusters(pairs).collect()
+    }
+    for r in pairs.collect():
+        assert labels[r.doc_a] == labels[r.doc_b]
+    for doc, canon in labels.items():
+        assert canon <= doc
+        assert canon in labels  # the canonical doc is itself clustered
