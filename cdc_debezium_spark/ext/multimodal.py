@@ -136,3 +136,41 @@ def extract_features(docs: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return m.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    docs: DataFrame, frame_bytes: int = 256, stride: int = 3
+) -> DataFrame:
+    """Frame-sample 'video' payloads: every `stride`-th fixed-size byte
+    window becomes a frame row (mapInPandas — the Arrow-batched shape a
+    real ffmpeg keyframe sampler plugs into; here frames are byte
+    slices so the whole pipeline stays deterministic and oracle-able).
+    """
+    import hashlib
+
+    m = media_table(docs).select("doc_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_bytes": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for idx in range(0, n_frames, stride):
+                    frame = payload[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["n_bytes"].append(len(frame))
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return m.mapInPandas(run, FRAME_SCHEMA)

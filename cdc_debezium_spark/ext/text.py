@@ -118,3 +118,28 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.array_min(shh).alias("min_shingle_fp"),
         F.size(shh).alias("n_shingles"),
     )
+
+
+def char_ngram_profiles(docs: DataFrame, n: int = 2, top_k: int = 5) -> DataFrame:
+    """Top-k character n-grams per language label — the classic
+    n-gram language-ID profile (rank-order profiles per language;
+    narrow zip_with construction, one groupBy on (lang, gram))."""
+    from pyspark.sql import Window
+
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
+    length = F.size(chars) - (n - 1)
+    parts = [F.slice(chars, k + 1, length) for k in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat(a, b))
+    counts = (
+        docs.select("lang", F.explode(grams).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("lang", "rank", "gram", "n")
+    )

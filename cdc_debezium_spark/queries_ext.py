@@ -437,3 +437,45 @@ def ext_dedup_clusters(spark, sf_dir):
     transitive closure in DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.near_dup_clusters(dedup.ngram_jaccard_pairs(docs, 0.5))
+
+
+@query(
+    "ext_text_charngrams",
+    oracle="""
+    WITH c AS (SELECT lang, string_split(text, '') AS ch FROM documents),
+    g AS (SELECT lang,
+                 unnest(list_transform(range(1, len(ch)), i -> ch[i] || ch[i+1])) AS gram
+          FROM c),
+    counts AS (SELECT lang, gram, count(*) AS n FROM g GROUP BY 1, 2)
+    SELECT lang, rank, gram, n FROM (
+      SELECT lang, gram, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rank
+      FROM counts)
+    WHERE rank <= 5
+    """,
+)
+def ext_text_charngrams(spark, sf_dir):
+    """Character-bigram language profiles (the n-gram language-ID
+    heuristic): top-5 grams per labelled language, rank-ordered."""
+    return text.char_ngram_profiles(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ext_multimodal_frames",
+    oracle="""
+    WITH m AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    f AS (SELECT doc_id, i AS frame_idx,
+                 substr(text, i * 256 + 1, 256) AS frame
+          FROM m, UNNEST(range(0, (L + 255) // 256, 3)) AS u(i))
+    SELECT doc_id, frame_idx, length(frame) AS n_bytes,
+           md5(frame) AS frame_md5
+    FROM f
+    """,
+)
+def ext_multimodal_frames(spark, sf_dir):
+    """Frame-sampling over binary payloads via mapInPandas: every 3rd
+    256-byte window becomes a frame row. The Python plumbing is the
+    real part (Arrow batches, per-partition streaming); frames are
+    deterministic byte slices so the WHOLE pipeline — including the
+    Python stage — is hash-checked against SQL, not just smoke-tested."""
+    return multimodal.sample_frames(load_table(spark, sf_dir, "documents"))
