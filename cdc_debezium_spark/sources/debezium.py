@@ -112,6 +112,24 @@ def route_topic(topic: Column) -> Column:
     return F.regexp_extract(topic, ROUTE_REGEX, 3)
 
 
+def split_drift(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Schema-drift side output (A7 analog).
+
+    The reference routes DDL/schema events to a dedicated topic instead
+    of breaking the stream (include.schema.changes=true,
+    postgresql-connector.yaml:44-46). The Spark analog: rows the
+    permissive parser could not fit the current schema land in the
+    drift lane (with the raw payload preserved in _corrupt_record for
+    reprocessing after a schema update); well-formed rows continue.
+    Both lanes share one scan — Catalyst collapses the two filters into
+    the same source read.
+    """
+    is_drift = F.col("_corrupt_record").isNotNull()
+    good = parsed.where(~is_drift).drop("_corrupt_record")
+    drift = parsed.where(is_drift).select("_corrupt_record")
+    return good, drift
+
+
 def unwrap(parsed: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
     """ExtractNewRecordState + delete-rewrite, as one projection.
 

@@ -115,3 +115,21 @@ def test_wire_tombstone_retained_by_parse(spark):
         F.col("op").isNull() & F.col("_corrupt_record").isNull()
     )
     assert tomb.count() == 1
+
+
+def test_schema_drift_side_output(spark):
+    """A7: drift rows split to the side lane with the raw payload
+    preserved; good rows flow on without the corrupt column."""
+    from cdc_debezium_spark.sources.debezium import split_drift
+
+    rows = [
+        ("prod.public.orders", _event("c", 1, "a", 10.0, lsn=1)),
+        ("prod.public.orders", '{"op": "c", "after": {"id": "NOT A NUMBER'),
+        ("prod.public.orders", "definitely not json"),
+    ]
+    parsed = parse_envelope(_wire_df(spark, rows), ROW_SCHEMA)
+    good, drift = split_drift(parsed)
+    assert good.count() == 1
+    assert "_corrupt_record" not in good.columns
+    raws = [r._corrupt_record for r in drift.collect()]
+    assert len(raws) == 2 and all(raws)  # raw payloads kept for replay
