@@ -730,3 +730,28 @@ def udtf_tokenize(spark, sf_dir):
         WHERE d.doc_id < 50
         """
     )
+
+
+TPCH_Q1ISH = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc,
+       round(avg(l_quantity), 4)                                   AS avg_qty,
+       count(*)                                                    AS n
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_pricing_summary", oracle=TPCH_Q1ISH)
+def sql_pricing_summary(spark, sf_dir):
+    """The SQL entry point, end-to-end: the engine's catalog registers
+    the tables as views and the EXACT same ANSI SQL text runs on Spark
+    and on the DuckDB oracle — one string, two engines (TPC-H Q1-style
+    pricing summary; analysis/optimization entirely Catalyst's)."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(TPCH_Q1ISH)
