@@ -147,3 +147,26 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
     j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
     assert count_shuffles(j) == 0
     assert j.count() > 0
+
+
+def test_date_partitioned_log_prunes(spark, sf_dir, tmp_path):
+    """The 100 TB event-log layout: partition by event date, and a
+    time-bounded read (the as-of filter) must touch only the matching
+    partitions (PartitionFilters at the scan, not a post-scan filter)."""
+    from cdc_debezium_spark.operators import cdc
+
+    ev = cdc.cdc_events(spark, sf_dir)
+    log_dir = str(tmp_path / "event_log")
+    (
+        ev.withColumn("event_date", F.to_date(F.timestamp_micros(F.col("ts_us"))))
+        .write.partitionBy("event_date")
+        .parquet(log_dir)
+    )
+    log = spark.read.parquet(log_dir)
+    some_date = log.select(F.min("event_date").alias("d")).collect()[0].d
+    q = log.where(F.col("event_date") == F.lit(some_date))
+    plan = _physical(q)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "event_date" in pf  # the predicate prunes directories, not rows
+    assert q.count() > 0
