@@ -177,3 +177,75 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_latest_value(stream: DataFrame) -> DataFrame:
+    """Per-key latest value via `transformWithStateInPandas` (the
+    Spark 4 stateful-processor API; applyInPandasWithState's successor).
+
+    Maintains one ValueState per key holding (ord, val) of the newest
+    event seen, across micro-batches — the streaming B6 kernel as an
+    explicit state machine. Emits the updated latest row per key per
+    trigger (the Redis-analog changelog).
+
+    Requires the RocksDB state store (set here at runtime): the HDFS
+    provider does not support the transformWithState operator family.
+    Also requires `protobuf` (the state-server wire format) — absent
+    from this environment, so the parity test import-skips; the
+    dependency-free stateful path is `stateful_running_totals`.
+    """
+    spark = stream.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("last_ord", LongType()),
+            StructField("last_val", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("ord", LongType()), StructField("val", DoubleType())]
+    )
+
+    class LatestValue(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("latest", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            best_ord, best_val = (
+                self._state.get() if self._state.exists() else (-1, None)
+            )
+            for pdf in rows:
+                idx = pdf["event_id"].idxmax()
+                o = int(pdf["event_id"].loc[idx])
+                if o > best_ord:
+                    best_ord = o
+                    best_val = float(pdf["value"].loc[idx])
+            self._state.update((best_ord, best_val))
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "last_ord": [best_ord], "last_val": [best_val]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=LatestValue(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -437,3 +437,46 @@ def test_stream_static_join_smoke(spark, sf_dir, tmp_path):
     q.awaitTermination(180)
     assert sum(counts) == n_rows       # no loss through the join
     assert sum(matched) > 0            # enrichment actually hit
+
+
+def test_transform_with_state_latest_value(spark, sf_dir, tmp_path):
+    """Spark 4 stateful processor: per-key latest value across chunked
+    replay must equal the batch latest-state (by event_id order).
+
+    transformWithState needs protobuf for its state-server wire —
+    skipped where the dependency is absent (applyInPandasWithState,
+    tested above, is the dependency-free stateful path).
+    """
+    pytest.importorskip("google.protobuf.descriptor")
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from cdc_debezium_spark.sources.catalog import load_table
+    from cdc_debezium_spark.streaming.state import stateful_latest_value
+
+    chunk_dir = str(tmp_path / "chunks")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+    emitted = []
+    q = (
+        stateful_latest_value(read_event_stream(spark, chunk_dir))
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda b, i: emitted.extend(
+            (i, r.user_id, r.last_ord, r.last_val) for r in b.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {}
+    for bid, uid, o, v in sorted(emitted):
+        final[uid] = (o, v)
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    batch = {
+        r.user_id: (r.event_id, r.value)
+        for r in load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    assert final == {u: (o, v) for u, (o, v) in batch.items()}
