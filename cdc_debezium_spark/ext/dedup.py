@@ -341,3 +341,62 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
+def embedding_near_dupes_blocked(
+    emb: DataFrame, threshold: float = 0.4, block: int = 512
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via blocked numpy matmul.
+
+    The vectorized scale path for the same contract as
+    `embedding_near_dupes`: vectors are grouped into fixed blocks, the
+    (small) block-id pair grid is joined, and each block pair computes
+    its full cosine submatrix with one BLAS matmul inside mapInPandas —
+    Arrow in, numpy compute, Arrow out. Work per task is
+    O(block² · dim); the pair space never materializes as rows before
+    thresholding. BLAS float64 sums differ from a strict sequential
+    fold only at ~1e-15 relative error — thresholds sit far from any
+    observed cosine, verified against the same oracle as the fold lane.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        (F.col("vec_id") - F.col("vec_id") % block).alias("blk"),
+    )
+    blocks = v.groupBy("blk").agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("vecs")
+    )
+    grid = (
+        blocks.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("vecs_a"))
+        .join(
+            blocks.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vecs_b")),
+            F.col("blk_a") <= F.col("blk_b"),
+        )
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            ids_a, ids_b, cosines = [], [], []
+            for va, vb in zip(pdf["vecs_a"], pdf["vecs_b"]):
+                ia = np.array([r["vec_id"] for r in va])
+                ib = np.array([r["vec_id"] for r in vb])
+                A = np.array([r["v"] for r in va], dtype=np.float64)
+                B = np.array([r["v"] for r in vb], dtype=np.float64)
+                A /= np.linalg.norm(A, axis=1, keepdims=True)
+                B /= np.linalg.norm(B, axis=1, keepdims=True)
+                C = A @ B.T
+                ii, jj = np.where(C >= threshold)
+                keep = ia[ii] < ib[jj]  # strict order also kills self-pairs
+                ids_a.extend(ia[ii][keep])
+                ids_b.extend(ib[jj][keep])
+                cosines.extend(
+                    np.floor(C[ii, jj][keep] * 10000.0 + 0.5) / 10000.0
+                )
+            yield pd.DataFrame(
+                {"vec_a": ids_a, "vec_b": ids_b, "cosine": cosines}
+            )
+
+    return grid.mapInPandas(scan, "vec_a long, vec_b long, cosine double")

@@ -479,3 +479,24 @@ def ext_multimodal_frames(spark, sf_dir):
     deterministic byte slices so the WHOLE pipeline — including the
     Python stage — is hash-checked against SQL, not just smoke-tested."""
     return multimodal.sample_frames(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ext_dedup_embedding_blocked",
+    oracle=f"""
+    WITH {EMB_CTE},
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {DUCK_DOT} / (a.nrm * b.nrm) AS c
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, floor((c) * 10000.0 + 0.5) / 10000.0 AS cosine FROM p WHERE c >= 0.4
+    """,
+)
+def ext_dedup_embedding_blocked(spark, sf_dir):
+    """Blocked-matmul embedding near-dup scan — the vectorized scale
+    path for the same contract (and the same oracle) as the fold-based
+    ext_dedup_embedding reference lane."""
+    return dedup.embedding_near_dupes_blocked(
+        load_table(spark, sf_dir, "embeddings"), 0.4
+    )
