@@ -101,6 +101,30 @@ class ParquetUpsertSink:
         finally:
             b.unpersist()
 
+    def compact(self, spark: SparkSession) -> None:
+        """Rewrite state as one file per bucket (small-file compaction).
+
+        Each micro-batch write can leave shuffle-partition-many part
+        files inside a bucket directory; scan cost at 100 TB follows
+        file count as much as byte count. Compaction repartitions to
+        exactly the bucket layout, writes to a temp location, then
+        swaps — never reading and overwriting the same files in one
+        job (self-overwrite corrupts: the scan is lazy).
+        """
+        import shutil
+
+        df = spark.read.parquet(self.path)
+        tmp = self.path + ".compact"
+        (
+            df.repartition(self.n_buckets, F.col(BUCKET_COL))
+            .sortWithinPartitions(*self.keys)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(tmp)
+        )
+        shutil.rmtree(self.path)
+        shutil.move(tmp, self.path)
+
     def read_live(self, spark: SparkSession) -> DataFrame:
         """Current state without tombstoned (deleted) keys."""
         df = self.current_state(spark)

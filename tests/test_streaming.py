@@ -480,3 +480,27 @@ def test_transform_with_state_latest_value(spark, sf_dir, tmp_path):
         .collect()
     }
     assert final == {u: (o, v) for u, (o, v) in batch.items()}
+
+
+def test_upsert_sink_compaction_preserves_state(spark, sf_dir, tmp_path):
+    """Compaction must shrink the file count without changing a single
+    row of state."""
+    import glob
+
+    chunk_dir = str(tmp_path / "chunks")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=5)
+    stream = cdc.to_cdc(read_event_stream(spark, chunk_dir))
+    sink = ParquetUpsertSink(
+        str(tmp_path / "state"), keys=["pk"], order=["ts_us", "ord2"], n_buckets=4
+    )
+    q = run_upsert_stream(stream, sink, str(tmp_path / "cp"))
+    q.awaitTermination(120)
+
+    before = _rows(sink.read_live(spark), ["pk", "ts_us", "val"])
+    n_files_before = len(glob.glob(f"{sink.path}/**/*.parquet", recursive=True))
+    sink.compact(spark)
+    after = _rows(sink.read_live(spark), ["pk", "ts_us", "val"])
+    n_files_after = len(glob.glob(f"{sink.path}/**/*.parquet", recursive=True))
+    assert after == before
+    assert n_files_after <= max(sink.n_buckets, 1)
+    assert n_files_after <= n_files_before
