@@ -73,13 +73,19 @@ def brute_force_topk(
     )
 
 
-def assign_cells(emb: DataFrame, centroid_stride: int = 100) -> DataFrame:
+def assign_cells(
+    emb: DataFrame, centroid_stride: int = 100, nassign: int = 1
+) -> DataFrame:
     """IVF cell assignment with deterministic centroids.
 
     Centroids are the vectors whose id is a multiple of `stride` (a
     k-means iteration would drop in here; determinism matters more than
     cluster quality for the correctness gate). Assignment is a
     broadcast join against the centroid set + a max-by over cosine.
+
+    ``nassign > 1`` multi-assigns each vector to its `nassign` nearest
+    cells (the multi-probe trick): near-dup pairs straddling a cell
+    boundary still co-occur in some cell, at nassign× storage.
     """
     v = _with_unit(emb)
     cents = v.where(F.col("vec_id") % centroid_stride == 0).select(
@@ -93,7 +99,7 @@ def assign_cells(emb: DataFrame, centroid_stride: int = 100) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= nassign)
         .select("vec_id", "v", "norm", "cell")
     )
 

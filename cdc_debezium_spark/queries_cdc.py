@@ -166,7 +166,8 @@ def cdc_delete_rewrite(spark, sf_dir):
     "type_coercion",
     oracle="""
     SELECT o_orderkey,
-           CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)) AS total_dec,
+           CAST(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)) AS VARCHAR)
+             AS total_dec,
            CAST(o_orderdate AS DATE) AS od
     FROM orders
     """,
@@ -175,11 +176,20 @@ def type_coercion(spark, sf_dir):
     """B5: decimal-as-string + temporal modes — reference transports
     NUMERIC as strings (decimal.handling.mode=string,
     postgresql-connector.yaml:48) and time at µs precision (line 49);
-    the engine casts at the boundary."""
+    the engine casts at the boundary.
+
+    total_dec is emitted as the canonical scale-2 decimal STRING on
+    both sides: round-1 driver hashing showed DECIMAL(18,2) wire
+    representations differ between engines even when every value
+    compares equal (VERDICT r1 "What's wrong" #1)."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.col("o_totalprice").cast("string").cast("decimal(18,2)").alias("total_dec"),
+        F.col("o_totalprice")
+        .cast("string")
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("total_dec"),
         F.col("o_orderdate").cast("date").alias("od"),
     )
 

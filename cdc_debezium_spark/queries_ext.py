@@ -48,9 +48,27 @@ sh AS (
 )"""
 )
 
-JACCARD_TAIL = """
-sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-post AS (SELECT doc_id, unnest(s) AS sg FROM sh)
+NGRAM_MAX_DF = 1000  # mirror of dedup.ngram_jaccard_pairs(max_df=...)
+
+# Capped two-phase pair pipeline (mirrors dedup.ngram_jaccard_pairs):
+# shingles above the doc-frequency cap are excluded from candidate
+# generation; candidates verify with exact full-set Jaccard.
+JACCARD_TAIL = f"""
+post AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+rare AS (SELECT sg FROM post GROUP BY sg HAVING count(*) <= {NGRAM_MAX_DF}),
+cpost AS (SELECT p.doc_id, p.sg FROM post p JOIN rare USING (sg)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cpost a JOIN cpost b ON a.sg = b.sg AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(x.s, y.s)) AS ni,
+         len(x.s) AS na, len(y.s) AS nb
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b
+)
 """
 
 
@@ -147,22 +165,16 @@ def ext_dedup_exact(spark, sf_dir):
     "ext_dedup_ngram",
     oracle=f"""
     WITH {SHINGLE_CTE},
-    {JACCARD_TAIL},
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
-      FROM post a JOIN post b ON a.sg = b.sg AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
+    {JACCARD_TAIL}
     SELECT doc_a, doc_b,
-           floor((ni / (sa.n + sb.n - ni)) * 10000.0 + 0.5) / 10000.0 AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE ni / (sa.n + sb.n - ni) >= 0.5
+           floor((ni / (na + nb - ni)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM ver
+    WHERE ni / (na + nb - ni) >= 0.5
     """,
 )
 def ext_dedup_ngram(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs (inverted-index join)."""
+    """Exact 3-gram Jaccard near-dup pairs: df-capped inverted-index
+    candidates, exact full-set verify (oracle mirrors the cap)."""
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
 
 
@@ -394,22 +406,15 @@ def ext_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(load_table(spark, sf_dir, "documents"))
 
 
-NGRAM_PAIRS_SQL = f"""
-    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-    post AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
-      FROM post a JOIN post b ON a.sg = b.sg AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
+NGRAM_PAIRS_SQL = (
+    JACCARD_TAIL
+    + """,
     pairs AS (
-      SELECT doc_a, doc_b
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE ni / (sa.n + sb.n - ni) >= 0.5
+      SELECT doc_a, doc_b FROM ver
+      WHERE ni / (na + nb - ni) >= 0.5
     )
 """
+)
 
 
 @query(
@@ -498,5 +503,52 @@ def ext_dedup_embedding_blocked(spark, sf_dir):
     path for the same contract (and the same oracle) as the fold-based
     ext_dedup_embedding reference lane."""
     return dedup.embedding_near_dupes_blocked(
+        load_table(spark, sf_dir, "embeddings"), 0.4
+    )
+
+
+def _duck_dot(u: str, w: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({u}.v) + 1), "
+        f"i -> {u}.v[i] * {w}.v[i]), (x, y) -> x + y)"
+    )
+
+
+@query(
+    "ext_dedup_embedding_ann",
+    oracle=f"""
+    WITH {EMB_CTE},
+    cents AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id % 100 = 0),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_duck_dot('c', 'n')} / (c.nrm * n.nrm) DESC, c.cell
+               ) AS rn
+        FROM n CROSS JOIN cents c)
+      WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    p AS (
+      SELECT cd.vec_a, cd.vec_b,
+             {_duck_dot('va', 'vb')} / (va.nrm * vb.nrm) AS c
+      FROM cand cd
+      JOIN n va ON va.vec_id = cd.vec_a
+      JOIN n vb ON vb.vec_id = cd.vec_b
+    )
+    SELECT vec_a, vec_b, floor((c) * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM p WHERE c >= 0.4
+    """,
+)
+def ext_dedup_embedding_ann(spark, sf_dir):
+    """IVF-bucketed embedding near-dup — sub-quadratic candidates
+    (vectors sharing one of their 2 nearest cells), exact-cosine
+    verify. The oracle emulates the full bucketing pipeline, so the
+    recall contract is verified like the minhash-LSH lane."""
+    return dedup.embedding_near_dupes_ann(
         load_table(spark, sf_dir, "embeddings"), 0.4
     )

@@ -248,7 +248,7 @@ def scalar_hash(spark, sf_dir):
 @query(
     "json_map_explode",
     oracle="""
-    SELECT key AS k, count(*) AS n, sum(v) AS sum_v,
+    SELECT key AS k, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
            min(v) AS min_v, max(v) AS max_v
     FROM (SELECT unnest(json_keys(props)) AS key,
                  json_extract(props, '$.' || unnest(json_keys(props)))::BIGINT AS v

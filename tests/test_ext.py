@@ -122,8 +122,8 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     from cdc_debezium_spark.registry import QUERIES
 
     for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect():
-        err = abs(r.approx_orders - exact[r.l_returnflag]) / exact[r.l_returnflag]
-        assert err < 0.05, (r.l_returnflag, r.approx_orders, exact[r.l_returnflag])
+        assert r.exact_orders == exact[r.l_returnflag]
+        assert r.within_bound, (r.l_returnflag, r.exact_orders)
 
 
 def test_clusters_consistent_with_pairs(docs):
