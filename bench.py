@@ -43,8 +43,10 @@ HEADLINE = [
     "udf_grouped_processor", # §2.F applyInPandas processor
     "agg_sliding_window",    # E4  sliding event-time windows
     "ext_dedup_minhash",     # §2.G near-dup detection
-    "ext_dedup_embedding_blocked",  # §2.G vectorized pair scan (matmul)
+    "ext_dedup_embedding_ann",  # §2.G IVF-bucketed near-dup (replaces
+                                # the O(n²) blocked scan in the headline)
     "ext_similarity_topk",   # §2.G brute-force ANN baseline
+    "ext_similarity_ivf_trained",  # §2.G k-means IVF ANN (trained cells)
     "ext_text_stats",        # §2.G text quality/language analysis
 ]
 

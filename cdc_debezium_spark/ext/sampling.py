@@ -1,0 +1,68 @@
+"""Corpus sampling & sequence packing for a training-data pipeline
+(SURVEY.md §2.G extensions, round 2).
+
+Two operators every LLM data pipeline runs at corpus scale:
+
+  hash_sample    — deterministic held-out carving: a document belongs
+                   to the p% sample iff hash(key) mod 100 < p. No
+                   shuffle, no RNG state, embarrassingly parallel, and
+                   STABLE: the same document lands on the same side of
+                   the train/eval split on every run, every engine, and
+                   every corpus size — the property random() sampling
+                   can't give you. Uses the engine-agnostic word hash
+                   so the DuckDB oracle reproduces membership exactly.
+
+  pack_sequences — token-budget packing: documents in deterministic
+                   doc_id order are laid end-to-end and cut into packs
+                   of `budget` tokens (a document starts in the pack
+                   where its first token falls). Pure integer window
+                   cumsum — engine-exact. The global ORDER BY is one
+                   sort at scale; a 100 TB run packs per shard instead
+                   (pack key becomes (shard_id, local_pack)) — same
+                   code with the window partitioned by shard, and no
+                   global sort at all.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from .hashing import word_hash
+from .text import tokens_col
+
+
+def hash_sample(docs: DataFrame, pct: int = 10) -> DataFrame:
+    """The deterministic `pct`% sample of the corpus, by text hash."""
+    return (
+        docs.select("doc_id", word_hash(F.col("text")).alias("h"))
+        .where(F.col("h") % 100 < pct)
+        .select("doc_id", (F.col("h") % 100).alias("bucket"))
+    )
+
+
+def pack_sequences(docs: DataFrame, budget: int = 2048) -> DataFrame:
+    """Assign each document to a token-budget pack; one row per pack.
+
+    pack_id = floor(first_token_offset / budget) over doc_id order.
+    Emits per-pack shape stats (doc count, token total, id range) —
+    the manifest a downstream tokenizer shards on.
+    """
+    toks = docs.select("doc_id", F.size(tokens_col()).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget
+        ).alias("pack_id"),
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from .ext import dedup, multimodal, similarity, text
+from .ext import dedup, multimodal, sampling, similarity, text
 from .ext.hashing import (
     MINHASH_SEEDS,
     MOD,
@@ -268,6 +268,39 @@ def ext_dedup_simhash(spark, sf_dir):
     return dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
+SIMHASH_SIG_CTE = f"""
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY 1, 2
+),
+h AS (SELECT doc_id, tf, {duck_word_hash('tok')} AS hv FROM tf),
+sums AS (SELECT doc_id, {_duck_simhash_sums()} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, ({_duck_simhash_combine()}) AS simhash FROM sums)
+"""
+
+
+@query(
+    "ext_dedup_simhash_pairs",
+    oracle=f"""
+    WITH {SIMHASH_SIG_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def ext_dedup_simhash_pairs(spark, sf_dir):
+    """Hamming<=3 SimHash pairs via 4-way bit-slice blocking. The
+    oracle is deliberately BRUTE-FORCE all-pairs: with max_hamming =
+    n_slices - 1 the pigeonhole guarantee makes blocking lossless, so
+    matching the brute-force result proves zero recall loss."""
+    return dedup.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3, n_slices=4
+    )
+
+
 EMB_CTE = """
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 n AS (
@@ -280,6 +313,13 @@ DUCK_DOT = (
     "list_reduce(list_transform(range(1, len(a.v) + 1), "
     "i -> a.v[i] * b.v[i]), (x, y) -> x + y)"
 )
+
+
+def _duck_dot(u: str, w: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({u}.v) + 1), "
+        f"i -> {u}.v[i] * {w}.v[i]), (x, y) -> x + y)"
+    )
 
 
 @query(
@@ -370,6 +410,140 @@ def ext_similarity_ivf(spark, sf_dir):
     return similarity.ivf_topk(
         load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5, nprobe=2
     )
+
+
+def _duck_kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
+    """CTE chain mirroring similarity.kmeans_centroids: deterministic
+    Lloyd iterations with sorted left-to-right member folds."""
+    parts = [f"c0 AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < {k})"]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT n.vec_id, n.v, c.cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY {_duck_dot('c', 'n')} / (c.nrm * n.nrm) DESC, c.cell
+               ) AS rn
+        FROM n CROSS JOIN {prev} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"g{i} AS (SELECT cell, list(v ORDER BY vec_id) AS ms "
+            f"FROM a{i} GROUP BY cell)"
+        )
+        parts.append(
+            f"""c{i} AS (
+      SELECT cell, list_transform(
+          list_reduce(ms, (acc, x) ->
+            list_transform(range(1, len(acc) + 1), j -> acc[j] + x[j])),
+          x -> x / len(ms)) AS v
+      FROM g{i})"""
+        )
+        parts.append(
+            f"c{i}n AS (SELECT cell, v, sqrt(list_reduce("
+            f"list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm "
+            f"FROM c{i})"
+        )
+        prev = f"c{i}n"
+    return ",\n    ".join(parts), prev
+
+
+_KM_CTES, _KM_FINAL = _duck_kmeans_ctes(k=16, iters=2)
+
+
+@query(
+    "ext_similarity_ivf_trained",
+    oracle=f"""
+    WITH {EMB_CTE},
+    {_KM_CTES},
+    asg AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT n.vec_id, n.v, n.nrm, c.cell,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_duck_dot('c', 'n')} / (c.nrm * n.nrm) DESC, c.cell
+               ) AS rn
+        FROM n CROSS JOIN {_KM_FINAL} c) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, qn, cell FROM (
+        SELECT n.vec_id AS query_id, n.v AS qv, n.nrm AS qn, c.cell,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_duck_dot('c', 'n')} / (c.nrm * n.nrm) DESC, c.cell
+               ) AS rn
+        FROM n CROSS JOIN {_KM_FINAL} c WHERE n.vec_id < 10)
+      WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, len(p.qv) + 1),
+               i -> p.qv[i] * a.v[i]), (x, y) -> x + y) / (p.qn * a.nrm) AS c
+      FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.query_id
+    )
+    SELECT query_id, rank, neighbor_id,
+           floor((c) * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM (SELECT query_id, neighbor_id, c,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ext_similarity_ivf_trained(spark, sf_dir):
+    """IVF ANN over TRAINED centroids: 2 deterministic Lloyd
+    iterations from the k=16 lowest-id seeds, then nprobe=2 probing.
+    The oracle re-runs the identical k-means (sorted member folds keep
+    float sums bit-exact cross-engine), so centroid training itself is
+    driver-verified. Fixed k keeps assignment O(n*k) at corpus scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=16, iters=2).cache()
+    return similarity.ivf_topk(emb, n_queries=10, k=5, nprobe=2, cents=cents)
+
+
+# --- sampling & packing -----------------------------------------------------
+
+@query(
+    "ext_sample_hash",
+    oracle=f"""
+    SELECT doc_id, ({duck_word_hash('text')}) % 100 AS bucket
+    FROM documents
+    WHERE ({duck_word_hash('text')}) % 100 < 10
+    """,
+)
+def ext_sample_hash(spark, sf_dir):
+    """Deterministic 10% held-out sample by content hash: stable
+    train/eval membership across runs, engines, and corpus growth —
+    no shuffle, no RNG state (the scale-safe split primitive)."""
+    return sampling.hash_sample(load_table(spark, sf_dir, "documents"), 10)
+
+
+@query(
+    "ext_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(regexp_split_to_array(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, n_tokens,
+             (sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens) // 2048 AS pack_id
+      FROM t
+    )
+    SELECT pack_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM p GROUP BY pack_id
+    """,
+)
+def ext_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing manifest: documents laid
+    end-to-end in doc_id order, cut into 2048-token packs (integer
+    window cumsum — engine-exact). At 100 TB the window partitions by
+    shard instead of a global ORDER BY (SCALE.md)."""
+    return sampling.pack_sequences(load_table(spark, sf_dir, "documents"), 2048)
 
 
 # --- multimodal -------------------------------------------------------------
@@ -504,13 +678,6 @@ def ext_dedup_embedding_blocked(spark, sf_dir):
     ext_dedup_embedding reference lane."""
     return dedup.embedding_near_dupes_blocked(
         load_table(spark, sf_dir, "embeddings"), 0.4
-    )
-
-
-def _duck_dot(u: str, w: str) -> str:
-    return (
-        f"list_reduce(list_transform(range(1, len({u}.v) + 1), "
-        f"i -> {u}.v[i] * {w}.v[i]), (x, y) -> x + y)"
     )
 
 
