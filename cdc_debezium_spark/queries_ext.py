@@ -235,6 +235,44 @@ def ext_dedup_minhash(spark, sf_dir):
     return dedup.minhash_near_dupes(load_table(spark, sf_dir, "documents"), 0.5)
 
 
+@query(
+    "ext_dedup_minhash_incremental",
+    oracle=f"""
+    WITH {TOK_CTE},
+    hwt AS (
+      SELECT doc_id, w,
+             list_transform(w, t -> {duck_word_hash('t')}) AS hwl
+      FROM tok
+    ),
+    shh AS (
+      SELECT doc_id, {duck_shingle_hashes('w')} AS s FROM hwt
+    ),
+    post AS (SELECT doc_id, unnest(s) AS h FROM shh),
+    sig AS (SELECT doc_id, {_duck_sig_cols()} FROM post GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id AND ({_duck_band_cond()})
+    """,
+)
+def ext_dedup_minhash_incremental(spark, sf_dir):
+    """Incremental LSH index maintenance: the corpus arrives in three
+    ingest batches; each batch joins its band rows against the stored
+    index (localCheckpoint = the persisted index table) and emits only
+    pairs involving new documents. The union over batches must equal
+    one-shot batch LSH candidates — THAT equivalence is the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    index, parts = None, []
+    for i in range(3):
+        chunk = docs.where(F.col("doc_id") % 3 == i)
+        index, pairs = dedup.incremental_minhash_candidates(index, chunk)
+        index = index.localCheckpoint()  # persist the index state per batch
+        parts.append(pairs)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _duck_simhash_sums() -> str:
     return ", ".join(
         f"sum(CASE WHEN (hv // {1 << b}) % 2 = 1 THEN tf ELSE -tf END) AS b{b}"
@@ -497,8 +535,51 @@ def ext_similarity_ivf_trained(spark, sf_dir):
     float sums bit-exact cross-engine), so centroid training itself is
     driver-verified. Fixed k keeps assignment O(n*k) at corpus scale."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_centroids(emb, k=16, iters=2).cache()
+    # localCheckpoint (eager, 16 rows) — three downstream consumers
+    # would otherwise each replay the two training iterations
+    cents = similarity.kmeans_centroids(emb, k=16, iters=2).localCheckpoint()
     return similarity.ivf_topk(emb, n_queries=10, k=5, nprobe=2, cents=cents)
+
+
+@query(
+    "ext_corpus_clean",
+    oracle=f"""
+    WITH {TOK_CTE},
+    s AS (
+      SELECT doc_id,
+        len(w) AS n_tokens,
+        len(list_filter(w, t -> list_contains({STOP_SQL}, t))) AS n_stop,
+        len(list_distinct(w)) AS n_types,
+        length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+        n_chars
+      FROM tok
+    ),
+    q AS (
+      SELECT doc_id, n_tokens,
+        floor((least(n_stop / n_tokens * 4, 1.0) * 0.4
+              + n_types / n_tokens * 0.3 + n_alpha / n_chars * 0.3)
+              * 10000.0 + 0.5) / 10000.0 AS quality,
+        CASE WHEN n_stop / n_tokens >= 0.02 THEN 'en' ELSE 'other' END AS pred_lang
+      FROM s
+    ),
+    canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+    SELECT q.doc_id, n_tokens, quality, pred_lang
+    FROM q JOIN canon USING (doc_id)
+    WHERE quality >= 0.5
+    """,
+)
+def ext_corpus_clean(spark, sf_dir):
+    """End-to-end corpus cleaning, composed from the lane primitives:
+    exact-dedup to canonical documents, then quality-threshold filter —
+    the manifest a pretraining run actually consumes. One digest
+    shuffle + narrow codegen stats; composition adds no new shuffle
+    beyond its parts."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.text_stats(docs).select("doc_id", "n_tokens", "quality", "pred_lang")
+    canon = dedup.exact_dupes(docs).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    return stats.join(canon, "doc_id").where(F.col("quality") >= 0.5)
 
 
 # --- sampling & packing -----------------------------------------------------

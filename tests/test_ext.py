@@ -146,6 +146,28 @@ def test_ngram_cap_drops_hot_shingle_only_pairs(spark):
     assert any(2 in p for p in uncapped)
 
 
+def test_incremental_lsh_equals_batch(docs):
+    """Chunk invariance: maintaining the LSH index over any ingest
+    chunking must yield exactly the one-shot batch candidate set,
+    each pair exactly once (no dupes across batches)."""
+    import pyspark.sql.functions as F
+
+    batch = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_candidate_pairs(
+            dedup.minhash_signatures(docs)
+        ).collect()
+    }
+    index, seen = None, []
+    for i in range(4):  # a different chunking than the registered query
+        chunk = docs.where(F.col("doc_id") % 4 == i)
+        index, pairs = dedup.incremental_minhash_candidates(index, chunk)
+        index = index.localCheckpoint()
+        seen.extend((r.doc_a, r.doc_b) for r in pairs.collect())
+    assert len(seen) == len(set(seen))  # each pair fires exactly once
+    assert set(seen) == batch
+
+
 def test_brute_force_topk_is_sorted_and_sane(emb):
     rows = similarity.brute_force_topk(emb, n_queries=3, k=5).collect()
     by_q: dict[int, list] = {}

@@ -149,6 +149,49 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
     assert j.count() > 0
 
 
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """AQE skew-join must engage on a pathologically skewed key when
+    partitions exceed the skew thresholds — the runtime re-plan that
+    keeps one hot key from stalling a 1000-executor stage. Thresholds
+    are lowered to make test-scale data 'skewed'; the mechanism under
+    test is identical at 100 TB defaults."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        # one hot key holding ~half the fact side; repartition(8) gives
+        # the shuffle multiple mappers — AQE splits a skewed partition
+        # by mapper outputs, so a single-mapper stage can never split
+        left = li.select(
+            F.when(F.col("l_orderkey") % 2 == 0, 0)
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            "l_quantity",
+        ).repartition(8)
+        right = li.select(
+            F.col("l_orderkey").alias("k"), "l_extendedprice"
+        ).distinct()
+        j = left.join(right, "k")
+        j.collect()  # execute THIS DataFrame's queryExecution (AQE final plan)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_ngram_cap_stage_in_plan(spark, sf_dir):
     """The df-cap must exist as a real plan stage (aggregate on the
     shingle + filter df <= cap) feeding candidate generation — without
