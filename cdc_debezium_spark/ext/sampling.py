@@ -41,6 +41,27 @@ def hash_sample(docs: DataFrame, pct: int = 10) -> DataFrame:
     )
 
 
+def stratified_hash_sample(
+    docs: DataFrame, rates: dict[str, int], default_pct: int = 10
+) -> DataFrame:
+    """Per-stratum deterministic sampling: language `lang` keeps
+    `rates[lang]`% of its documents (hash-stable membership, as in
+    hash_sample). The rate table rides a broadcast join — rebalancing a
+    corpus mix (e.g. upsampling low-resource languages) without a
+    shuffle of the corpus itself.
+    """
+    spark = docs.sparkSession
+    rate_df = spark.createDataFrame(
+        list(rates.items()), "lang string, pct int"
+    )
+    return (
+        docs.select("doc_id", "lang", word_hash(F.col("text")).alias("h"))
+        .join(F.broadcast(rate_df), "lang", "left")
+        .where(F.col("h") % 100 < F.coalesce(F.col("pct"), F.lit(default_pct)))
+        .select("doc_id", "lang", (F.col("h") % 100).alias("bucket"))
+    )
+
+
 def pack_sequences(docs: DataFrame, budget: int = 2048) -> DataFrame:
     """Assign each document to a token-budget pack; one row per pack.
 

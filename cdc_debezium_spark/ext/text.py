@@ -120,6 +120,29 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def vocab_topk(docs: DataFrame, top_k: int = 50) -> DataFrame:
+    """Corpus vocabulary candidates: top-k tokens by frequency.
+
+    explode -> groupBy(token) with map-side partial aggregation (the
+    shuffle carries one row per distinct token per partition, not one
+    per occurrence) -> rank window over the aggregated counts (tiny:
+    |vocab| rows). Deterministic tie-break (count desc, token asc).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("rank", "token", "n")
+    )
+
+
 def char_ngram_profiles(docs: DataFrame, n: int = 2, top_k: int = 5) -> DataFrame:
     """Top-k character n-grams per language label — the classic
     n-gram language-ID profile (rank-order profiles per language;

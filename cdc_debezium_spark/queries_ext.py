@@ -600,6 +600,81 @@ def ext_sample_hash(spark, sf_dir):
 
 
 @query(
+    "ext_sample_stratified",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, ({duck_word_hash('text')}) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket
+    FROM h
+    WHERE bucket < (CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 60
+                    WHEN 'de' THEN 60 ELSE 25 END)
+    """,
+)
+def ext_sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: downsample the dominant
+    language, upsample low-resource ones — corpus-mix rebalancing with
+    a broadcast rate table and zero corpus shuffle."""
+    return sampling.stratified_hash_sample(
+        load_table(spark, sf_dir, "documents"),
+        {"en": 10, "zh": 60, "de": 60},
+        default_pct=25,
+    )
+
+
+@query(
+    "ext_text_vocab",
+    oracle="""
+    WITH counts AS (
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(regexp_split_to_array(text, ' ')) AS token
+            FROM documents)
+      GROUP BY token
+    )
+    SELECT rank, token, n FROM (
+      SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token) AS rank
+      FROM counts)
+    WHERE rank <= 50
+    """,
+)
+def ext_text_vocab(spark, sf_dir):
+    """Vocabulary candidates: top-50 corpus tokens (partial-agg
+    shuffle on the token, rank over the tiny aggregated set)."""
+    return text.vocab_topk(load_table(spark, sf_dir, "documents"), 50)
+
+
+@query(
+    "ext_embedding_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS maxabs
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, maxabs,
+             list_transform(v, x -> CAST(floor(x * (127.0 / maxabs) + 0.5) AS BIGINT)) AS qv
+      FROM m
+    )
+    SELECT vec_id,
+           floor(maxabs * 10000.0 + 0.5) / 10000.0 AS maxabs,
+           CAST(list_reduce(qv, (a, b) -> a + b) AS BIGINT) AS qsum,
+           list_min(qv) AS qmin, list_max(qv) AS qmax
+    FROM q
+    """,
+)
+def ext_embedding_quantize(spark, sf_dir):
+    """int8 symmetric quantization manifest per vector (engine-exact
+    integer outputs; narrow codegen, no shuffle)."""
+    from .ext import vectors
+
+    return vectors.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
     "ext_pack_sequences",
     oracle="""
     WITH t AS (

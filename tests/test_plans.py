@@ -227,6 +227,48 @@ def test_ivf_cell_partitioned_corpus_prunes(spark, sf_dir, tmp_path):
     assert probe.count() < corpus.count()
 
 
+def test_bucketed_lsh_index_probe_single_exchange(spark, sf_dir):
+    """The incremental-LSH index at rest: band rows stored bucketed on
+    the band key. An ingest batch probing the index shuffles ONLY the
+    batch — the index side reads its buckets with no exchange, so probe
+    cost is O(|batch|) regardless of index (corpus) size."""
+    import shutil
+    from urllib.parse import urlparse
+
+    import pyspark.sql.functions as F
+
+    from cdc_debezium_spark.ext import dedup
+    from cdc_debezium_spark.sinks import write_bucketed_table
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql("DROP TABLE IF EXISTS lsh_index")
+    shutil.rmtree(f"{wh}/lsh_index", ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_docs = docs.where(F.col("doc_id") % 2 == 0)
+    new_docs = docs.where(F.col("doc_id") % 2 == 1)
+    index_rows = dedup.minhash_band_rows(dedup.minhash_signatures(old_docs))
+    write_bucketed_table(index_rows, "lsh_index", ["band", "k"], 8)
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch_rows = dedup.minhash_band_rows(
+            dedup.minhash_signatures(new_docs)
+        ).repartition(8, "band", "k")  # the batch pays its one shuffle here
+        probe = batch_rows.alias("a").join(
+            spark.table("lsh_index").alias("b"), ["band", "k"]
+        )
+        # the join must add ZERO exchanges beyond what computing the
+        # batch's own band rows already costs — the bucketed index side
+        # is read pre-partitioned
+        assert not uses_broadcast(probe)
+        assert count_shuffles(probe) == count_shuffles(batch_rows)
+        assert probe.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
 def test_date_partitioned_log_prunes(spark, sf_dir, tmp_path):
     """The 100 TB event-log layout: partition by event date, and a
     time-bounded read (the as-of filter) must touch only the matching
