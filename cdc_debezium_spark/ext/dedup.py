@@ -266,6 +266,55 @@ def incremental_minhash_candidates(
     return all_rows, pairs
 
 
+def decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Test-set decontamination: drop training documents that near-dup
+    match any eval document (the leakage guard every pretraining run
+    needs). Candidates come from train×eval MinHash band collisions —
+    the join key is the band bucket, so cost is |train|+|eval| band
+    rows plus bucket-local pairs, never |train|×|eval| — and
+    candidates verify with exact full-set Jaccard at `threshold`.
+    Returns the clean training manifest (doc_id).
+    """
+    t_rows = _shingle_hash_rows(train_docs, n, distinct=False).cache()
+    e_rows = _shingle_hash_rows(eval_docs, n, distinct=False).cache()
+    aggs = [
+        F.min(minhash_col(F.col("shash"), j)).alias(f"m{j}")
+        for j in range(len(MINHASH_SEEDS))
+    ]
+    t_bands = minhash_band_rows(t_rows.groupBy("doc_id").agg(*aggs))
+    e_bands = minhash_band_rows(e_rows.groupBy("doc_id").agg(*aggs))
+    cands = (
+        t_bands.alias("t")
+        .join(e_bands.alias("e"), ["band", "k"])
+        .select(
+            F.col("t.doc_id").alias("train_id"),
+            F.col("e.doc_id").alias("eval_id"),
+        )
+        .distinct()
+    )
+    t_sets = t_rows.groupBy("doc_id").agg(F.collect_set("shash").alias("sht"))
+    e_sets = e_rows.groupBy("doc_id").agg(F.collect_set("shash").alias("she"))
+    n_int = F.size(F.array_intersect("sht", "she"))
+    contaminated = (
+        cands.join(t_sets.withColumnRenamed("doc_id", "train_id"), "train_id")
+        .join(e_sets.withColumnRenamed("doc_id", "eval_id"), "eval_id")
+        .withColumn(
+            "jaccard", n_int / (F.size("sht") + F.size("she") - n_int)
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    return train_docs.select("doc_id").join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """Term-frequency-weighted 32-bit SimHash per document.
 

@@ -120,6 +120,25 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Intra-document repetition signal: fraction of n-gram slots
+    occupied by repeats (1 - distinct/total shingles). Repetitive
+    generations and boilerplate score high — the standard cheap
+    quality filter alongside stop-ratio. Narrow per-row arrays, no
+    shuffle."""
+    w = tokens_col()
+    total = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    distinct = F.size(shingles_col(n=n))  # shingles_col dedups
+    return docs.select(
+        "doc_id",
+        total.alias("n_shingles"),
+        distinct.alias("n_distinct"),
+        F.when(total > 0, round4(1 - distinct / total))
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )
+
+
 def vocab_topk(docs: DataFrame, top_k: int = 50) -> DataFrame:
     """Corpus vocabulary candidates: top-k tokens by frequency.
 

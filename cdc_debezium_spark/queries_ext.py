@@ -273,6 +273,78 @@ def ext_dedup_minhash_incremental(spark, sf_dir):
     return out
 
 
+@query(
+    "ext_decontaminate",
+    oracle=f"""
+    WITH {TOK_CTE},
+    hwt AS (
+      SELECT doc_id, w,
+             list_transform(w, t -> {duck_word_hash('t')}) AS hwl
+      FROM tok
+    ),
+    shh AS (
+      SELECT doc_id, {duck_shingle_hashes('w')} AS s FROM hwt
+    ),
+    post AS (SELECT doc_id, unnest(s) AS h FROM shh),
+    sig AS (SELECT doc_id, {_duck_sig_cols()} FROM post GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+      FROM sig a JOIN sig b
+        ON a.doc_id % 20 != 0 AND b.doc_id % 20 = 0 AND ({_duck_band_cond()})
+    ),
+    ver AS (
+      SELECT c.train_id,
+             len(list_intersect(x.s, y.s)) AS ni,
+             len(x.s) AS na, len(y.s) AS nb
+      FROM cand c
+      JOIN shh x ON x.doc_id = c.train_id
+      JOIN shh y ON y.doc_id = c.eval_id
+    ),
+    contaminated AS (
+      SELECT DISTINCT train_id FROM ver WHERE ni / (na + nb - ni) >= 0.5
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % 20 != 0
+      AND doc_id NOT IN (SELECT train_id FROM contaminated)
+    """,
+)
+def ext_decontaminate(spark, sf_dir):
+    """Test-set decontamination: the eval split is every 20th document;
+    training documents near-dup matching any eval doc (banded MinHash
+    candidates, exact-Jaccard verify at 0.5) are dropped. Emits the
+    clean training manifest."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    return dedup.decontaminate(train, ev, 0.5)
+
+
+@query(
+    "ext_text_repetition",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(text, ' ') AS w FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             greatest(len(w) - 2, 0) AS n_shingles,
+             len(list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS n_distinct
+      FROM tok
+    )
+    SELECT doc_id, n_shingles, n_distinct,
+           CASE WHEN n_shingles > 0
+                THEN floor((1 - n_distinct / n_shingles) * 10000.0 + 0.5) / 10000.0
+                ELSE 0.0 END AS rep_ratio
+    FROM s
+    """,
+)
+def ext_text_repetition(spark, sf_dir):
+    """Intra-document repetition ratio (repeated 3-gram slots) — the
+    cheap repetitive-generation/boilerplate quality filter."""
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
 def _duck_simhash_sums() -> str:
     return ", ".join(
         f"sum(CASE WHEN (hv // {1 << b}) % 2 = 1 THEN tf ELSE -tf END) AS b{b}"

@@ -504,3 +504,60 @@ def test_upsert_sink_compaction_preserves_state(spark, sf_dir, tmp_path):
     assert after == before
     assert n_files_after <= max(sink.n_buckets, 1)
     assert n_files_after <= n_files_before
+
+
+def test_streaming_incremental_lsh_matches_batch(spark, sf_dir, tmp_path):
+    """The growing-corpus lane end-to-end through Structured Streaming:
+    documents arrive as a file stream (one file per micro-batch), each
+    foreachBatch updates the persisted LSH band-row index and emits only
+    pairs involving new docs. The union over micro-batches must equal
+    one-shot batch LSH candidates, each pair exactly once."""
+    import os
+
+    from cdc_debezium_spark.ext import dedup
+    from cdc_debezium_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunk_dir = str(tmp_path / "doc_chunks")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(chunk_dir)
+
+    index_dir = str(tmp_path / "lsh_index")
+    pairs_dir = str(tmp_path / "lsh_pairs")
+
+    def sink(batch, batch_id):
+        index = (
+            spark.read.parquet(index_dir) if os.path.exists(index_dir) else None
+        )
+        _, pairs = dedup.incremental_minhash_candidates(index, batch)
+        pairs.write.mode("append").parquet(pairs_dir)  # before index append
+        dedup.minhash_band_rows(dedup.minhash_signatures(batch)).write.mode(
+            "append"
+        ).parquet(index_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = [
+        (r.doc_a, r.doc_b) for r in spark.read.parquet(pairs_dir).collect()
+    ]
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_candidate_pairs(
+            dedup.minhash_signatures(docs)
+        ).collect()
+    }
+    assert len(got) == len(set(got))  # exactly-once pair emission
+    assert set(got) == want
