@@ -30,17 +30,30 @@ def query(key: str, oracle: str | None = None):
     return deco
 
 
-def load_all() -> None:
-    """Import every query module (side effect: registration).
+# Keys the round-1 driver gate missed or failed, in must-check-first
+# order: the two hash-representation fixes and the new error-bound
+# oracle lead, then the whole ext_* lane (skipped entirely in round 1
+# because the driver evaluated keys in registration order and stopped
+# after 50).
+_PRIORITY = ["type_coercion", "json_map_explode", "agg_approx_distinct"]
 
-    queries_ext loads FIRST: the round-1 driver evaluated keys in
-    registration order and stopped after 50, so the 16 ext_* keys
-    (registered last) never got a CORRECTNESS row. Leading with the
-    LLM-pipeline lane guarantees it is inside any count- or
-    time-budgeted prefix the driver checks.
-    """
+
+def load_all() -> None:
+    """Import every query module, then order the registry so any
+    count- or time-budgeted prefix the driver checks covers the keys
+    that most need an external signal this round (see _PRIORITY)."""
     from . import queries_ext  # noqa: F401
     from . import queries_cdc  # noqa: F401
     from . import queries_relational  # noqa: F401
     from . import queries_scalar  # noqa: F401
     from . import queries_streaming  # noqa: F401
+
+    order = (
+        [k for k in _PRIORITY if k in QUERIES]
+        + [k for k in QUERIES if k.startswith("ext_") and k not in _PRIORITY]
+        + [k for k in QUERIES if not k.startswith("ext_") and k not in _PRIORITY]
+    )
+    for d in (QUERIES, ORACLES):
+        ordered = {k: d[k] for k in order if k in d}
+        d.clear()
+        d.update(ordered)
