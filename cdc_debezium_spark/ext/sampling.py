@@ -62,24 +62,42 @@ def stratified_hash_sample(
     )
 
 
-def pack_sequences(docs: DataFrame, budget: int = 2048) -> DataFrame:
+def pack_sequences(
+    docs: DataFrame, budget: int = 2048, n_shards: int | None = None
+) -> DataFrame:
     """Assign each document to a token-budget pack; one row per pack.
 
     pack_id = floor(first_token_offset / budget) over doc_id order.
     Emits per-pack shape stats (doc count, token total, id range) —
     the manifest a downstream tokenizer shards on.
+
+    ``n_shards`` switches to the scale formulation: documents shard by
+    doc_id % n_shards and the cumsum window PARTITIONS by shard, so
+    there is no global sort — each shard packs independently in
+    parallel (pack key becomes (shard, pack_id)). The global default
+    exists for exact single-sequence layouts and the oracle.
     """
     toks = docs.select("doc_id", F.size(tokens_col()).alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    if n_shards is None:
+        shard = F.lit(0)
+    else:
+        shard = F.col("doc_id") % n_shards
+    toks = toks.withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     packed = toks.select(
         "doc_id",
         "n_tokens",
+        "shard",
         F.floor(
             (F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget
         ).alias("pack_id"),
     )
-    return (
-        packed.groupBy("pack_id")
+    out = (
+        packed.groupBy("shard", "pack_id")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("pack_tokens"),
@@ -87,3 +105,6 @@ def pack_sequences(docs: DataFrame, budget: int = 2048) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+    if n_shards is None:
+        return out.drop("shard")
+    return out

@@ -774,6 +774,36 @@ def ext_pack_sequences(spark, sf_dir):
     return sampling.pack_sequences(load_table(spark, sf_dir, "documents"), 2048)
 
 
+@query(
+    "ext_pack_sequences_sharded",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(regexp_split_to_array(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, shard, n_tokens,
+             (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens) // 2048 AS pack_id
+      FROM t
+    )
+    SELECT shard, pack_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM p GROUP BY shard, pack_id
+    """,
+)
+def ext_pack_sequences_sharded(spark, sf_dir):
+    """The scale formulation of sequence packing: 8 shards pack
+    independently (window PARTITIONED BY shard — no global sort
+    anywhere in the plan; each shard is parallel work)."""
+    return sampling.pack_sequences(
+        load_table(spark, sf_dir, "documents"), 2048, n_shards=8
+    )
+
+
 # --- multimodal -------------------------------------------------------------
 
 @query(

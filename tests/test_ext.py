@@ -168,6 +168,73 @@ def test_incremental_lsh_equals_batch(docs):
     assert set(seen) == batch
 
 
+def test_hash_sample_stable_under_corpus_growth(docs, spark):
+    """Hash sampling's defining property: a document's membership never
+    changes when the corpus grows (random() sampling can't give this)."""
+    from cdc_debezium_spark.ext import sampling
+
+    half = docs.where(docs.doc_id % 2 == 0)
+    full_ids = {
+        r.doc_id for r in sampling.hash_sample(docs, 10).collect()
+    }
+    half_ids = {
+        r.doc_id for r in sampling.hash_sample(half, 10).collect()
+    }
+    assert half_ids == {i for i in full_ids if i % 2 == 0}
+
+
+def test_pack_sequences_partitions_all_tokens(docs):
+    """Packs must partition the corpus: token totals add up, doc ranges
+    are disjoint and ordered, every pack except the last is full."""
+    import pyspark.sql.functions as F
+
+    from cdc_debezium_spark.ext import sampling
+    from cdc_debezium_spark.ext.text import tokens_col
+
+    budget = 2048
+    total = docs.select(F.sum(F.size(tokens_col())).alias("n")).collect()[0].n
+    packs = sorted(
+        sampling.pack_sequences(docs, budget).collect(),
+        key=lambda r: r.pack_id,
+    )
+    assert sum(r.pack_tokens for r in packs) == total
+    for a, b in zip(packs, packs[1:]):
+        assert a.last_doc < b.first_doc  # disjoint, ordered ranges
+    # defining property: each pack's first token offset falls in its
+    # budget window (a straddling doc may push a pack's start past the
+    # boundary, so packs need not be "full" — but never misaligned)
+    running = 0
+    for p in packs:
+        assert running // budget == p.pack_id
+        running += p.pack_tokens
+    # sharded formulation conserves tokens too
+    sharded = sampling.pack_sequences(docs, budget, n_shards=8).collect()
+    assert sum(r.pack_tokens for r in sharded) == total
+
+
+def test_decontaminate_invariants(docs):
+    """Clean manifest is a subset of train; an empty eval set removes
+    nothing; a train doc identical to an eval doc is always removed."""
+    import pyspark.sql.functions as F
+
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    train_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    clean = {r.doc_id for r in dedup.decontaminate(train, ev, 0.5).collect()}
+    assert clean <= train_ids
+    empty_eval = ev.where(F.lit(False))
+    unchanged = {
+        r.doc_id for r in dedup.decontaminate(train, empty_eval, 0.5).collect()
+    }
+    assert unchanged == train_ids
+    # plant an exact leak: an eval doc verbatim under a train doc_id
+    leak = ev.limit(1).withColumn("doc_id", F.lit(10_000_000))
+    planted = train.unionByName(leak)
+    cleaned = {r.doc_id for r in dedup.decontaminate(planted, ev, 0.5).collect()}
+    assert 10_000_000 not in cleaned
+    assert clean <= cleaned  # planting a leak never removes other docs
+
+
 def test_brute_force_topk_is_sorted_and_sane(emb):
     rows = similarity.brute_force_topk(emb, n_queries=3, k=5).collect()
     by_q: dict[int, list] = {}
