@@ -439,7 +439,7 @@ def embedding_near_dupes_ann(
     emb: DataFrame,
     threshold: float = 0.4,
     centroid_stride: int = 100,
-    nassign: int = 2,
+    nassign: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via IVF-bucketed candidates —
     the sub-quadratic scale path (judge r1 item 4).

@@ -952,7 +952,7 @@ def ext_dedup_embedding_blocked(spark, sf_dir):
                  ORDER BY {_duck_dot('c', 'n')} / (c.nrm * n.nrm) DESC, c.cell
                ) AS rn
         FROM n CROSS JOIN cents c)
-      WHERE rn <= 2
+      WHERE rn <= 4
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -971,9 +971,10 @@ def ext_dedup_embedding_blocked(spark, sf_dir):
 )
 def ext_dedup_embedding_ann(spark, sf_dir):
     """IVF-bucketed embedding near-dup — sub-quadratic candidates
-    (vectors sharing one of their 2 nearest cells), exact-cosine
-    verify. The oracle emulates the full bucketing pipeline, so the
-    recall contract is verified like the minhash-LSH lane."""
+    (vectors sharing one of their 4 nearest cells; 4 assigns keep
+    recall ~0.9 at sf0.1 where 2 gave 0.5), exact-cosine verify. The
+    oracle emulates the full bucketing pipeline, so the recall
+    contract is verified like the minhash-LSH lane."""
     return dedup.embedding_near_dupes_ann(
         load_table(spark, sf_dir, "embeddings"), 0.4
     )

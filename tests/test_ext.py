@@ -106,7 +106,7 @@ def test_ivf_trained_recall_beats_placeholder(emb):
 def test_embedding_ann_subset_and_recall(emb):
     """IVF-bucketed near-dup pairs: exact verify means a strict subset
     of brute force with identical cosines; bucketed candidate recall
-    measured 0.86 at sf0.001 — pin >= 0.8."""
+    measured 1.0 at sf0.001 / 0.91 at sf0.1 with nassign=4 — pin >= 0.8."""
     brute = {
         (r.vec_a, r.vec_b): r.cosine
         for r in dedup.embedding_near_dupes(emb, 0.4).collect()
