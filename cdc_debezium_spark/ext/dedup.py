@@ -546,6 +546,34 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("canonical_id"))
 
 
+def select_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Survivor selection per near-dup cluster: keep the best document
+    (longest text, ties to the lowest doc_id), drop the rest — the
+    decision step that turns a pair graph into a dedup manifest.
+
+    Clusters come from min-label propagation (near_dup_clusters); the
+    keeper is chosen with one window over the cluster id, so the only
+    shuffle beyond clustering is a partition-by-cluster — clusters are
+    small by construction (near-dups), so no skew concern at 100 TB.
+    Emits one row per clustered document: its cluster, the chosen
+    keeper, and whether this row survives.
+    """
+    clusters = near_dup_clusters(pairs)
+    sized = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        sized.withColumn("keeper_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "canonical_id",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).cast("int").alias("is_keeper"),
+        )
+    )
+
+
 def embedding_near_dupes_blocked(
     emb: DataFrame, threshold: float = 0.4, block: int = 512
 ) -> DataFrame:

@@ -73,6 +73,37 @@ def brute_force_topk(
     )
 
 
+def range_search(
+    emb: DataFrame, n_queries: int = 10, radius: float = 0.3
+) -> DataFrame:
+    """Cosine range search: every corpus vector within `radius` of each
+    query (the radius sibling of top-k — retrieval APIs expose both).
+
+    Broadcast query set × streamed corpus scan with a plain filter: NO
+    window and NO shuffle anywhere in the plan — each corpus partition
+    emits its in-range rows independently, the cheapest possible
+    retrieval shape at 100 TB.
+    """
+    v = _with_unit(emb)
+    q = v.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    return (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos", _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+        )
+        .where(F.col("cos") >= radius)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            round4(F.col("cos")).alias("cosine"),
+        )
+    )
+
+
 def _strided_cents(v: DataFrame, centroid_stride: int) -> DataFrame:
     """Placeholder centroids: the vectors whose id is a stride multiple."""
     return v.where(F.col("vec_id") % centroid_stride == 0).select(

@@ -162,6 +162,124 @@ def vocab_topk(docs: DataFrame, top_k: int = 50) -> DataFrame:
     )
 
 
+# Redaction patterns (dialect-portable: alternation, classes, bounded
+# repeats, and \b behave identically in Java regex and RE2). The PII
+# patterns guard real corpora; the lexicon pattern exercises the same
+# machinery on this all-letters fixture corpus.
+PII_RE = (
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"  # email
+    "|([0-9]{1,3}\\.){3}[0-9]{1,3}"  # ipv4
+    "|[0-9]{6,}"  # long digit runs (ids, phones)
+)
+LEXICON_RE = "\\b(" + "|".join(STOPWORDS) + ")\\b"
+REDACT = "<x>"
+
+
+def scrub_text(docs: DataFrame, keep_text: bool = False) -> DataFrame:
+    """PII / lexicon redaction: regexp-replace chain per document.
+
+    Narrow codegen pass (regexp_replace + regexp_extract_all are JVM
+    builtins) — no shuffle at any corpus size. Emits redaction counts
+    and the md5 of the scrubbed text (the manifest row); ``keep_text``
+    additionally returns the scrubbed text for tests.
+    """
+    # patterns go in as lit() columns, NOT through F.expr: Spark SQL
+    # string literals treat backslashes as escapes ('\b' = backspace),
+    # silently breaking \b word boundaries.
+    n_pii = F.size(F.regexp_extract_all("text", F.lit(PII_RE), F.lit(0)))
+    n_lex = F.size(F.regexp_extract_all("text", F.lit(LEXICON_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", PII_RE, REDACT), LEXICON_RE, REDACT
+    )
+    cols = [
+        F.col("doc_id"),
+        n_pii.alias("n_pii"),
+        n_lex.alias("n_redacted"),
+        F.md5(scrubbed).alias("scrub_md5"),
+        F.length(scrubbed).alias("n_chars_scrubbed"),
+    ]
+    if keep_text:
+        cols.append(scrubbed.alias("scrubbed"))
+    return docs.select(*cols)
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window splitter
+    every pretraining tokenization pass runs.
+
+    Chunk count and boundaries are pure integer arithmetic; chunk
+    bodies are array slices of the one token array (narrow, per-row —
+    chunking never shuffles; downstream repartitions by chunk count if
+    needed). Chunks cover every token: starts step by `stride`, the
+    last window clamps at the document end.
+    """
+    assert 0 < stride <= size
+    w = tokens_col()
+    n = F.size(w)
+    n_chunks = F.expr(
+        f"1 + ((greatest(size(split(text, ' ')) - {size}, 0) + {stride - 1})"
+        f" div {stride})"
+    )
+    base = docs.select("doc_id", w.alias("w"), n_chunks.alias("nc"))
+    chunks = base.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_id"),
+    ).withColumn("start_tok", F.col("chunk_id") * stride)
+    chunk = F.slice(F.col("w"), F.col("start_tok") + 1, size)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+def tfidf_topk(docs: DataFrame, top_k: int = 3) -> DataFrame:
+    """Top-k salient terms per document by tf·(N/df) — the linear
+    idf variant (no transcendental ln, so the score is one multiply
+    and one divide on integers-as-doubles: bit-exact cross-engine).
+
+    tf and df come from one exploded groupBy each (map-side partial
+    aggregation); N joins in as a broadcast scalar. The rank window
+    partitions by doc_id — the corpus-sized shuffle is on doc_id,
+    identical to any per-document windowing at scale.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    score = (
+        F.col("tf").cast("double") * F.col("n_docs").cast("double")
+    ) / F.col("df").cast("double")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "doc_id",
+            "rank",
+            "token",
+            "tf",
+            "df",
+            round4(F.col("score")).alias("score"),
+        )
+    )
+
+
 def char_ngram_profiles(docs: DataFrame, n: int = 2, top_k: int = 5) -> DataFrame:
     """Top-k character n-grams per language label — the classic
     n-gram language-ID profile (rank-order profiles per language;

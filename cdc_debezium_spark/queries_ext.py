@@ -978,3 +978,140 @@ def ext_dedup_embedding_ann(spark, sf_dir):
     return dedup.embedding_near_dupes_ann(
         load_table(spark, sf_dir, "embeddings"), 0.4
     )
+
+
+# --- round-2 additions: scrub / chunk / tfidf / canonical / range ----------
+
+@query(
+    "ext_text_scrub",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{text.PII_RE}')) AS n_pii,
+             len(regexp_extract_all(text, '{text.LEXICON_RE}')) AS n_redacted,
+             regexp_replace(regexp_replace(text, '{text.PII_RE}', '{text.REDACT}', 'g'),
+                            '{text.LEXICON_RE}', '{text.REDACT}', 'g') AS scrubbed
+      FROM documents
+    )
+    SELECT doc_id, n_pii, n_redacted, md5(scrubbed) AS scrub_md5,
+           length(scrubbed) AS n_chars_scrubbed
+    FROM s
+    """,
+)
+def ext_text_scrub(spark, sf_dir):
+    """PII/lexicon redaction manifest: regexp-replace chain per doc
+    (the PII patterns are vacuous on this all-letters fixture corpus —
+    asserted by n_pii — while the lexicon pattern fires constantly, so
+    the same machinery is exercised for real). Narrow codegen pass."""
+    return text.scrub_text(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ext_text_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, ' ') AS w,
+             1 + ((greatest(len(regexp_split_to_array(text, ' ')) - 64, 0) + 47) // 48) AS nc
+      FROM documents
+    ),
+    c AS (SELECT doc_id, w, unnest(range(0, nc)) AS chunk_id FROM t)
+    SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+           len(w[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS n_tokens,
+           md5(array_to_string(w[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def ext_text_chunks(spark, sf_dir):
+    """Overlapping 64-token / stride-48 context-window chunk manifest
+    (integer boundaries + md5 chunk bodies; narrow per-row slices)."""
+    return text.chunk_documents(load_table(spark, sf_dir, "documents"), 64, 48)
+
+
+@query(
+    "ext_text_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS token
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             (tf.tf::DOUBLE * nd.n_docs::DOUBLE) / df.df::DOUBLE AS score
+      FROM tf JOIN df USING (token) CROSS JOIN nd
+    )
+    SELECT doc_id, rank, token, tf, df,
+           floor(score * 10000.0 + 0.5) / 10000.0 AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, token) AS rank
+          FROM s)
+    WHERE rank <= 3
+    """,
+)
+def ext_text_tfidf(spark, sf_dir):
+    """Top-3 salient terms per document by tf·(N/df) — linear idf, so
+    the score is bit-exact integer-ratio arithmetic cross-engine."""
+    return text.tfidf_topk(load_table(spark, sf_dir, "documents"), 3)
+
+
+@query(
+    "ext_dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {SHINGLE_CTE},
+    {NGRAM_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    clus AS (SELECT u AS doc_id, min(v) AS canonical_id FROM reach GROUP BY u),
+    sized AS (
+      SELECT c.doc_id, c.canonical_id, d.n_chars
+      FROM clus c JOIN documents d USING (doc_id)
+    ),
+    k AS (
+      SELECT doc_id, canonical_id,
+             first_value(doc_id) OVER (PARTITION BY canonical_id
+                                       ORDER BY n_chars DESC, doc_id) AS keeper_id
+      FROM sized
+    )
+    SELECT doc_id, canonical_id, keeper_id,
+           (doc_id = keeper_id)::INT AS is_keeper
+    FROM k
+    """,
+)
+def ext_dedup_canonical(spark, sf_dir):
+    """Survivor selection over near-dup clusters: keep the longest
+    document per cluster (ties to lowest id) — the manifest that turns
+    the pair graph into keep/drop decisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.select_canonical(docs, dedup.ngram_jaccard_pairs(docs, 0.5))
+
+
+@query(
+    "ext_similarity_range",
+    oracle=f"""
+    WITH {EMB_CTE},
+    p AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {DUCK_DOT} / (a.nrm * b.nrm) AS c
+      FROM n a JOIN n b ON b.vec_id != a.vec_id
+      WHERE a.vec_id < 10
+    )
+    SELECT query_id, neighbor_id,
+           floor((c) * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM p WHERE c >= 0.3
+    """,
+)
+def ext_similarity_range(spark, sf_dir):
+    """Cosine range search (radius 0.3) for the first 10 queries:
+    broadcast queries × streamed corpus filter — zero-shuffle plan."""
+    return similarity.range_search(load_table(spark, sf_dir, "embeddings"), 10, 0.3)

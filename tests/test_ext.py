@@ -323,3 +323,112 @@ def test_clusters_consistent_with_pairs(docs):
     for doc, canon in labels.items():
         assert canon <= doc
         assert canon in labels  # the canonical doc is itself clustered
+
+
+def test_scrub_removes_lexicon_tokens(spark):
+    """Scrubbed text must contain no lexicon token and every PII hit;
+    counts must equal the number of replacements actually made."""
+    from cdc_debezium_spark.ext import text as T
+
+    rows = [
+        (0, "the cat sat in the hat"),
+        (1, "contact me at bob@example.com or 1234567 now"),
+        (2, "plain words only here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in T.scrub_text(docs, keep_text=True).collect()}
+    assert out[0].n_redacted == 3 and out[0].scrubbed == "<x> cat sat <x> <x> hat"
+    assert out[1].n_pii == 2
+    assert "bob@example.com" not in out[1].scrubbed
+    assert "1234567" not in out[1].scrubbed
+    assert out[2].n_pii == 0 and out[2].n_redacted == 0
+    assert out[2].scrubbed == "plain words only here"
+
+
+def test_chunks_cover_every_token(docs):
+    """Chunk windows must tile each document: first chunk starts at 0,
+    strides are exact, the last window reaches the document end, and
+    token positions are covered with the configured overlap."""
+    import pyspark.sql.functions as F
+
+    from cdc_debezium_spark.ext import text as T
+
+    size, stride = 64, 48
+    n_tok = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(T.tokens_col()).alias("n")
+        ).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in T.chunk_documents(docs, size, stride).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_tok)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = n_tok[doc_id]
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        assert all(c.start_tok == c.chunk_id * stride for c in chunks)
+        last = chunks[-1]
+        assert last.start_tok + last.n_tokens == n  # reaches the end
+        assert all(c.n_tokens == size for c in chunks[:-1])
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    """A term unique to one doc must outscore corpus-wide terms there."""
+    from cdc_debezium_spark.ext import text as T
+
+    rows = [
+        (0, "common common unique unique"),
+        (1, "common words everywhere"),
+        (2, "common words again"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = {
+        r.doc_id: r.token
+        for r in T.tfidf_topk(docs, 1).collect()
+    }
+    assert top[0] == "unique"  # tf=2, df=1 -> 6.0 beats common's 2*3/3 = 2.0
+    rows_full = T.tfidf_topk(docs, 10).collect()
+    for r in rows_full:
+        assert r.rank >= 1 and r.tf >= 1 and r.df >= 1
+
+
+def test_canonical_selection_invariants(docs):
+    """Exactly one keeper per cluster; the keeper maximizes n_chars
+    (ties to lowest id); members reference their cluster's keeper."""
+    from cdc_debezium_spark.ext import dedup as D
+
+    pairs = D.ngram_jaccard_pairs(docs, 0.5)
+    rows = D.select_canonical(docs, pairs).collect()
+    n_chars = {
+        r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()
+    }
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.canonical_id, []).append(r)
+    assert by_cluster  # fixture corpus has planted near-dups
+    for canon, members in by_cluster.items():
+        keepers = [r for r in members if r.is_keeper == 1]
+        assert len(keepers) == 1
+        k = keepers[0]
+        assert all(r.keeper_id == k.doc_id for r in members)
+        best = max(members, key=lambda r: (n_chars[r.doc_id], -r.doc_id))
+        assert k.doc_id == best.doc_id
+
+
+def test_range_search_matches_brute_force(emb):
+    """Range hits = brute-force pairs at cosine >= radius, exactly."""
+    from cdc_debezium_spark.ext import similarity as S
+
+    radius = 0.3
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in S.brute_force_topk(emb, n_queries=5, k=10**6).collect()
+        if r.cosine >= radius
+    }
+    got = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in S.range_search(emb, 5, radius).collect()
+    }
+    assert got == bf
