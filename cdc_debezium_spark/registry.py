@@ -47,6 +47,7 @@ def load_all() -> None:
     from . import queries_relational  # noqa: F401
     from . import queries_scalar  # noqa: F401
     from . import queries_streaming  # noqa: F401
+    from . import queries_tpch  # noqa: F401
 
     order = (
         [k for k in _PRIORITY if k in QUERIES]

@@ -290,3 +290,23 @@ def test_date_partitioned_log_prunes(spark, sf_dir, tmp_path):
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "event_date" in pf  # the predicate prunes directories, not rows
     assert q.count() > 0
+
+
+def test_tpch_topk_avoids_global_sort(spark, sf_dir):
+    """Q3/Q10 top-k must run as TakeOrderedAndProject (per-partition
+    top-k + k-row merge), never a full global Sort+Exchange."""
+    for key in ("tpch_q3", "tpch_q10"):
+        plan = _physical(registry.QUERIES[key](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, key
+        assert "rangepartitioning" not in plan, key
+
+
+def test_tpch_q5_broadcasts_dims_and_pushes_filters(spark, sf_dir):
+    """The snowflake dims (nation⋈region) must broadcast, and the date
+    filter must reach the orders parquet scan."""
+    plan = _physical(registry.QUERIES["tpch_q5"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # pushed_filters() only reads the FIRST scan (customer here); the
+    # date predicate belongs to the orders scan — assert on full plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
