@@ -34,7 +34,8 @@ def query(key: str, oracle: str | None = None):
 # order: the two hash-representation fixes and the new error-bound
 # oracle lead, then the whole ext_* lane (skipped entirely in round 1
 # because the driver evaluated keys in registration order and stopped
-# after 50).
+# after 50), then the tpch_* flagships (added after the round-1
+# snapshot, so they too have no driver row yet).
 _PRIORITY = ["type_coercion", "json_map_explode", "agg_approx_distinct"]
 
 
@@ -52,7 +53,12 @@ def load_all() -> None:
     order = (
         [k for k in _PRIORITY if k in QUERIES]
         + [k for k in QUERIES if k.startswith("ext_") and k not in _PRIORITY]
-        + [k for k in QUERIES if not k.startswith("ext_") and k not in _PRIORITY]
+        + [k for k in QUERIES if k.startswith("tpch_") and k not in _PRIORITY]
+        + [
+            k
+            for k in QUERIES
+            if not k.startswith(("ext_", "tpch_")) and k not in _PRIORITY
+        ]
     )
     for d in (QUERIES, ORACLES):
         ordered = {k: d[k] for k in order if k in d}
