@@ -108,3 +108,50 @@ def pack_sequences(
     if n_shards is None:
         return out.drop("shard")
     return out
+
+
+def mixture_sample(
+    docs: DataFrame, alpha: float = 0.5, budget_chars: int = 200_000
+) -> DataFrame:
+    """Temperature-weighted corpus mixing: sample each source at the
+    rate that realizes a ``chars^alpha``-proportional mix inside a
+    total character budget (alpha<1 upsamples small sources relative
+    to their share — the standard multi-source LLM pretraining mix).
+
+    rate_s = min(1, budget * (chars_s^alpha / Σ chars^alpha) / chars_s)
+
+    Membership is the deterministic hash threshold (hash_sample's
+    property: stable across runs, engines, corpus growth). The weight
+    table is one tiny per-source aggregate; rates ride a broadcast
+    join back onto the corpus — no corpus shuffle, no RNG state.
+
+    Cross-engine determinism: per-source char sums are exact BIGINTs;
+    the irrational ``pow`` output is rounded into DECIMAL(18,6) (1-ulp
+    libm noise absorbed), the weight-sum is an exact decimal add, and
+    the final rate is a fixed left-to-right double expression — so the
+    DuckDB oracle reproduces membership bit-for-bit.
+    """
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("double").alias("chars")
+    )
+    w = per_src.select(
+        "source",
+        "chars",
+        F.pow(F.col("chars"), F.lit(float(alpha))).cast("decimal(18,6)").alias("wt_dec"),
+    )
+    tot = w.agg(F.sum("wt_dec").alias("tot_dec"))
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_chars))
+            * (F.col("wt_dec").cast("double") / F.col("tot_dec").cast("double"))
+            / F.col("chars"),
+        ).alias("rate"),
+    )
+    return (
+        docs.select("doc_id", "source", word_hash(F.col("text")).alias("h"))
+        .join(F.broadcast(rates), "source")
+        .where((F.col("h") % 10000) / F.lit(10000.0) < F.col("rate"))
+        .select("doc_id", "source")
+    )

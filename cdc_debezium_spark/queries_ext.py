@@ -696,6 +696,42 @@ def ext_sample_stratified(spark, sf_dir):
 
 
 @query(
+    "ext_sample_mixture",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(sum(n_chars) AS DOUBLE) AS chars
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, chars,
+             CAST(pow(chars, 0.5) AS DECIMAL(18,6)) AS wt_dec
+      FROM s
+    ),
+    t AS (SELECT sum(wt_dec) AS tot_dec FROM w),
+    r AS (
+      SELECT source,
+             least(1.0, 200000.0
+                        * (CAST(wt_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE))
+                        / chars) AS rate
+      FROM w, t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE (({duck_word_hash('text')}) % 10000) / 10000.0 < r.rate
+    """,
+)
+def ext_sample_mixture(spark, sf_dir):
+    """Temperature-weighted data mixing (chars^0.5 source weights in a
+    200k-char budget): the per-source rate table is a tiny aggregate
+    broadcast back over the corpus, membership is hash-deterministic
+    — rebalancing a 100 TB multi-source mix costs one map-side pass
+    plus a ~#sources-row shuffle."""
+    return sampling.mixture_sample(
+        load_table(spark, sf_dir, "documents"), alpha=0.5, budget_chars=200_000
+    )
+
+
+@query(
     "ext_text_vocab",
     oracle="""
     WITH counts AS (

@@ -183,6 +183,19 @@ def test_hash_sample_stable_under_corpus_growth(docs, spark):
     assert half_ids == {i for i in full_ids if i % 2 == 0}
 
 
+def test_mixture_sample_invariants(docs):
+    """A larger budget only ever ADDS documents (hash-threshold
+    membership is monotone in the rate), and an oversized budget
+    keeps the whole corpus (every rate clamps to 1)."""
+    from cdc_debezium_spark.ext import sampling
+
+    small = {r.doc_id for r in sampling.mixture_sample(docs, 0.5, 50_000).collect()}
+    big = {r.doc_id for r in sampling.mixture_sample(docs, 0.5, 400_000).collect()}
+    assert small <= big
+    everything = sampling.mixture_sample(docs, 1.0, 10**12)
+    assert everything.count() == docs.count()
+
+
 def test_pack_sequences_partitions_all_tokens(docs):
     """Packs must partition the corpus: token totals add up, doc ranges
     are disjoint and ordered, every pack except the last is full."""
