@@ -301,6 +301,37 @@ def test_tpch_topk_avoids_global_sort(spark, sf_dir):
         assert "rangepartitioning" not in plan, key
 
 
+def test_tpch_q6_pushes_all_predicates(spark, sf_dir):
+    """Q6 is the I/O-bound shape: every predicate must reach the
+    lineitem parquet scan, and the scan must read only the columns the
+    query touches (4 of 11)."""
+    q = registry.QUERIES["tpch_q6"](spark, sf_dir)
+    plan = _physical(q)
+    # the scan carries the predicates (PushedFilters text truncates in
+    # explain output, so assert the head + the Filter-node residuals)
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)" in plan
+    for marker in (">= 0.04)", "<= 0.06)", "< 24.0)"):
+        assert marker in plan, marker
+    rs = read_schema(q)
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert col not in rs
+
+
+def test_tpch_q19_broadcasts_part_and_derives_bounds(spark, sf_dir):
+    """Q19's OR-chain spans the join: part must broadcast and Catalyst
+    must derive the cross-branch l_quantity envelope (1..30) as a
+    pushable lineitem predicate."""
+    plan = _physical(registry.QUERIES["tpch_q19"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # derived quantity-band disjunction pushed to the lineitem scan
+    assert (
+        "PushedFilters: [IsNotNull(l_partkey), Or(Or(And(GreaterThanOrEqual(l_quantity"
+        in plan
+    )
+    # the residual Filter keeps the full envelope up to qty 30
+    assert "<= 30.0)" in plan
+
+
 def test_tpch_q5_broadcasts_dims_and_pushes_filters(spark, sf_dir):
     """The snowflake dims (nation⋈region) must broadcast, and the date
     filter must reach the orders parquet scan."""
