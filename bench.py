@@ -49,6 +49,7 @@ HEADLINE = [
     "ext_similarity_ivf_trained",  # §2.G k-means IVF ANN (trained cells)
     "ext_text_stats",        # §2.G text quality/language analysis
     "tpch_q5",               # flagship 6-table snowflake join
+    "tpch_q6",               # flagship scan-filter-agg (I/O-bound shape)
     "tpch_q18",              # flagship HAVING semi-join
 ]
 
