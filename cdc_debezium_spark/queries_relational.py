@@ -397,6 +397,30 @@ def window_rank(spark, sf_dir):
 
 
 @query(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark, sf_dir):
+    """C15 distribution windows: percent_rank/cume_dist — integer-ratio
+    doubles over a TOTAL order (price, key), so ties cannot differ
+    between engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
     "window_lag_lead",
     oracle="""
     SELECT event_id, user_id,

@@ -246,6 +246,53 @@ def scalar_hash(spark, sf_dir):
 
 
 @query(
+    "doc_nested_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n_lines,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def doc_nested_roundtrip(spark, sf_dir):
+    """A3/A8 document lane, nested: build the Elasticsearch-style order
+    document (header struct + sorted array of line structs, serialized
+    with to_json), then SHRED it back (from_json + explode) and
+    aggregate. The oracle computes the same aggregate straight from the
+    relational tables, so a hash match proves the nest→JSON→shred
+    roundtrip is lossless — the semantics the reference's ES sink
+    relies on (reference README.md:48, values.yaml:60-61)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").alias("ln"), F.col("l_quantity").alias("qty")
+        ).alias("item"),
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("item")).alias("items")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    doc = orders.join(nested, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.to_json(F.struct("o_orderkey", "o_orderstatus", "items")).alias("doc")
+    )
+    shape = (
+        "struct<o_orderkey:bigint,o_orderstatus:string,"
+        "items:array<struct<ln:int,qty:double>>>"
+    )
+    shred = doc.select(F.from_json("doc", shape).alias("d"))
+    return (
+        shred.select(
+            F.col("d.o_orderstatus").alias("status"), F.explode("d.items").alias("it")
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("it.qty").cast("bigint").alias("total_qty"),
+        )
+    )
+
+
+@query(
     "json_map_explode",
     oracle="""
     SELECT key AS k, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,

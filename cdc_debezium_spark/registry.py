@@ -36,7 +36,14 @@ def query(key: str, oracle: str | None = None):
 # because the driver evaluated keys in registration order and stopped
 # after 50), then the tpch_* flagships (added after the round-1
 # snapshot, so they too have no driver row yet).
-_PRIORITY = ["type_coercion", "json_map_explode", "agg_approx_distinct"]
+_PRIORITY = [
+    "type_coercion",
+    "json_map_explode",
+    "agg_approx_distinct",
+    # new §2-lane keys with no driver row yet
+    "doc_nested_roundtrip",
+    "window_distribution",
+]
 
 
 def load_all() -> None:
