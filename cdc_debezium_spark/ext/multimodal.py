@@ -86,14 +86,20 @@ def media_scan_stats(docs: DataFrame) -> DataFrame:
 
 def _fake_decode(payload: bytes, mime: str) -> list[float]:
     """Deterministic stand-in for a codec: 4 moments of the byte
-    histogram. Replace with PIL/ffmpeg in a media-enabled image."""
+    histogram. Replace with PIL/ffmpeg in a media-enabled image.
+
+    Every operation is a strict left-to-right float64 fold with
+    multiply (not pow) and floor-rounding, so the DuckDB oracle's
+    list_reduce reproduces the vector bit-for-bit."""
+    import math
+
     if not payload:
         return [0.0, 0.0, 0.0, 0.0]
     n = float(len(payload))
     s = float(sum(payload))
     mean = s / n
-    var = float(sum((b - mean) ** 2 for b in payload)) / n
-    return [n, mean, round(var, 6), float(payload[0])]
+    var = float(sum((b - mean) * (b - mean) for b in payload)) / n
+    return [n, mean, math.floor(var * 1e6 + 0.5) / 1e6, float(payload[0])]
 
 
 def decode_media(payload: bytes, mime: str, backend: str = "fake") -> list[float]:

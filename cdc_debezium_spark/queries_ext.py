@@ -867,10 +867,39 @@ def ext_multimodal_scan(spark, sf_dir):
     return multimodal.media_scan_stats(load_table(spark, sf_dir, "documents"))
 
 
-@query("ext_multimodal_features")  # mapInPandas decode — rows-only check
+@query(
+    "ext_multimodal_features",
+    # The mapInPandas plumbing is the real artifact; the fake codec's
+    # byte-moment output is designed to be SQL-expressible (ASCII
+    # corpus: byte == codepoint; strict left folds both engines) so
+    # even this lane carries a full value-hash oracle.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             (['image/png','audio/wav','video/mp4'])[CAST(doc_id % 3 AS INTEGER) + 1]
+               AS mime,
+             list_transform(regexp_split_to_array(text, ''),
+                            c -> CAST(ord(c) AS DOUBLE)) AS bs
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, mime, bs,
+             CAST(len(bs) AS BIGINT) AS n_bytes,
+             list_reduce(bs, (a, x) -> a + x) / len(bs) AS mean
+      FROM b
+    )
+    SELECT doc_id, mime, n_bytes,
+           [CAST(n_bytes AS DOUBLE), mean,
+            floor(list_reduce(list_transform(bs, x -> (x - mean) * (x - mean)),
+                              (a, x) -> a + x) / n_bytes * 1000000 + 0.5) / 1000000,
+            bs[1]] AS feature
+    FROM m
+    """,
+)
 def ext_multimodal_features(spark, sf_dir):
     """Arrow-batched feature extraction over binary payloads (stubbed
-    codec, real Spark plumbing). Non-SQL-expressible: no oracle."""
+    codec, real mapInPandas plumbing; real backends raise — see
+    multimodal.decode_media)."""
     return multimodal.extract_features(load_table(spark, sf_dir, "documents"))
 
 
