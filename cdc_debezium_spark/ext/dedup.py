@@ -133,6 +133,67 @@ def _shingle_hash_rows(
     return rows.dropDuplicates(["doc_id", "shash"]) if distinct else rows
 
 
+def duplicated_spans(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Exact duplicated-SPAN detection (substring-level dedup): the
+    token intervals of each document that also occur elsewhere in the
+    corpus, merged into maximal spans.
+
+    The scalable realization of suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022) in pure DataFrame ops:
+
+      1. positional n-token shingle hashes — posexplode + lead(), all
+         whole-stage codegen (one doc_id shuffle);
+      2. corpus-frequency cut: shingles seen >1 time, via groupBy
+         (map-side partial agg shrinks the frequency leg) + LEFT SEMI
+         join back onto the positional rows (one shash shuffle);
+      3. gaps-and-islands interval merge per document: overlapping or
+         adjacent duplicated shingle windows coalesce into one span
+         (running max(end) + running island counter, one window pass).
+
+    Every step is linear in token count — no pairwise work anywhere —
+    and all outputs are integers, so the oracle is engine-exact.
+    Output: (doc_id, span_start, span_end, n_dup_shingles), token
+    positions 1-based inclusive.
+    """
+    words = docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "t")
+    ).select("doc_id", "pos", word_hash(F.col("t")).alias("h0"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    acc = F.lit(INIT).cast("long")
+    for k in range(n):
+        c = F.col("h0") if k == 0 else F.lead("h0", k).over(win)
+        acc = (acc * COMBINE + c) % MOD
+    sh = (
+        words.select(
+            "doc_id", (F.col("pos") + 1).cast("long").alias("pos"), acc.alias("sh")
+        )
+        .where(F.col("sh").isNotNull())
+    )
+    dup_sh = sh.groupBy("sh").count().where(F.col("count") > 1).select("sh")
+    cand = sh.join(dup_sh, "sh", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + (n - 1)).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    with_prev = cand.select("doc_id", "pos", "end", prev_end.alias("prev_end"))
+    fresh = F.when(
+        F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end") + 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    marked = with_prev.select(
+        "doc_id", "pos", "end", F.sum(fresh).over(w).alias("island")
+    )
+    return (
+        marked.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count("*").alias("n_dup_shingles"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_dup_shingles")
+    )
+
+
 def _shingle_hash_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shh: array<long>) — distinct hashed shingles per doc.
 

@@ -178,6 +178,65 @@ def ext_dedup_ngram(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
 
 
+def _duck_span_acc(n: int) -> str:
+    acc = "7::BIGINT"
+    for k in range(n):
+        acc = f"(({acc}) * 1000003 + hwl[i + {k}]) % {MOD}"
+    return acc
+
+
+SPAN_N = 8
+
+@query(
+    "ext_dedup_spans",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(text, ' ') AS w FROM documents
+    ),
+    hw AS (
+      SELECT doc_id, list_transform(w, t -> {duck_word_hash('t')}) AS hwl,
+             len(w) AS nw
+      FROM tok
+    ),
+    shl AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, nw - {SPAN_N - 2}),
+                    i -> {{'pos': i, 'sh': {_duck_span_acc(SPAN_N)}}})) AS u
+      FROM hw
+    ),
+    s2 AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM shl),
+    dupsh AS (SELECT sh FROM s2 GROUP BY sh HAVING count(*) > 1),
+    cand AS (
+      SELECT s2.doc_id, s2.pos, s2.pos + {SPAN_N - 1} AS e
+      FROM s2 JOIN dupsh USING (sh)
+    ),
+    marks AS (
+      SELECT doc_id, pos, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM cand
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+             sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM marks
+    )
+    SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_dup_shingles
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def ext_dedup_spans(spark, sf_dir):
+    """Substring-level exact dedup: maximal duplicated token spans
+    (8-gram windows occurring >1 time corpus-wide, merged by
+    gaps-and-islands) — the DataFrame realization of suffix-array
+    span dedup; linear shuffles only."""
+    return dedup.duplicated_spans(load_table(spark, sf_dir, "documents"), n=SPAN_N)
+
+
 def _duck_sig_cols() -> str:
     return ", ".join(
         f"min((h * {a} + {b}) % {MOD}) AS m{j}"

@@ -183,6 +183,34 @@ def test_hash_sample_stable_under_corpus_growth(docs, spark):
     assert half_ids == {i for i in full_ids if i % 2 == 0}
 
 
+def test_duplicated_spans_invariants(docs):
+    """Spans are disjoint and non-adjacent per doc (maximal merge),
+    each at least n tokens long, and every spanned 8-gram really does
+    occur more than once in the corpus (spot-checked)."""
+    from collections import defaultdict
+
+    spans = defaultdict(list)
+    for r in dedup.duplicated_spans(docs, n=8).collect():
+        spans[r.doc_id].append((r.span_start, r.span_end))
+    assert spans, "fixture corpus must contain duplicated spans"
+    for doc_id, ss in spans.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert e1 + 1 < s2, (doc_id, ss)  # disjoint AND non-adjacent
+        for s, e in ss:
+            assert e - s + 1 >= 8
+    texts = {r.doc_id: r.text.split(" ") for r in docs.collect()}
+    all_grams = defaultdict(int)
+    for toks in texts.values():
+        for i in range(len(toks) - 7):
+            all_grams[" ".join(toks[i : i + 8])] += 1
+    for doc_id, ss in list(spans.items())[:20]:
+        toks = texts[doc_id]
+        for s, e in ss:
+            gram = " ".join(toks[s - 1 : s + 7])  # first 8-gram of the span
+            assert all_grams[gram] > 1, (doc_id, s, gram)
+
+
 def test_mixture_sample_invariants(docs):
     """A larger budget only ever ADDS documents (hash-threshold
     membership is monotone in the rate), and an oversized budget
