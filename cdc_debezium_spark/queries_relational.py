@@ -341,6 +341,27 @@ def agg_rollup(spark, sf_dir):
 
 
 @query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           grouping_id(o_orderstatus, o_orderpriority) AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """C13: full-lattice DW aggregates (CUBE = all 2^k granularities;
+    money sums as exact decimals — order-insensitive, engine-exact)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+@query(
     "agg_stats",
     oracle="""
     SELECT l_returnflag,

@@ -43,6 +43,7 @@ _PRIORITY = [
     # new §2-lane keys with no driver row yet
     "doc_nested_roundtrip",
     "window_distribution",
+    "agg_cube",
 ]
 
 
