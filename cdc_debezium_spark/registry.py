@@ -58,10 +58,16 @@ def load_all() -> None:
     from . import queries_streaming  # noqa: F401
     from . import queries_tpch  # noqa: F401
 
+    # bench-flagship TPC-H shapes first within the block, so any
+    # count-budgeted cut falls on the least load-bearing keys
+    tpch_pref = ["tpch_q3", "tpch_q5", "tpch_q10", "tpch_q18", "tpch_q6"]
+    tpch = [k for k in tpch_pref if k in QUERIES] + sorted(
+        k for k in QUERIES if k.startswith("tpch_") and k not in tpch_pref
+    )
     order = (
         [k for k in _PRIORITY if k in QUERIES]
         + [k for k in QUERIES if k.startswith("ext_") and k not in _PRIORITY]
-        + [k for k in QUERIES if k.startswith("tpch_") and k not in _PRIORITY]
+        + [k for k in tpch if k not in _PRIORITY]
         + [
             k
             for k in QUERIES
