@@ -277,3 +277,36 @@ def dedup_exact(spark, sf_dir):
     ce = cdc.cdc_events(spark, sf_dir).select("pk", "ord2", "ts_us", "op", "val")
     doubled = ce.unionByName(ce)
     return cdc.dedup_exact(doubled, ["pk", "ord2"])
+
+
+@query(
+    "cdc_pipeline_metrics",
+    oracle="""
+    SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY hour_bucket, event_type
+    """,
+)
+def cdc_pipeline_metrics(spark, sf_dir):
+    """E9 as a queryable surface: per-hour, per-topic pipeline health
+    rollup — the batch analog of the reference's Prometheus rate/lag
+    panels (prometheus-rules.yaml:12-37; 15 s scrape cadence rolled to
+    hours here). Hour buckets are integer µs division (engine-exact);
+    value sums are exact decimals (value carries <=6dp, checked).
+    One partial-agg shuffle; at 100 TB this is the map-side-combine
+    shape that motivated the DW sink."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.expr("ts_us div 3600000000").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )

@@ -44,6 +44,7 @@ _PRIORITY = [
     "doc_nested_roundtrip",
     "window_distribution",
     "agg_cube",
+    "cdc_pipeline_metrics",
 ]
 
 
