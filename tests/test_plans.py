@@ -301,6 +301,19 @@ def test_tpch_topk_avoids_global_sort(spark, sf_dir):
         assert "rangepartitioning" not in plan, key
 
 
+def test_span_dedup_linear_shuffles_only(spark, sf_dir):
+    """Substring-span dedup must stay linear: a handful of hash
+    exchanges (doc window, shingle frequency, island window) and never
+    a pairwise join (no cartesian/BNLJ anywhere)."""
+    from cdc_debezium_spark.ext import dedup as ext_dedup
+
+    df = ext_dedup.duplicated_spans(load_table(spark, sf_dir, "documents"))
+    assert count_shuffles(df) <= 4
+    plan = _physical(df)
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_tpch_q6_pushes_all_predicates(spark, sf_dir):
     """Q6 is the I/O-bound shape: every predicate must reach the
     lineitem parquet scan, and the scan must read only the columns the
