@@ -137,11 +137,21 @@ def kmeans_centroids(emb: DataFrame, k: int = 16, iters: int = 2) -> DataFrame:
         scored = v.join(F.broadcast(cents)).withColumn(
             "cos", _dot(F.col("cv"), F.col("v")) / (F.col("cnorm") * F.col("norm"))
         )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+        # argmax(cos, tie: lowest cell) as a struct-MIN aggregate: the
+        # same (cos desc, cell asc) order the old rank-1 window used,
+        # but partial-aggregable map-side — no n*k-row sort shuffle.
+        # (`v` is constant within a vec_id group, so first() is exact.)
         asg = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "v", "cell")
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cos")).alias("nc"), F.col("cell").alias("cell")
+                    )
+                ).alias("b"),
+                F.first("v").alias("v"),
+            )
+            .select("vec_id", "v", F.col("b.cell").alias("cell"))
         )
         grouped = asg.groupBy("cell").agg(
             F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("ms")
@@ -152,12 +162,21 @@ def kmeans_centroids(emb: DataFrame, k: int = 16, iters: int = 2) -> DataFrame:
             zero,
             lambda acc, m: F.zip_with(acc, m["v"], lambda a, b: a + b),
         )
-        cents = grouped.select(
-            "cell",
-            F.transform(sum_vec, lambda x: x / F.size("ms")).alias("cv"),
-        ).withColumn(
-            "cnorm",
-            F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda a, x: a + x * x)),
+        cents = (
+            grouped.select(
+                "cell",
+                F.transform(sum_vec, lambda x: x / F.size("ms")).alias("cv"),
+            )
+            .withColumn(
+                "cnorm",
+                F.sqrt(
+                    F.aggregate(F.col("cv"), F.lit(0.0), lambda a, x: a + x * x)
+                ),
+            )
+            # k rows: materialize per iteration so the next assignment
+            # (and every downstream probe) starts from a flat plan
+            # instead of re-deriving the whole training lineage
+            .localCheckpoint(eager=True)
         )
     return cents
 
