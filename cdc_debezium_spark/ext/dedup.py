@@ -272,7 +272,12 @@ def minhash_near_dupes(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> D
     a posting-list self-join, so verify cost is
     O(|candidates| * doc_len), independent of corpus size.
     """
-    rows = _shingle_hash_rows(docs, n, distinct=False).cache()
+    # NOT cached: both consumers (signatures, verify sets) re-derive the
+    # rows from the parquet scan — two cheap codegen passes beat paying
+    # a 1M-row cache materialization barrier on the critical path (and
+    # on a cluster, beat pinning executor memory; measured 2.3s -> 1.4s
+    # at sf0.1 under bench's cold-cache protocol).
+    rows = _shingle_hash_rows(docs, n, distinct=False)
     aggs = [
         F.min(minhash_col(F.col("shash"), j)).alias(f"m{j}")
         for j in range(len(MINHASH_SEEDS))
