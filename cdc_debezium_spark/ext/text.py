@@ -303,3 +303,50 @@ def char_ngram_profiles(docs: DataFrame, n: int = 2, top_k: int = 5) -> DataFram
         .where(F.col("rank") <= top_k)
         .select("lang", "rank", "gram", "n")
     )
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document character-distribution entropy (bits/char) — the
+    classic gibberish/low-diversity signal alongside text_stats and
+    repetition_stats: natural prose sits ~4 bits, single-char spam near
+    0, uniform noise near log2(alphabet).
+
+    Shape: one (doc_id, char) count shuffle (map-side combine), then a
+    per-doc fold over the SORTED (char, n) list — sorted + left-to-right
+    so the DuckDB oracle's list_reduce reproduces the float sum
+    bit-for-bit (cross-partition float SUM order isn't stable; a
+    bounded per-doc fold is). Alphabet size bounds the list at ~100
+    entries regardless of corpus size. Entropy rounds to 4dp to absorb
+    libm log2 ulp skew.
+    """
+    ch = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", ""), lambda c: c != F.lit(""))).alias(
+            "c"
+        ),
+    )
+    counts = ch.groupBy("doc_id", "c").count()
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("c").alias("ch"), F.col("count").alias("n")))
+        ).alias("cs")
+    )
+    with_total = per_doc.select(
+        "doc_id",
+        "cs",
+        F.aggregate(
+            "cs", F.lit(0).cast("long"), lambda acc, s: acc + s["n"]
+        ).alias("total"),
+    )
+    p = lambda s: s["n"].cast("double") / F.col("total").cast("double")  # noqa: E731
+    ent = -F.aggregate(
+        "cs",
+        F.lit(0.0),
+        lambda acc, s: acc + p(s) * F.log2(p(s)),
+    )
+    return with_total.select(
+        "doc_id",
+        F.col("total").alias("n_chars_counted"),
+        F.size("cs").alias("n_distinct_chars"),
+        round4(ent).alias("entropy"),
+    )

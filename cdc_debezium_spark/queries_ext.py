@@ -755,6 +755,41 @@ def ext_sample_stratified(spark, sf_dir):
 
 
 @query(
+    "ext_text_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, ''),
+                                        c -> c <> '')) AS c
+      FROM documents
+    ),
+    counts AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+    per_doc AS (
+      SELECT doc_id, list({'ch': c, 'n': n} ORDER BY c) AS cs
+      FROM counts GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT doc_id, cs,
+             list_reduce(list_transform(cs, s -> s.n), (a, x) -> a + x) AS total
+      FROM per_doc
+    )
+    SELECT doc_id,
+           CAST(total AS BIGINT) AS n_chars_counted,
+           CAST(len(cs) AS INTEGER) AS n_distinct_chars,
+           floor(-list_reduce(
+               list_transform(cs, s -> (CAST(s.n AS DOUBLE) / CAST(total AS DOUBLE))
+                                       * log2(CAST(s.n AS DOUBLE) / CAST(total AS DOUBLE))),
+               (a, x) -> a + x) * 10000.0 + 0.5) / 10000.0 AS entropy
+    FROM tot
+    """,
+)
+def ext_text_entropy(spark, sf_dir):
+    """Character-distribution entropy per document (gibberish /
+    low-diversity quality signal) — sorted per-doc fold, engine-exact
+    to 4dp."""
+    return text.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "ext_sample_mixture",
     oracle=f"""
     WITH s AS (
