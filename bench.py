@@ -43,6 +43,7 @@ HEADLINE = [
     "udf_grouped_processor", # §2.F applyInPandas processor
     "agg_sliding_window",    # E4  sliding event-time windows
     "ext_dedup_minhash",     # §2.G near-dup detection
+    "ext_dedup_spans",       # §2.G substring-span dedup (linear shuffles)
     "ext_dedup_embedding_ann",  # §2.G IVF-bucketed near-dup (replaces
                                 # the O(n²) blocked scan in the headline)
     "ext_similarity_topk",   # §2.G brute-force ANN baseline

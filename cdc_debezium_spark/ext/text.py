@@ -350,3 +350,26 @@ def char_entropy(docs: DataFrame) -> DataFrame:
         F.size("cs").alias("n_distinct_chars"),
         round4(ent).alias("entropy"),
     )
+
+
+BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """BPE-style pre-tokenization counts: letter runs, digit runs, and
+    punctuation runs (the GPT-2 pre-tokenizer shape, minus the unicode
+    classes this ASCII corpus doesn't need). A tokenizer-budget
+    estimator that runs as one codegen regexp pass — no vocab, no UDF.
+    The pattern stays in basic POSIX classes so Java and RE2 regex
+    engines agree token-for-token.
+    """
+    toks = F.regexp_extract_all("text", F.lit(BPE_PAT), F.lit(0))
+    ws = F.size(F.split("text", " "))
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        F.size(toks).alias("n_bpe_tokens"),
+        round4(
+            F.length("text").cast("double") / F.size(toks).cast("double")
+        ).alias("chars_per_bpe_token"),
+    )

@@ -755,6 +755,27 @@ def ext_sample_stratified(spark, sf_dir):
 
 
 @query(
+    "ext_text_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))
+                AS INTEGER) AS n_bpe_tokens,
+           floor((CAST(length(text) AS DOUBLE)
+                  / CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))
+                         AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+             AS chars_per_bpe_token
+    FROM documents
+    """,
+)
+def ext_text_bpe_tokens(spark, sf_dir):
+    """Tokenizer-budget estimation: whitespace tokens vs BPE-style
+    pre-tokenizer runs (letters/digits/punct), one regexp codegen
+    pass."""
+    return text.bpe_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "ext_text_entropy",
     oracle="""
     WITH ch AS (
