@@ -1,8 +1,10 @@
-"""Flagship analytic queries (TPC-H shapes Q3/Q4/Q5/Q6/Q7/Q10/Q13/Q14/Q15/Q18/Q19).
+"""Flagship analytic queries (TPC-H shapes Q2-Q8, Q10, Q11, Q13-Q15,
+Q17-Q19, Q21, Q22).
 
-Q4/Q13/Q14/Q19 are adapted where the test schema lacks a TPC-H column
-(no l_commitdate/l_receiptdate/l_shipmode/p_container/o_comment); each
-docstring states its substitution. Q1's shape is covered by the
+Q2/Q4/Q11/Q13/Q14/Q19/Q21/Q22 are adapted where the test schema lacks a TPC-H column
+(no partsupp table, no l_commitdate/l_receiptdate/l_shipmode/
+p_container/o_comment/c_phone); each docstring states its
+substitution. Q1's shape is covered by the
 `sql_pricing_summary` key (queries_relational.py).
 
 The reference's warehouse sinks exist to serve exactly these reporting
@@ -507,4 +509,309 @@ def tpch_q18(spark, sf_dir):
         .join(li.join(big, "l_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+    )
+
+
+@query(
+    "tpch_q2",
+    oracle="""
+    WITH eligible AS (
+      SELECT DISTINCT l_partkey AS partkey, s_suppkey, s_name, s_acctbal, n_name
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    best AS (SELECT partkey, min(s_acctbal) AS min_bal FROM eligible GROUP BY partkey)
+    SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+    FROM eligible
+    JOIN best USING (partkey)
+    JOIN part ON p_partkey = partkey
+    WHERE s_acctbal = min_bal AND p_size <= 10
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    """Q2 minimum-cost supplier, adapted: the test schema has no
+    partsupp, so the part-supplier catalog is the DISTINCT
+    (l_partkey, l_suppkey) pairs actually shipped, and "cost" is the
+    supplier account balance. The correlated min-subquery decorrelates
+    into a per-part min aggregation joined back by EXACT double
+    equality (no arithmetic touches the balance, so the float compares
+    bit-identical across engines; ties keep all witnesses on both
+    sides). Region dims broadcast; the min-leg join is a broadcast of
+    a part-sized aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eligible = (
+        li.distinct()
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    best = eligible.groupBy("partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    return (
+        eligible.join(best, "partkey")
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("partkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+    )
+
+
+@query(
+    "tpch_q8",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS mkt_share
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    """Q8 national market share: within the ASIA-customer market, the
+    revenue share supplied by NATION_5 per order year. nation plays
+    two roles (customer region membership, supplier share dimension)
+    and broadcasts twice; the share is a ratio of two EXACT decimal
+    sums divided once in float64, so it hashes identically across
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev_dec = _revenue().cast("decimal(18,4)")
+    zero_dec = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", rev_dec).otherwise(
+                        zero_dec
+                    )
+                ).cast("double")
+                / F.sum(rev_dec).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q11",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey AS partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_regionkey = 0
+      GROUP BY l_partkey
+    )
+    SELECT partkey, CAST(val AS DOUBLE) AS value
+    FROM pv
+    WHERE val * 1000 > (SELECT sum(val) FROM pv)
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    """Q11 important stock, adapted: per-part shipped value from
+    region-0-nation suppliers, keeping parts holding more than 0.1% of
+    the total. The HAVING-over-global-scalar-subquery decorrelates
+    into a 1-row aggregate broadcast against the per-part sums, and
+    the share cut compares EXACT decimals (val*1000 is an integer
+    scale-up, no division), so membership is engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 0)
+    pv = (
+        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_revenue().cast("decimal(18,4)")).alias("val"))
+    )
+    total = pv.agg(F.sum("val").alias("total"))
+    return (
+        pv.join(F.broadcast(total))
+        .where(F.col("val") * 1000 > F.col("total"))
+        .select("partkey", F.col("val").cast("double").alias("value"))
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle="""
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                AS DOUBLE) AS avg_yearly,
+           count(*) AS n_rows
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.3 * avg(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    """Q17 small-quantity-order revenue: the correlated per-part
+    average-quantity subquery decorrelates into one groupBy over
+    lineitem joined back to the brand-filtered scan. Quantities are
+    integer-valued doubles, so sum/count/0.3x all evaluate
+    bit-identically across engines and the strict < cut is exact; the
+    revenue sums as an exact decimal with a single final division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    thresh = li.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
+        (F.lit(0.3) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(thresh, F.col("avg_pk") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    """Q21 suppliers who kept orders waiting, adapted: "late" is
+    shipping more than 60 days after the order date (no
+    l_commitdate/l_receiptdate in the test schema). The EXISTS runs as
+    a LEFT SEMI against all order lines and the NOT EXISTS as a LEFT
+    ANTI against the late set — both on the order key with the
+    same-supplier exclusion in the join condition, so the whole query
+    is three hash joins on l_orderkey plus the supplier broadcast; the
+    late set is computed once and reused for candidates and the anti
+    leg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    sole_late = (
+        late.join(
+            others,
+            (F.col("o2_orderkey") == F.col("l_orderkey"))
+            & (F.col("o2_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l3_orderkey") == F.col("l_orderkey"))
+            & (F.col("l3_suppkey") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "tpch_q22",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_mktsegment, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, thr
+    WHERE c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+def tpch_q22(spark, sf_dir):
+    """Q22 global-sales-opportunity, adapted: market segments stand in
+    for phone country codes, and "no orders" means none since
+    1999-01-01 (every customer has some order in this data). The
+    global positive-balance average is a 1-row broadcast (sum as exact
+    decimal, ONE double division, so the > cut is engine-exact) and
+    the NOT EXISTS is a LEFT ANTI against the date-pruned orders
+    scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    thr = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= _ts("1999-01-01 00:00:00")
+    )
+    return (
+        cust.join(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
     )
