@@ -118,9 +118,10 @@ def kmeans_centroids(emb: DataFrame, k: int = 16, iters: int = 2) -> DataFrame:
     cross-engine (judge r1 item 6) -> (cell, cv, cnorm).
 
     Init: the k lowest-id vectors. Each iteration assigns every vector
-    to its max-cosine centroid (broadcast join + rank-1 window, ties
-    broken by cell id — cosines are bit-exact cross-engine so the
-    tie-break is too) and recomputes each centroid as the member mean.
+    to its max-cosine centroid (a narrow fold over a driver-resident
+    literal centroid array, ties broken by cell id — cosines are
+    bit-exact cross-engine so the tie-break is too) and recomputes
+    each centroid as the member mean.
     The mean is computed as a SORTED left-to-right fold (members
     collected per cell, sorted by vec_id, accumulated element-wise):
     cross-partition float SUM is not order-stable, and a 1-ulp
@@ -134,24 +135,31 @@ def kmeans_centroids(emb: DataFrame, k: int = 16, iters: int = 2) -> DataFrame:
     v = _with_unit(emb)
     cents = _strided_cents(v, 1).where(F.col("cell") < k)
     for _ in range(iters):
-        scored = v.join(F.broadcast(cents)).withColumn(
-            "cos", _dot(F.col("cv"), F.col("v")) / (F.col("cnorm") * F.col("norm"))
+        # Pack the k centroids into ONE row (k * dim doubles — bounded
+        # regardless of corpus size) and cross-join that single row
+        # broadcast: assignment becomes a NARROW per-vector pass with
+        # no n*k intermediate rows and no per-vector-group shuffle.
+        # array_min over (-cos, cell) structs = the same
+        # (cos desc, cell asc) argmax a struct-MIN aggregate computes,
+        # with the identical float sequence (dot, then one division)
+        # so the oracle's CTE chain stays bit-exact.
+        packed = cents.agg(
+            F.collect_list(F.struct("cell", "cv", "cnorm")).alias("cents")
         )
-        # argmax(cos, tie: lowest cell) as a struct-MIN aggregate: the
-        # same (cos desc, cell asc) order the old rank-1 window used,
-        # but partial-aggregable map-side — no n*k-row sort shuffle.
-        # (`v` is constant within a vec_id group, so first() is exact.)
-        asg = (
-            scored.groupBy("vec_id")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("cos")).alias("nc"), F.col("cell").alias("cell")
-                    )
-                ).alias("b"),
-                F.first("v").alias("v"),
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    (
+                        -(_dot(c["cv"], F.col("v")) / (c["cnorm"] * F.col("norm")))
+                    ).alias("nc"),
+                    c["cell"].alias("cell"),
+                ),
             )
-            .select("vec_id", "v", F.col("b.cell").alias("cell"))
+        )
+        asg = (
+            v.crossJoin(F.broadcast(packed))
+            .select("vec_id", "v", best["cell"].alias("cell"))
         )
         grouped = asg.groupBy("cell").agg(
             F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("ms")
@@ -203,14 +211,33 @@ def assign_cells(
     v = _with_unit(emb)
     if cents is None:
         cents = _strided_cents(v, centroid_stride)
-    scored = v.join(F.broadcast(cents)).withColumn(
-        "cos", _dot(F.col("cv"), F.col("v")) / (F.col("cnorm") * F.col("norm"))
+    # Pack the centroid set into ONE broadcast row; per-vector cell
+    # choice is then a NARROW array_sort over (-cos, cell) structs —
+    # the same (cos desc, cell asc) order the old per-vector window
+    # ranked by, with the identical float sequence, but with no n*k
+    # intermediate rows and no corpus-wide partitionBy(vec_id)
+    # shuffle. explode() emits the nassign chosen cells per vector.
+    packed = cents.agg(
+        F.collect_list(F.struct("cell", "cv", "cnorm")).alias("cents")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+    scored_arr = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (
+                -(_dot(c["cv"], F.col("v")) / (c["cnorm"] * F.col("norm")))
+            ).alias("nc"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    top = F.slice(F.array_sort(scored_arr), 1, nassign)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= nassign)
-        .select("vec_id", "v", "norm", "cell")
+        v.crossJoin(F.broadcast(packed))
+        .select(
+            "vec_id",
+            "v",
+            "norm",
+            F.explode(F.transform(top, lambda t: t["cell"])).alias("cell"),
+        )
     )
 
 
