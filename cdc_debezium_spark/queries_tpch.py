@@ -1,7 +1,7 @@
-"""Flagship analytic queries (TPC-H shapes Q2-Q8, Q10, Q11, Q13-Q15,
-Q17-Q19, Q21, Q22).
+"""Flagship analytic queries: all 22 TPC-H shapes (Q1 via the
+`sql_pricing_summary` key, Q2-Q22 here).
 
-Q2/Q4/Q11/Q13/Q14/Q19/Q21/Q22 are adapted where the test schema lacks a TPC-H column
+Q2/Q4/Q9/Q11/Q12/Q13/Q14/Q16/Q19/Q20/Q21/Q22 are adapted where the test schema lacks a TPC-H column
 (no partsupp table, no l_commitdate/l_receiptdate/l_shipmode/
 p_container/o_comment/c_phone); each docstring states its
 substitution. Q1's shape is covered by the
@@ -814,4 +814,171 @@ def tpch_q22(spark, sf_dir):
             .cast("double")
             .alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "tpch_q9",
+    oracle="""
+    SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                  - CAST(0.6 * p_retailprice AS DECIMAL(18,4))
+                    * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%a%'
+    GROUP BY n_name, o_year
+    """,
+)
+def tpch_q9(spark, sf_dir):
+    """Q9 product-type profit, adapted: no partsupp, so unit cost is
+    60% of the part list price. Per-row profit is exact decimal
+    arithmetic (4dp revenue minus 4dp cost x integer quantity), so the
+    nation-year sums hash identically. The LIKE filter prunes part
+    before its broadcast; the three fact-side joins shuffle on their
+    keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%a%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    profit = _revenue().cast("decimal(18,4)") - (
+        F.lit(0.6) * F.col("p_retailprice")
+    ).cast("decimal(18,4)") * F.col("l_quantity").cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT l_linestatus AS shipclass,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+    GROUP BY shipclass
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    """Q12 shipping-priority distribution, adapted: line status stands
+    in for ship mode and "late" is shipping more than 45 days after
+    the order date. The CASE-bucketed counts do the per-group pivot in
+    one aggregation pass after a single orderkey join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+        )
+        .groupBy(F.col("l_linestatus").alias("shipclass"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q16",
+    oracle="""
+    SELECT p_brand, CAST(p_size % 5 AS INTEGER) AS size_mod,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_size <= 15
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, size_mod
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    """Q16 parts/supplier relationship, adapted: the shipped
+    (part, supplier) pairs stand in for partsupp, the excluded
+    supplier set is the negative-balance ones (no s_comment), and the
+    size bands come from p_size % 5. The NOT IN runs as a LEFT ANTI
+    against a tiny broadcast; count(DISTINCT) expands to the standard
+    two-phase distinct aggregation."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 15)
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        part.join(li, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", (F.col("p_size") % 5).cast("int").alias("size_mod"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 1
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE '%gear%')
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 300)
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    """Q20 potential part promotion, adapted: suppliers in region 1
+    who shipped more than 300 units of gear parts in 1997 (no
+    partsupp, so shipped volume stands in for available stock). The
+    nested IN chain becomes two LEFT SEMI hops: parts by name into the
+    date-pruned lineitem aggregation, then the qualifying supplier
+    keys into the supplier scan — each IN is a semi-join, never a
+    row-multiplying inner join. Quantity sums are integer-exact so the
+    HAVING cut is engine-exact."""
+    gear = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    qualifying = (
+        li.join(F.broadcast(gear), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 300)
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 1)
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(qualifying),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
     )
