@@ -118,10 +118,10 @@ def kmeans_centroids(emb: DataFrame, k: int = 16, iters: int = 2) -> DataFrame:
     cross-engine (judge r1 item 6) -> (cell, cv, cnorm).
 
     Init: the k lowest-id vectors. Each iteration assigns every vector
-    to its max-cosine centroid (a narrow fold over a driver-resident
-    literal centroid array, ties broken by cell id — cosines are
-    bit-exact cross-engine so the tie-break is too) and recomputes
-    each centroid as the member mean.
+    to its max-cosine centroid (a narrow array_min over a packed
+    1-row broadcast of the centroid set, ties broken by cell id —
+    cosines are bit-exact cross-engine so the tie-break is too) and
+    recomputes each centroid as the member mean.
     The mean is computed as a SORTED left-to-right fold (members
     collected per cell, sorted by vec_id, accumulated element-wise):
     cross-partition float SUM is not order-stable, and a 1-ulp
@@ -290,4 +290,69 @@ def ivf_topk(
             F.col("vec_id").alias("neighbor_id"),
             round4(F.col("cos")).alias("cosine"),
         )
+    )
+
+
+def cluster_profile(emb: DataFrame, k: int = 16, iters: int = 2) -> DataFrame:
+    """Per-cluster composition profile over trained k-means cells:
+    member count, dominant label, and purity (dominant share).
+
+    The SemDeDup-style curation view: before sampling or pruning a
+    100 TB corpus by semantic cluster, you look at what each cluster
+    holds. Assignment is the narrow packed-centroid pass; the label
+    join co-partitions on vec_id; purity is an integer-ratio double so
+    it hashes identically cross-engine. Dominant-label ties break by
+    the larger label (max struct order), mirrored in the oracle.
+    """
+    from .similarity import assign_cells, kmeans_centroids
+
+    cents = kmeans_centroids(emb, k=k, iters=iters).localCheckpoint()
+    cells = assign_cells(emb, cents=cents).select("vec_id", "cell")
+    labeled = cells.join(emb.select("vec_id", "label"), "vec_id")
+    per = labeled.groupBy("cell", "label").agg(F.count("*").alias("n"))
+    return (
+        per.groupBy("cell")
+        .agg(
+            F.sum("n").alias("n_members"),
+            F.max(
+                F.struct(F.col("n").alias("n"), F.col("label").alias("label"))
+            ).alias("top"),
+        )
+        .select(
+            "cell",
+            "n_members",
+            F.col("top.label").alias("top_label"),
+            F.col("top.n").alias("top_label_n"),
+            (
+                F.col("top.n").cast("double") / F.col("n_members").cast("double")
+            ).alias("purity"),
+        )
+    )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame, k: int = 16, iters: int = 2, per_cell: int = 20
+) -> DataFrame:
+    """Cluster-balanced subsample: at most `per_cell` vectors per
+    trained k-means cell, chosen by a deterministic hash rank.
+
+    The semantic-diversity sampler: capping each cluster flattens the
+    corpus's topic skew (dominant clusters stop dominating the
+    sample) without a global shuffle — one window per cell, cells are
+    k-bounded and near-balanced by construction. Hash-rank selection
+    (not vec_id order) avoids correlating the sample with insertion
+    order; ties are impossible because vec_id is the final key.
+    """
+    from .hashing import word_hash
+    from .similarity import assign_cells, kmeans_centroids
+
+    cents = kmeans_centroids(emb, k=k, iters=iters).localCheckpoint()
+    cells = assign_cells(emb, cents=cents).select("vec_id", "cell")
+    w = Window.partitionBy("cell").orderBy(
+        word_hash(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        cells.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= per_cell)
+        .select("vec_id", "cell")
     )

@@ -1295,3 +1295,77 @@ def ext_similarity_range(spark, sf_dir):
     """Cosine range search (radius 0.3) for the first 10 queries:
     broadcast queries × streamed corpus filter — zero-shuffle plan."""
     return similarity.range_search(load_table(spark, sf_dir, "embeddings"), 10, 0.3)
+
+
+@query(
+    "ext_cluster_profile",
+    oracle=f"""
+    WITH {EMB_CTE},
+    {_KM_CTES},
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_duck_dot('c', 'n')} / (c.nrm * n.nrm) DESC, c.cell
+               ) AS rn
+        FROM n CROSS JOIN {_KM_FINAL} c) WHERE rn = 1
+    ),
+    per AS (
+      SELECT a.cell, e.label, count(*) AS n
+      FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+      GROUP BY a.cell, e.label
+    ),
+    ranked AS (
+      SELECT cell, label, n,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY n DESC, label DESC) AS rn,
+             sum(n) OVER (PARTITION BY cell) AS nm
+      FROM per
+    )
+    SELECT cell, CAST(nm AS BIGINT) AS n_members, label AS top_label,
+           CAST(n AS BIGINT) AS top_label_n,
+           CAST(n AS DOUBLE) / CAST(nm AS DOUBLE) AS purity
+    FROM ranked WHERE rn = 1
+    """,
+)
+def ext_cluster_profile(spark, sf_dir):
+    """Cluster composition profile (SemDeDup-style curation view):
+    member count, dominant label, and purity per trained k-means
+    cell. Purity is an integer-ratio double, so it hashes exactly."""
+    return similarity.cluster_profile(
+        load_table(spark, sf_dir, "embeddings"), k=16, iters=2
+    )
+
+
+@query(
+    "ext_sample_cluster_balanced",
+    oracle=f"""
+    WITH {EMB_CTE},
+    {_KM_CTES},
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_duck_dot('c', 'n')} / (c.nrm * n.nrm) DESC, c.cell
+               ) AS rn
+        FROM n CROSS JOIN {_KM_FINAL} c) WHERE rn = 1
+    )
+    SELECT vec_id, cell FROM (
+      SELECT vec_id, cell,
+             row_number() OVER (
+               PARTITION BY cell
+               ORDER BY {duck_word_hash("CAST(vec_id AS VARCHAR)")}, vec_id
+             ) AS rn
+      FROM asg)
+    WHERE rn <= 20
+    """,
+)
+def ext_sample_cluster_balanced(spark, sf_dir):
+    """Cluster-balanced subsample: at most 20 vectors per trained
+    k-means cell, hash-ranked — flattens semantic/topic skew in the
+    training mix without a global shuffle."""
+    return similarity.cluster_balanced_sample(
+        load_table(spark, sf_dir, "embeddings"), k=16, iters=2, per_cell=20
+    )
