@@ -373,3 +373,41 @@ def bpe_token_stats(docs: DataFrame) -> DataFrame:
             F.length("text").cast("double") / F.size(toks).cast("double")
         ).alias("chars_per_bpe_token"),
     )
+
+
+def quality_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style per-document quality rules, one boolean per rule
+    plus the composite keep flag.
+
+    Every rule compares INTEGERS (cross-multiplied ratios), so there
+    is no float anywhere and the flags are engine-exact:
+      r_len      20 <= n_words <= 1000
+      r_wordlen  mean word length in [3, 10]  (3n <= sumlen <= 10n)
+      r_stop     at least 2 stopword hits
+      r_ttr      type-token ratio > 0.2        (5 * n_types > n_words)
+    One narrow codegen pass; the keep flag is the AND. The per-rule
+    breakdown (not just the verdict) is what a curation run reports —
+    it tells you WHICH rule is responsible for the reject rate.
+    """
+    w = tokens_col()
+    n_words = F.size(w)
+    sum_wordlen = F.aggregate(
+        F.transform(w, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_stop = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS)))
+    n_types = F.size(F.array_distinct(w))
+    r_len = (n_words >= 20) & (n_words <= 1000)
+    r_wordlen = (F.lit(3) * n_words <= sum_wordlen) & (
+        sum_wordlen <= F.lit(10) * n_words
+    )
+    r_stop = n_stop >= 2
+    r_ttr = F.lit(5) * n_types > n_words
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        r_len.alias("r_len"),
+        r_wordlen.alias("r_wordlen"),
+        r_stop.alias("r_stop"),
+        r_ttr.alias("r_ttr"),
+        (r_len & r_wordlen & r_stop & r_ttr).alias("keep"),
+    )

@@ -1369,3 +1369,35 @@ def ext_sample_cluster_balanced(spark, sf_dir):
     return similarity.cluster_balanced_sample(
         load_table(spark, sf_dir, "embeddings"), k=16, iters=2, per_cell=20
     )
+
+
+@query(
+    "ext_text_quality_rules",
+    oracle=f"""
+    WITH {TOK_CTE},
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS INTEGER) AS n_words,
+             CAST(list_reduce(list_transform(w, t -> length(t)),
+                              (a, x) -> a + x) AS INTEGER) AS sum_wordlen,
+             CAST(len(list_filter(w, t -> list_contains({STOP_SQL}, t)))
+                  AS INTEGER) AS n_stop,
+             CAST(len(list_distinct(w)) AS INTEGER) AS n_types
+      FROM tok
+    )
+    SELECT doc_id, n_words,
+           (n_words >= 20 AND n_words <= 1000) AS r_len,
+           (3 * n_words <= sum_wordlen AND sum_wordlen <= 10 * n_words)
+             AS r_wordlen,
+           (n_stop >= 2) AS r_stop,
+           (5 * n_types > n_words) AS r_ttr,
+           ((n_words >= 20 AND n_words <= 1000)
+            AND (3 * n_words <= sum_wordlen AND sum_wordlen <= 10 * n_words)
+            AND (n_stop >= 2) AND (5 * n_types > n_words)) AS keep
+    FROM m
+    """,
+)
+def ext_text_quality_rules(spark, sf_dir):
+    """Gopher-rule quality gate with a per-rule boolean breakdown;
+    all-integer rule arithmetic so every flag is engine-exact."""
+    return text.quality_rules(load_table(spark, sf_dir, "documents"))
