@@ -180,3 +180,44 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return m.mapInPandas(run, FRAME_SCHEMA)
+
+
+def patch_grid(docs: DataFrame, patch: int = 48) -> DataFrame:
+    """ViT-style patch-grid manifest for the image rows: grid shape,
+    patch count, and right/bottom padding at a given patch size.
+
+    The preprocessing planner for an image training pipeline: how many
+    patches each image yields (sequence length) and how much padding
+    the resize adds, computed from METADATA ONLY — the payload column
+    is never read (the same pruning contract media_scan_stats pins).
+    All arithmetic is integer (ceil via (x + patch - 1) / patch with
+    exact double division of small ints), so rows hash identically.
+    """
+    # Compute width/height from the shared metadata formulas instead
+    # of extracting them out of media_table's meta struct: a struct
+    # field referenced many times keeps the WHOLE struct (including
+    # the payload-derived n_bytes) alive past CollapseProject,
+    # dragging the text column into the scan. Direct formulas let the
+    # scan prune to doc_id alone (ReadSchema asserted in test_plans).
+    mime = F.element_at(
+        F.array(*[F.lit(m) for m in MIMES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    flat = docs.where(mime == "image/png").select(
+        "doc_id",
+        (F.col("doc_id") % 16 * 64 + 256).alias("width"),
+        (F.col("doc_id") % 9 * 64 + 144).alias("height"),
+    )
+    w = F.col("width")
+    h = F.col("height")
+    nx = F.floor((w + patch - 1) / patch).cast("int")
+    ny = F.floor((h + patch - 1) / patch).cast("int")
+    return flat.select(
+        "doc_id",
+        w.alias("width"),
+        h.alias("height"),
+        nx.alias("n_patches_x"),
+        ny.alias("n_patches_y"),
+        (nx * ny).alias("n_patches"),
+        (nx * patch - w).cast("int").alias("pad_x"),
+        (ny * patch - h).cast("int").alias("pad_y"),
+    )

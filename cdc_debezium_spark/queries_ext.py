@@ -1401,3 +1401,30 @@ def ext_text_quality_rules(spark, sf_dir):
     """Gopher-rule quality gate with a per-rule boolean breakdown;
     all-integer rule arithmetic so every flag is engine-exact."""
     return text.quality_rules(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ext_multimodal_patches",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 16) * 64 + 256 AS width,
+           (doc_id % 9) * 64 + 144 AS height,
+           CAST(floor(((doc_id % 16) * 64 + 256 + 47) / 48) AS INTEGER)
+             AS n_patches_x,
+           CAST(floor(((doc_id % 9) * 64 + 144 + 47) / 48) AS INTEGER)
+             AS n_patches_y,
+           CAST(floor(((doc_id % 16) * 64 + 256 + 47) / 48)
+                * floor(((doc_id % 9) * 64 + 144 + 47) / 48) AS INTEGER)
+             AS n_patches,
+           CAST(floor(((doc_id % 16) * 64 + 256 + 47) / 48) * 48
+                - ((doc_id % 16) * 64 + 256) AS INTEGER) AS pad_x,
+           CAST(floor(((doc_id % 9) * 64 + 144 + 47) / 48) * 48
+                - ((doc_id % 9) * 64 + 144) AS INTEGER) AS pad_y
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+)
+def ext_multimodal_patches(spark, sf_dir):
+    """ViT patch-grid manifest (sequence length + padding per image)
+    from metadata only — the payload column is pruned away."""
+    return multimodal.patch_grid(load_table(spark, sf_dir, "documents"), patch=48)

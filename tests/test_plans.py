@@ -354,3 +354,12 @@ def test_tpch_q5_broadcasts_dims_and_pushes_filters(spark, sf_dir):
     # date predicate belongs to the orders scan — assert on full plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_patch_grid_scan_prunes_to_doc_id(spark, sf_dir):
+    """The ViT patch-grid manifest is metadata-only: neither the text
+    payload nor any other document column may reach the scan."""
+    rs = read_schema(registry.QUERIES["ext_multimodal_patches"](spark, sf_dir))
+    assert "doc_id" in rs
+    for col in ("text", "n_chars", "lang", "source"):
+        assert col not in rs
