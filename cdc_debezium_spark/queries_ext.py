@@ -1,7 +1,7 @@
 """Driver keys for LLM-data-pipeline extensions (SURVEY.md §2.G) — M5.
 
-Every key has a full DuckDB oracle except `ext_multimodal_features`
-(mapInPandas decode plumbing — genuinely non-SQL; rows-only check).
+Every key has a full DuckDB oracle (`ext_multimodal_features`
+included — the fake codec is deliberately SQL-expressible).
 The oracles emulate the ENTIRE pipeline (including MinHash banding),
 not just the ideal result, so recall characteristics are verified too.
 All float thresholds are applied to bit-identical float64 arithmetic
@@ -911,7 +911,7 @@ def ext_embedding_quantize(spark, sf_dir):
               - n_tokens) // 2048 AS pack_id
       FROM t
     )
-    SELECT pack_id, count(*) AS n_docs,
+    SELECT CAST(pack_id AS BIGINT) AS pack_id, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM p GROUP BY pack_id
@@ -940,7 +940,7 @@ def ext_pack_sequences(spark, sf_dir):
               - n_tokens) // 2048 AS pack_id
       FROM t
     )
-    SELECT shard, pack_id, count(*) AS n_docs,
+    SELECT shard, CAST(pack_id AS BIGINT) AS pack_id, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM p GROUP BY shard, pack_id
@@ -970,7 +970,8 @@ def ext_pack_sequences_sharded(spark, sf_dir):
         md5(text) AS content_md5
       FROM documents
     )
-    SELECT mime, count(*) AS n_media, sum(n_bytes) AS total_bytes,
+    SELECT mime, count(*) AS n_media,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            max(width) AS max_width,
            floor((avg(duration_s)) * 10000.0 + 0.5) / 10000.0 AS avg_duration_s,
            count(content_md5) AS n_hashed
@@ -987,7 +988,10 @@ def ext_multimodal_scan(spark, sf_dir):
     # The mapInPandas plumbing is the real artifact; the fake codec's
     # byte-moment output is designed to be SQL-expressible (ASCII
     # corpus: byte == codepoint; strict left folds both engines) so
-    # even this lane carries a full value-hash oracle.
+    # even this lane carries a full value-hash oracle. The registered
+    # query flattens the feature vector to scalar columns — the
+    # driver's canonicalizer can't sort/hash array cells — while
+    # `extract_features` keeps the array API for library users.
     oracle="""
     WITH b AS (
       SELECT doc_id,
@@ -1004,18 +1008,30 @@ def ext_multimodal_scan(spark, sf_dir):
       FROM b
     )
     SELECT doc_id, mime, n_bytes,
-           [CAST(n_bytes AS DOUBLE), mean,
-            floor(list_reduce(list_transform(bs, x -> (x - mean) * (x - mean)),
-                              (a, x) -> a + x) / n_bytes * 1000000 + 0.5) / 1000000,
-            bs[1]] AS feature
+           CAST(n_bytes AS DOUBLE) AS feat_len,
+           mean AS feat_mean,
+           floor(list_reduce(list_transform(bs, x -> (x - mean) * (x - mean)),
+                             (a, x) -> a + x) / n_bytes * 1000000 + 0.5) / 1000000
+             AS feat_var6,
+           bs[1] AS feat_first
     FROM m
     """,
 )
 def ext_multimodal_features(spark, sf_dir):
     """Arrow-batched feature extraction over binary payloads (stubbed
     codec, real mapInPandas plumbing; real backends raise — see
-    multimodal.decode_media)."""
-    return multimodal.extract_features(load_table(spark, sf_dir, "documents"))
+    multimodal.decode_media). Output is driver-hashable: the 4-moment
+    feature vector is flattened to scalar doubles."""
+    feats = multimodal.extract_features(load_table(spark, sf_dir, "documents"))
+    return feats.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        F.element_at("feature", 1).alias("feat_len"),
+        F.element_at("feature", 2).alias("feat_mean"),
+        F.element_at("feature", 3).alias("feat_var6"),
+        F.element_at("feature", 4).alias("feat_first"),
+    )
 
 
 NGRAM_PAIRS_SQL = (

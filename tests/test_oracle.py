@@ -33,3 +33,31 @@ def test_every_query_has_callable():
     assert registry.QUERIES, "registry must not be empty"
     for key in registry.ORACLES:
         assert key in registry.QUERIES
+
+
+def test_harness_rejects_hugeint_drift(spark, sf_dir):
+    """A deliberately uncast HUGEINT oracle must fail locally — this is
+    the exact class that slipped through to the driver in r1/r2
+    (sum(BIGINT) -> HUGEINT -> pandas float64 vs Spark int64)."""
+    import pandas as pd
+
+    from cdc_debezium_spark.testing import assert_driver_hashable
+
+    spark_pdf = pd.DataFrame({"total": pd.array([10, 20], dtype="int64")})
+    duck_pdf = pd.DataFrame({"total": pd.array([10.0, 20.0], dtype="float64")})
+    with pytest.raises(AssertionError, match="dtype mismatch"):
+        assert_driver_hashable("fake_key", spark_pdf, duck_pdf)
+
+
+def test_harness_rejects_array_columns(spark, sf_dir):
+    """Array-typed output cells are unhashable at the driver's
+    canonicalizer (numpy.ndarray in sort_values) — must fail locally."""
+    import numpy as np
+    import pandas as pd
+
+    from cdc_debezium_spark.testing import assert_driver_hashable
+
+    arr = pd.Series([np.array([1.0]), np.array([2.0])], dtype=object)
+    pdf = pd.DataFrame({"feature": arr})
+    with pytest.raises(AssertionError, match="un-hashable"):
+        assert_driver_hashable("fake_key", pdf, pdf)
