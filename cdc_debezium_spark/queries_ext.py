@@ -666,9 +666,116 @@ def ext_similarity_ivf_trained(spark, sf_dir):
     float sums bit-exact cross-engine), so centroid training itself is
     driver-verified. Fixed k keeps assignment O(n*k) at corpus scale."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # localCheckpoint (eager, 16 rows) — three downstream consumers
-    # would otherwise each replay the two training iterations
-    cents = similarity.kmeans_centroids(emb, k=16, iters=2).localCheckpoint()
+    # kmeans_centroids returns a k-row LOCAL relation (centroids are
+    # driver state between iterations) — downstream consumers get a
+    # flat plan with no training lineage to replay
+    cents = similarity.kmeans_centroids(emb, k=16, iters=2, cache_key=sf_dir)
+    return similarity.ivf_topk(emb, n_queries=10, k=5, nprobe=2, cents=cents)
+
+
+def _duck_kmeans_quant_ctes(k: int, iters: int, scale: float, dim: int) -> tuple[str, str]:
+    """CTE chain mirroring kmeans_centroids(exact=False): the
+    production update lane. Coordinates are quantized to integers
+    (floor(x*scale + 0.5)); per-dimension integer sums are
+    associative-exact, so the centroid means are bit-identical
+    cross-engine without any sorted fold."""
+    parts = [
+        f"qn AS (SELECT vec_id, v, nrm, list_transform(v, "
+        f"x -> CAST(floor(x * {scale} + 0.5) AS BIGINT)) AS qv FROM n)",
+        f"c0 AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < {k})",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, qv, cell FROM (
+        SELECT n.vec_id, n.qv, c.cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY {_duck_dot('c', 'n')} / (c.nrm * n.nrm) DESC, c.cell
+               ) AS rn
+        FROM qn n CROSS JOIN {prev} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"u{i} AS (SELECT cell, unnest(qv) AS qval, "
+            f"unnest(range(1, {dim} + 1)) AS pos FROM a{i})"
+        )
+        parts.append(
+            f"s{i} AS (SELECT cell, pos, sum(qval) AS s "
+            f"FROM u{i} GROUP BY cell, pos)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT cell, count(*) AS n_members "
+            f"FROM a{i} GROUP BY cell)"
+        )
+        parts.append(
+            f"""c{i} AS (
+      SELECT s.cell,
+             list((CAST(s.s AS DOUBLE) / m.n_members) / {scale} ORDER BY s.pos) AS v
+      FROM s{i} s JOIN m{i} m ON s.cell = m.cell
+      GROUP BY s.cell, m.n_members)"""
+        )
+        parts.append(
+            f"c{i}n AS (SELECT cell, v, sqrt(list_reduce("
+            f"list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm "
+            f"FROM c{i})"
+        )
+        prev = f"c{i}n"
+    return ",\n    ".join(parts), prev
+
+
+_KMQ_CTES, _KMQ_FINAL = _duck_kmeans_quant_ctes(k=16, iters=2, scale=float(2**20), dim=64)
+
+
+@query(
+    "ext_similarity_ivf_prod",
+    oracle=f"""
+    WITH {EMB_CTE},
+    {_KMQ_CTES},
+    asg AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT n.vec_id, n.v, n.nrm, c.cell,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_duck_dot('c', 'n')} / (c.nrm * n.nrm) DESC, c.cell
+               ) AS rn
+        FROM n CROSS JOIN {_KMQ_FINAL} c) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, qn, cell FROM (
+        SELECT n.vec_id AS query_id, n.v AS qv, n.nrm AS qn, c.cell,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_duck_dot('c', 'n')} / (c.nrm * n.nrm) DESC, c.cell
+               ) AS rn
+        FROM n CROSS JOIN {_KMQ_FINAL} c WHERE n.vec_id < 10)
+      WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, len(p.qv) + 1),
+               i -> p.qv[i] * a.v[i]), (x, y) -> x + y) / (p.qn * a.nrm) AS c
+      FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.query_id
+    )
+    SELECT query_id, rank, neighbor_id,
+           floor((c) * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM (SELECT query_id, neighbor_id, c,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ext_similarity_ivf_prod(spark, sf_dir):
+    """IVF ANN over the PRODUCTION k-means lane: centroid updates are
+    per-dimension integer sums of quantized coordinates — a plain
+    partial+final hash aggregate (no per-cell collect_list, no sorted
+    fold) that stays deterministic by integer associativity. The
+    oracle re-runs the identical quantized training, so the 100 TB
+    update lane is value-hash verified, not just shape-tested."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(
+        emb, k=16, iters=2, exact=False, cache_key=sf_dir
+    )
     return similarity.ivf_topk(emb, n_queries=10, k=5, nprobe=2, cents=cents)
 
 

@@ -363,3 +363,65 @@ def test_patch_grid_scan_prunes_to_doc_id(spark, sf_dir):
     assert "doc_id" in rs
     for col in ("text", "n_chars", "lang", "source"):
         assert col not in rs
+
+
+def test_kmeans_prod_update_no_member_materialization(spark, sf_dir):
+    """The production k-means update (exact=False) must be a plain
+    partial+final hash aggregate: per-cell state is dim+1 longs. Any
+    collect_list / sorted-fold in this plan means a cell row holds n/k
+    full vectors — the exact scale hazard the oracle lane accepts and
+    the production lane exists to avoid."""
+    from cdc_debezium_spark.ext import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = S._quantized(S._with_unit(emb), float(2**20))
+    rows = (
+        v.where(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cnorm"),
+        )
+        .collect()
+    )
+    cents = spark.createDataFrame(rows, S.CENT_SCHEMA)
+    asg = S._assign_packed(v, cents, ["qv"])
+    update = S._update_quant(asg, dim=64, scale=float(2**20))
+    # Scope the assertion to the corpus-side UPDATE aggregate: the
+    # plan's only collect_list may be the k-row centroid pack (bounded
+    # by k, fine at scale); the member aggregation itself must be
+    # plain partial+final sums with no sorted fold.
+    plan = _physical(update)
+    agg_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "HashAggregate(keys=[cell" in ln and "ObjectHashAggregate" not in ln
+    ]
+    assert agg_lines, plan
+    assert all("collect_list" not in ln for ln in agg_lines), plan
+    assert "array_sort" not in plan, plan
+    assert "SortAggregate" not in plan, plan
+    assert "partial_sum" in plan or "partial_count" in plan or "sum" in plan
+    # and the exact lane keeps the sorted fold (oracle determinism);
+    # assert on the optimized LOGICAL plan — the physical toString
+    # truncates long expression trees and can hide the tokens
+    exact_v = S._with_unit(emb)
+    exact_update = S._update_exact(S._assign_packed(exact_v, cents, ["v"]))
+    exact_logical = exact_update._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_sort" in exact_logical and "collect_list" in exact_logical
+
+
+def test_ivf_index_persist_roundtrip(spark, sf_dir, tmp_path):
+    """train_ivf_index persists the k-row centroid table; query paths
+    load it and never re-train (no training on the query path)."""
+    from cdc_debezium_spark.ext import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    trained = S.train_ivf_index(emb, path, k=16, iters=2, exact=False)
+    loaded = S.load_ivf_index(spark, path)
+    t = {r["cell"]: (r["cv"], r["cnorm"]) for r in trained.collect()}
+    l = {r["cell"]: (r["cv"], r["cnorm"]) for r in loaded.collect()}
+    assert t == l
+    topk = S.ivf_topk(emb, n_queries=5, k=5, nprobe=2, cents=loaded)
+    assert topk.count() > 0
