@@ -120,6 +120,26 @@ def test_embedding_ann_subset_and_recall(emb):
     assert len(ann) / len(brute) >= 0.8
 
 
+def test_embedding_ann_sub_blocking_invariant(emb):
+    """Oversized-cell sub-blocking must not change the answer: a tiny
+    block_rows forces every cell into many block pairs (a skewed-cell
+    stand-in — at sf0.001 with stride=100 most vectors share a handful
+    of cells), and the emitted pair set must equal the single-block
+    run exactly, cosines included."""
+    whole = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_near_dupes_ann(
+            emb, 0.4, block_rows=1_000_000
+        ).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_near_dupes_ann(emb, 0.4, block_rows=7).collect()
+    }
+    assert whole and set(blocked) == set(whole)
+    assert all(whole[p] == c for p, c in blocked.items())
+
+
 def test_ngram_cap_drops_hot_shingle_only_pairs(spark):
     """With max_df=1, pairs whose ONLY shared shingle is corpus-hot
     must drop; pairs sharing a rare shingle must survive with their
