@@ -411,3 +411,53 @@ def quality_rules(docs: DataFrame) -> DataFrame:
         r_ttr.alias("r_ttr"),
         (r_len & r_wordlen & r_stop & r_ttr).alias("keep"),
     )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """CCNet-style unigram language-model score per document: the mean
+    negative log2-probability of the document's tokens under the
+    corpus unigram distribution. Low scores = highly predictable
+    (boilerplate/repetition); very high = out-of-distribution noise —
+    the classic cheap perplexity proxy for corpus filtering.
+
+    score = log2(N) - (Σ_t tf(d,t)·log2(cnt(t))) / |d|
+
+    Shape: one (doc_id, token) tf shuffle, one token→corpus-count
+    shuffle, a broadcast of the 1-row corpus total, then a per-doc
+    SORTED left-to-right fold over the (token, tf, cnt) list — the
+    entropy-lane determinism pattern: float sums stay bit-identical
+    cross-engine; 4dp floor rounding absorbs libm log2 ulp skew. The
+    per-doc list is bounded by the doc's distinct-token count.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(tokens_col(), lambda t: t != F.lit(""))).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    cnt = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    total = cnt.agg(F.sum("cnt").alias("n_total"))
+    per_doc = (
+        tf.join(cnt, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("tok", "tf", "cnt"))
+            ).alias("ts")
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    n_tok = F.aggregate("ts", F.lit(0).cast("long"), lambda a, s: a + s["tf"])
+    logsum = F.aggregate(
+        "ts",
+        F.lit(0.0),
+        lambda a, s: a + s["tf"].cast("double") * F.log2(s["cnt"].cast("double")),
+    )
+    score = F.log2(F.col("n_total").cast("double")) - logsum / n_tok.cast(
+        "double"
+    )
+    return per_doc.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size("ts").alias("n_types"),
+        (F.floor(score * 10000.0 + F.lit(0.5)) / 10000.0).alias("neg_log2p"),
+    )

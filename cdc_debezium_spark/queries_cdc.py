@@ -280,6 +280,40 @@ def dedup_exact(spark, sf_dir):
 
 
 @query(
+    "cdc_agg_view",
+    oracle=CDC_CTE
+    + """
+    SELECT pk % 16 AS bucket_id, count(*) AS n_keys,
+           CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS sum_last_val,
+           max(ts_us) AS max_ts_us
+    FROM (
+      SELECT * FROM cdc_events
+      QUALIFY row_number() OVER (PARTITION BY pk ORDER BY ts_us DESC, ord2 DESC) = 1
+    )
+    WHERE op <> 'd'
+    GROUP BY bucket_id
+    """,
+)
+def cdc_agg_view(spark, sf_dir):
+    """Aggregated view over latest-state: per-bucket live-key count,
+    exact-decimal value sum, and freshness watermark — the DW
+    "aggregated data" contract (README.md:78-80) as a queryable batch
+    surface. The streaming twin is IncrementalAggViewSink, which
+    maintains THIS aggregate incrementally (delta-scoped bucket
+    recompute); test_incremental_agg_view_parity pins streamed ≡
+    batch. Buckets are pk % 16 (engine-exact integers)."""
+    ce = cdc.cdc_events(spark, sf_dir)
+    live = cdc.latest_state(ce)
+    return live.groupBy((F.col("pk") % 16).alias("bucket_id")).agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.col("val").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_last_val"),
+        F.max("ts_us").alias("max_ts_us"),
+    )
+
+
+@query(
     "cdc_pipeline_metrics",
     oracle="""
     SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,

@@ -1,0 +1,167 @@
+"""Driver keys for event-log analytics over `analytics.events`.
+
+The reference captures a user-activity event table (MySQL include list
+`analytics.events`, k8s-manifests/connectors/postgresql-connector.yaml:95)
+and routes it into "aggregated data" consumers (README.md:78-80). These
+keys realize the standard event-analytics surface a DW sink serves over
+that stream: cohort retention, ordered funnels, and sketch-based
+quantiles — all expressed as plain DataFrame programs whose shuffles
+key on user_id (the topic's hash-partitioning key,
+prod-resources.yaml:94-95), so at 100 TB every stage is co-partitioned
+with the ingest layout.
+
+All time math is integer µs (`ts_us div`), engine-exact.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from .registry import query
+from .sources.catalog import load_table
+
+US_PER_DAY = 86_400_000_000
+
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+@query(
+    "events_cohort_retention",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {US_PER_DAY} AS day
+      FROM events
+    ),
+    c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+    SELECT c.cohort_day, d.day - c.cohort_day AS offset_day,
+           count(DISTINCT d.user_id) AS n_users
+    FROM d JOIN c ON d.user_id = c.user_id
+    GROUP BY c.cohort_day, offset_day
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-active day,
+    counted on each later active day (offset). The DW-sink report every
+    product-analytics pipeline derives from an activity stream.
+
+    Shape: one (user, day) distinct shuffle, a per-user min (partial
+    agg), and a join co-partitioned on user_id — no window over the
+    full log. Day buckets are integer µs division (engine-exact).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr(f"ts_us div {US_PER_DAY}").alias("day")
+    ).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_day")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def _funnel_oracle() -> str:
+    parts = [
+        """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (SELECT user_id, min(us) AS t FROM e
+           WHERE event_type = 'signup' GROUP BY user_id)"""
+    ]
+    for i, stage in enumerate(FUNNEL_STAGES[1:], start=2):
+        parts.append(
+            f"""s{i} AS (
+      SELECT e.user_id, min(us) AS t
+      FROM e JOIN s{i - 1} p ON e.user_id = p.user_id
+      WHERE e.event_type = '{stage}' AND e.us > p.t
+      GROUP BY e.user_id)"""
+        )
+    selects = [
+        f"SELECT {i} AS stage_idx, '{stage}' AS stage, "
+        f"count(*) AS n_users FROM s{i + 1}"
+        for i, stage in enumerate(FUNNEL_STAGES)
+    ]
+    return ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@query("events_funnel", oracle=_funnel_oracle())
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup -> view -> click -> purchase:
+    a user reaches stage k only with a stage-k event strictly after
+    their first stage-(k-1) completion time.
+
+    Shape: one conditional-min aggregate per stage, each joined
+    co-partitioned on user_id (the funnel is a chain of semi-join-
+    shaped hops, never a self-join of the full log); stage outputs are
+    1-row aggregates unioned at the end. All comparisons are integer
+    µs — engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts_us").alias("us")
+    )
+    reached = ev.where(F.col("event_type") == FUNNEL_STAGES[0]).groupBy(
+        "user_id"
+    ).agg(F.min("us").alias("t"))
+    stages = [reached]
+    for stage in FUNNEL_STAGES[1:]:
+        prev = stages[-1].select("user_id", F.col("t").alias("pt"))
+        nxt = (
+            ev.where(F.col("event_type") == stage)
+            .join(prev, "user_id")
+            .where(F.col("us") > F.col("pt"))
+            .groupBy("user_id")
+            .agg(F.min("us").alias("t"))
+        )
+        stages.append(nxt)
+    counts = [
+        s.agg(F.count("*").alias("n_users")).select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            "n_users",
+        )
+        for i, (stage, s) in enumerate(zip(FUNNEL_STAGES, stages))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@query(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT event_type, count(*) AS n_rows, TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_quantile(spark, sf_dir):
+    """C14 approximate lane: sketch-based quantiles per segment.
+
+    At 100 TB an exact percentile is a full sort per group; the
+    approx_percentile sketch is KBs per group and mergeable across
+    partitions. Sketch internals are engine-specific, so the driver
+    gate uses the HLL error-bound pattern (agg_approx_distinct): the
+    query computes the approx median AND the exact 49th/51st
+    percentiles and emits within_bound = p49 <= approx <= p51 (the
+    sketch's rank error at accuracy=10000 is far inside that band);
+    the oracle asserts TRUE per group. Production uses the approx-only
+    aggregate — the exact percentiles exist to power the check.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_med"),
+            F.expr("percentile(value, 0.49)").alias("p49"),
+            F.expr("percentile(value, 0.51)").alias("p51"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            (
+                (F.col("approx_med") >= F.col("p49"))
+                & (F.col("approx_med") <= F.col("p51"))
+            ).alias("within_bound"),
+        )
+    )

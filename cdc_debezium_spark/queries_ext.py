@@ -918,6 +918,47 @@ def ext_text_entropy(spark, sf_dir):
 
 
 @query(
+    "ext_text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, ' '),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    cnt AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY tok),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnt),
+    per_doc AS (
+      SELECT doc_id,
+             list({'tok': t.tok, 'tf': t.tf, 'cnt': c.cnt} ORDER BY t.tok) AS ts
+      FROM tf t JOIN cnt c ON t.tok = c.tok GROUP BY doc_id
+    ),
+    folded AS (
+      SELECT doc_id, ts,
+             CAST(list_reduce(list_transform(ts, s -> s.tf),
+                              (a, x) -> a + x) AS BIGINT) AS n_tokens,
+             list_reduce(list_transform(ts,
+                 s -> CAST(s.tf AS DOUBLE) * log2(CAST(s.cnt AS DOUBLE))),
+                 (a, x) -> a + x) AS logsum
+      FROM per_doc
+    )
+    SELECT doc_id, n_tokens, CAST(len(ts) AS INTEGER) AS n_types,
+           floor((log2(CAST((SELECT n_total FROM tot) AS DOUBLE))
+                  - logsum / CAST(n_tokens AS DOUBLE)) * 10000.0 + 0.5)
+             / 10000.0 AS neg_log2p
+    FROM folded
+    """,
+)
+def ext_text_unigram_logprob(spark, sf_dir):
+    """CCNet-style unigram LM score (mean -log2 p(token) under the
+    corpus distribution) — the cheap perplexity proxy for corpus
+    filtering; sorted per-doc fold keeps the float sum engine-exact,
+    4dp absorbs libm ulp skew."""
+    return text.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "ext_sample_mixture",
     oracle=f"""
     WITH s AS (

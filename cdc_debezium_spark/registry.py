@@ -54,6 +54,7 @@ def load_all() -> None:
     that most need an external signal this round (see _PRIORITY)."""
     from . import queries_ext  # noqa: F401
     from . import queries_cdc  # noqa: F401
+    from . import queries_events  # noqa: F401
     from . import queries_relational  # noqa: F401
     from . import queries_scalar  # noqa: F401
     from . import queries_streaming  # noqa: F401

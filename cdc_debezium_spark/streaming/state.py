@@ -40,6 +40,7 @@ class ParquetUpsertSink:
         op_col: str = "op",
         drop_deleted: bool = True,
         n_buckets: int = 16,
+        bucket_expr=None,
     ) -> None:
         self.path = path
         self.keys = list(keys)
@@ -47,13 +48,19 @@ class ParquetUpsertSink:
         self.op_col = op_col
         self.drop_deleted = drop_deleted
         self.n_buckets = n_buckets
+        # bucket_expr: optional Column overriding the xxhash layout
+        # (e.g. a plain key mod, when a derived view must share the
+        # state's bucketing so its recompute partition-prunes)
+        self.bucket_expr = bucket_expr
         self._initialized = False
 
     def _bucketed(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            BUCKET_COL,
-            F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)),
+        expr = (
+            self.bucket_expr
+            if self.bucket_expr is not None
+            else F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets))
         )
+        return df.withColumn(BUCKET_COL, expr)
 
     def current_state(self, spark: SparkSession) -> DataFrame | None:
         try:
@@ -133,6 +140,103 @@ class ParquetUpsertSink:
         if self.drop_deleted:
             df = df.filter(F.col(self.op_col) != "d")
         return df
+
+
+class IncrementalAggViewSink:
+    """`foreachBatch` target maintaining a latest-state table AND a
+    derived per-bucket aggregate view, incrementally.
+
+    The incremental materialized-view pattern for aggregates over CDC
+    state: deltas can't be blindly added (an update REPLACES a key's
+    contribution), so each micro-batch (1) upserts latest-state, then
+    (2) re-aggregates ONLY the state buckets the batch touched and
+    dynamically overwrites those aggregate partitions. Work per batch
+    is O(touched buckets), not O(state): at 100 TB with 4096 buckets a
+    typical batch refreshes a small fraction of the view — the
+    delta-scoped recompute every DW "aggregated data" sink
+    (reference README.md:78-80) needs to stay fresh without full
+    rebuilds. A bucket whose last live key is deleted is rewritten
+    with an n_keys=0 row (never left stale); readers filter it.
+
+    `agg_fn` maps the live state of the touched buckets (grouped by
+    BUCKET_COL) to one row per bucket; the default mirrors the
+    `cdc_agg_view` driver key.
+    """
+
+    def __init__(
+        self,
+        state_path: str,
+        agg_path: str,
+        keys: Sequence[str] = ("pk",),
+        order: Sequence[str] = ("ts_us", "ord2"),
+        op_col: str = "op",
+        n_buckets: int = 16,
+        bucket_expr=None,
+        agg_fn=None,
+    ) -> None:
+        self.upsert = ParquetUpsertSink(
+            state_path,
+            keys=keys,
+            order=order,
+            op_col=op_col,
+            drop_deleted=True,
+            n_buckets=n_buckets,
+            bucket_expr=bucket_expr,
+        )
+        self.agg_path = agg_path
+        self.agg_fn = agg_fn or self._default_agg
+
+    @staticmethod
+    def _default_agg(live: DataFrame) -> DataFrame:
+        return live.groupBy(BUCKET_COL).agg(
+            F.count("*").alias("n_keys"),
+            F.sum(F.col("val").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_last_val"),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        self.upsert(batch, batch_id)
+        touched = [
+            r[BUCKET_COL]
+            for r in self.upsert._bucketed(batch)
+            .select(BUCKET_COL)
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return
+        state = spark.read.parquet(self.upsert.path)
+        live = state.filter(F.col(self.upsert.op_col) != "d").filter(
+            F.col(BUCKET_COL).isin(touched)
+        )
+        agg = self.agg_fn(live)
+        # union in zero rows for touched buckets that lost their last
+        # live key, so their old aggregate partition is overwritten
+        tb = spark.createDataFrame(
+            [(int(b),) for b in touched], f"{BUCKET_COL} long"
+        )
+        zero_cols = [
+            F.lit(0).cast(f.dataType).alias(f.name)
+            for f in agg.schema.fields
+            if f.name != BUCKET_COL
+        ]
+        zeros = tb.select(BUCKET_COL, *zero_cols).join(
+            agg.select(BUCKET_COL), BUCKET_COL, "left_anti"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            agg.unionByName(zeros)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.agg_path)
+        )
+
+    def read(self, spark: SparkSession, live_only: bool = True) -> DataFrame:
+        df = spark.read.parquet(self.agg_path)
+        return df.filter(F.col("n_keys") > 0) if live_only else df
 
 
 def run_upsert_stream(

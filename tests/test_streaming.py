@@ -561,3 +561,61 @@ def test_streaming_incremental_lsh_matches_batch(spark, sf_dir, tmp_path):
     }
     assert len(got) == len(set(got))  # exactly-once pair emission
     assert set(got) == want
+
+
+def test_incremental_agg_view_parity(spark, sf_dir, tmp_path):
+    """Incremental MV maintenance: chunked replay through
+    IncrementalAggViewSink must land exactly the batch cdc_agg_view
+    aggregate, and a later micro-batch touching one key must rewrite
+    only that key's bucket partition (delta-scoped recompute)."""
+    import os
+    import time
+
+    from cdc_debezium_spark import registry
+    from cdc_debezium_spark.streaming.state import (
+        BUCKET_COL,
+        IncrementalAggViewSink,
+    )
+
+    registry.load_all()
+    chunk_dir = str(tmp_path / "chunks_agg")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+
+    sink = IncrementalAggViewSink(
+        str(tmp_path / "agg_state"),
+        str(tmp_path / "agg_view"),
+        bucket_expr=F.pmod(F.col("pk"), F.lit(16)),
+    )
+    stream = cdc.to_cdc(read_event_stream(spark, chunk_dir))
+    q = run_upsert_stream(stream, sink, str(tmp_path / "agg_cp"))
+    q.awaitTermination(120)
+
+    got = _rows(
+        sink.read(spark).withColumnRenamed(BUCKET_COL, "bucket_id"),
+        ["bucket_id", "n_keys", "sum_last_val", "max_ts_us"],
+    )
+    want = _rows(
+        registry.QUERIES["cdc_agg_view"](spark, sf_dir),
+        ["bucket_id", "n_keys", "sum_last_val", "max_ts_us"],
+    )
+    assert got == want
+
+    # incrementality: one more batch touching a single pk -> exactly
+    # one bucket partition dir rewritten
+    agg_dir = str(tmp_path / "agg_view")
+    before = {
+        d: os.path.getmtime(os.path.join(agg_dir, d))
+        for d in os.listdir(agg_dir)
+        if d.startswith(f"{BUCKET_COL}=")
+    }
+    time.sleep(1.1)
+    one = cdc.cdc_events(spark, sf_dir).orderBy("ord2").limit(1)
+    pk = one.collect()[0]["pk"]
+    sink(one.withColumn("ts_us", F.col("ts_us") + F.lit(10**15)), 99)
+    after = {
+        d: os.path.getmtime(os.path.join(agg_dir, d))
+        for d in os.listdir(agg_dir)
+        if d.startswith(f"{BUCKET_COL}=")
+    }
+    changed = {d for d in after if after[d] != before.get(d)}
+    assert changed == {f"{BUCKET_COL}={pk % 16}"}
