@@ -464,6 +464,46 @@ def simhash_near_pairs(
     )
 
 
+def edit_distance_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    prefix_len: int = 64,
+    max_edits: int = 24,
+) -> DataFrame:
+    """Character-level near-dup pairs: SimHash-blocked candidates
+    verified by Levenshtein distance on fixed-length prefixes.
+
+    The fuzzy-match lane MinHash/SimHash can't express: token-set
+    methods miss small character-level edits (OCR noise, typo farms,
+    template fills); edit distance catches them but is O(len²) per
+    pair — so it runs ONLY on the blocked candidate set (sum of block
+    squares, never corpus²), and on a bounded prefix so per-pair cost
+    is a constant O(prefix_len²). Both engines implement unit-cost
+    Levenshtein over codepoints, so the verify is engine-exact.
+    """
+    cands = simhash_near_pairs(docs, max_hamming=max_hamming)
+    pref = docs.select(
+        "doc_id", F.substring("text", 1, prefix_len).alias("pref")
+    )
+    return (
+        cands.join(
+            pref.select(
+                F.col("doc_id").alias("doc_a"), F.col("pref").alias("pref_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            pref.select(
+                F.col("doc_id").alias("doc_b"), F.col("pref").alias("pref_b")
+            ),
+            "doc_b",
+        )
+        .withColumn("lev", F.levenshtein("pref_a", "pref_b"))
+        .where(F.col("lev") <= max_edits)
+        .select("doc_a", "doc_b", "hamming", "lev")
+    )
+
+
 def embedding_near_dupes(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute-force reference lane).
 

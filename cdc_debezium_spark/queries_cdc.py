@@ -280,6 +280,39 @@ def dedup_exact(spark, sf_dir):
 
 
 @query(
+    "cdc_schema_drift_stats",
+    oracle="""
+    WITH kv AS (
+      SELECT unnest(json_keys(props)) AS key,
+             unnest(list_transform(json_keys(props),
+                    k -> json_extract_string(props, '$.' || k))) AS val
+      FROM events
+    )
+    SELECT key, count(*) AS n_events,
+           count(DISTINCT val) AS n_values,
+           (key = 'k') AS is_expected
+    FROM kv GROUP BY key
+    """,
+)
+def cdc_schema_drift_stats(spark, sf_dir):
+    """A7 as a queryable surface: per-key payload-schema census over
+    the schemaless JSON lane (JsonConverter schemas.enable=false,
+    prod-resources.yaml:12-13). Every key seen in the wire payloads is
+    counted and flagged against the expected schema — the batch analog
+    of the schema-change side topic: drift shows up as is_expected =
+    false rows. from_json into map<string,string> is the permissive
+    drift lane (SURVEY §1.3); one partial-agg shuffle on the key."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "val")
+    )
+    return kv.groupBy("key").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("val").alias("n_values"),
+    ).withColumn("is_expected", F.col("key") == "k")
+
+
+@query(
     "cdc_agg_view",
     oracle=CDC_CTE
     + """

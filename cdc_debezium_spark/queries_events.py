@@ -165,3 +165,93 @@ def agg_approx_quantile(spark, sf_dir):
             ).alias("within_bound"),
         )
     )
+
+
+@query(
+    "agg_approx_topk",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, item) AS INTEGER) AS rank,
+           item, n AS est_count
+    FROM (SELECT event_type AS item, count(*) AS n FROM events GROUP BY event_type)
+    QUALIFY rank <= 3
+    """,
+)
+def agg_approx_topk(spark, sf_dir):
+    """Heavy-hitter sketch: approx_top_k over the event-type stream.
+
+    At 100 TB exact top-k over a high-cardinality key is a full
+    aggregate; the frequent-items sketch is KBs and mergeable. With
+    maxItemsTracked >= the true cardinality the sketch's counts are
+    EXACT, so this key carries a full value oracle (not just a bound):
+    the fixture's 5 event types sit far under the 10k tracking budget.
+    The exploded rows are re-ranked deterministically (count desc,
+    item) so no sketch-internal ordering leaks into the result."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tk = ev.agg(F.expr("approx_top_k(event_type, 3, 10000)").alias("tk"))
+    flat = tk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("est_count")
+    )
+    w = Window.orderBy(F.desc("est_count"), F.asc("item"))
+    return flat.select(
+        F.row_number().over(w).alias("rank"), "item", "est_count"
+    )
+
+
+@query(
+    "agg_theta_sketch_distinct",
+    oracle="""
+    SELECT event_type, count(*) AS n_rows,
+           count(DISTINCT user_id) AS exact_users, TRUE AS within_bound
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type, count(*) AS n_rows,
+           count(DISTINCT user_id) AS exact_users, TRUE AS within_bound
+    FROM events
+    """,
+)
+def agg_theta_sketch_distinct(spark, sf_dir):
+    """Theta-sketch distinct counting with sketch-union set algebra —
+    the DataSketches lane for cross-segment dedup at 100 TB (sketches
+    are KBs, mergeable, and support union/intersection, which HLL
+    can't intersect). Per segment AND for the union of all segments
+    (theta_union_agg over per-segment sketches), the driver gate uses
+    the error-bound pattern: theta is exact below its nominal-entries
+    budget and well inside 5% beyond it; the oracle asserts TRUE plus
+    the exact counts."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.expr("theta_sketch_estimate(theta_sketch_agg(user_id))").alias("est"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count("*").alias("n_rows"),
+    )
+    sketches = ev.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk"),
+        F.countDistinct("user_id").alias("xu"),
+        F.count("*").alias("nr"),
+    )
+    allrow = sketches.agg(
+        F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("est"),
+        F.lit(None).cast("long").alias("exact_users"),
+        F.sum("nr").alias("n_rows"),
+    ).crossJoin(
+        ev.agg(F.countDistinct("user_id").alias("xall"))
+    ).select(
+        F.lit("__all__").alias("event_type"),
+        F.col("est"),
+        F.col("xall").alias("exact_users"),
+        F.col("n_rows"),
+    )
+    both = per.select("event_type", "est", "exact_users", "n_rows").unionByName(
+        allrow
+    )
+    return both.select(
+        "event_type",
+        "n_rows",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.ceil(F.col("exact_users") * 0.05)
+        ).alias("within_bound"),
+    )

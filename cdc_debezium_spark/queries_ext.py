@@ -470,6 +470,40 @@ def ext_dedup_simhash_pairs(spark, sf_dir):
     )
 
 
+@query(
+    "ext_dedup_levenshtein",
+    oracle=f"""
+    WITH {SIMHASH_SIG_CTE},
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    pref AS (SELECT doc_id, substr(text, 1, 64) AS pref FROM documents)
+    SELECT c.doc_a, c.doc_b, c.hamming,
+           levenshtein(pa.pref, pb.pref) AS lev
+    FROM cand c
+    JOIN pref pa ON pa.doc_id = c.doc_a
+    JOIN pref pb ON pb.doc_id = c.doc_b
+    WHERE levenshtein(pa.pref, pb.pref) <= 24
+    """,
+)
+def ext_dedup_levenshtein(spark, sf_dir):
+    """Character-level near-dup pairs: SimHash-blocked candidates
+    verified by prefix Levenshtein distance — the fuzzy-match lane
+    token-set methods miss (typo farms, OCR noise, template fills).
+    Edit distance runs only on candidates and bounded prefixes, so
+    per-pair cost is constant; both engines' unit-cost Levenshtein
+    makes the verify engine-exact."""
+    return dedup.edit_distance_near_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=3,
+        prefix_len=64,
+        max_edits=24,
+    )
+
+
 EMB_CTE = """
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 n AS (

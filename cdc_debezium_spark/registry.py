@@ -37,14 +37,22 @@ def query(key: str, oracle: str | None = None):
 # after 50), then the tpch_* flagships (added after the round-1
 # snapshot, so they too have no driver row yet).
 _PRIORITY = [
-    "type_coercion",
-    "json_map_explode",
-    "agg_approx_distinct",
-    # new §2-lane keys with no driver row yet
-    "doc_nested_roundtrip",
-    "window_distribution",
-    "agg_cube",
-    "cdc_pipeline_metrics",
+    # r2-red keys, fixed in r3 — need a green driver row
+    "ext_pack_sequences",
+    "ext_pack_sequences_sharded",
+    "ext_multimodal_scan",
+    "ext_multimodal_features",
+    # new r3 keys with no driver row yet
+    "ext_similarity_ivf_prod",
+    "ext_text_unigram_logprob",
+    "ext_dedup_levenshtein",
+    "events_cohort_retention",
+    "events_funnel",
+    "agg_approx_quantile",
+    "agg_approx_topk",
+    "agg_theta_sketch_distinct",
+    "cdc_agg_view",
+    "cdc_schema_drift_stats",
 ]
 
 
