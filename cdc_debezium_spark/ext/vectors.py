@@ -57,3 +57,61 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
         "qmin",
         "qmax",
     )
+
+
+def pq_encode(
+    emb: DataFrame, m: int = 4, sub: int = 16, k: int = 16
+) -> DataFrame:
+    """Product-quantization encoding manifest: each vector's `m`
+    subvectors are snapped to their nearest codebook entry, yielding
+    m small codes per vector (here 4 codes over 64 dims = 16x smaller
+    than int8) plus the total squared reconstruction error — the
+    storage transform behind every billion-scale ANN index (IVF-PQ).
+
+    Codebooks here are the deterministic placeholder (subvectors of
+    the k lowest-id vectors) so the whole encode is engine-exact and
+    oracle-checkable; production trains them with
+    similarity.kmeans_centroids(exact=False) per subspace — the same
+    scalable update lane, tested separately.
+
+    Shape: one k-row codebook broadcast (packed as data), then a
+    NARROW per-vector pass — distances are strict left-to-right folds
+    over (x-c)^2, argmin ties break on code id via array_min over
+    (dist, code) structs. No shuffle at any corpus size.
+    """
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = v.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("code"), F.col("v").alias("cv")
+    )
+    packed = cents.agg(
+        F.collect_list(F.struct("code", "cv")).alias("cb")
+    )
+    out = v.crossJoin(F.broadcast(packed))
+    picks = []
+    for s in range(m):
+        lo = s * sub + 1
+        sv = F.slice(F.col("v"), lo, sub)
+        dist = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(
+                sv, F.slice(c["cv"], lo, sub), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("cb"),
+                lambda c: F.struct(dist(c).alias("d"), c["code"].alias("code")),
+            )
+        )
+        picks.append(best)
+    recon = picks[0]["d"]
+    for p in picks[1:]:
+        recon = recon + p["d"]
+    return out.select(
+        "vec_id",
+        *[p["code"].alias(f"code{s}") for s, p in enumerate(picks)],
+        (F.floor(recon * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("recon_err6"),
+    )

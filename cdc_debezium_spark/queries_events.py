@@ -255,3 +255,143 @@ def agg_theta_sketch_distinct(spark, sf_dir):
             <= F.ceil(F.col("exact_users") * 0.05)
         ).alias("within_bound"),
     )
+
+
+US_PER_HOUR = 3_600_000_000
+
+
+@query(
+    "events_ohlc_downsample",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) // {US_PER_HOUR} AS hr, value,
+             epoch_us(ts) AS us, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, hr
+                                ORDER BY us, event_id) AS ra,
+             row_number() OVER (PARTITION BY user_id, hr
+                                ORDER BY us DESC, event_id DESC) AS rd
+      FROM t
+    )
+    SELECT user_id, hr, max(CASE WHEN ra = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rd = 1 THEN value END) AS close,
+           count(*) AS n
+    FROM r GROUP BY user_id, hr
+    """,
+)
+def events_ohlc_downsample(spark, sf_dir):
+    """Time-series downsampling to per-hour OHLC bars (open/high/low/
+    close + count) per user — the Gorilla/monitoring rollup that turns
+    a raw event stream into a chartable series at any zoom level.
+
+    Shape: one window + one aggregate, both partitioned by
+    (user_id, hour) — co-partitioned with the keyed topic layout; at
+    100 TB each bucket is independent and the map-side combine carries
+    5 numbers per bucket. First/last are deterministic via the
+    (ts_us, event_id) total order.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"ts_us div {US_PER_HOUR}").alias("hr"),
+        "value",
+        "ts_us",
+        "event_id",
+    )
+    wa = Window.partitionBy("user_id", "hr").orderBy("ts_us", "event_id")
+    wd = Window.partitionBy("user_id", "hr").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    r = ev.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rd", F.row_number().over(wd)
+    )
+    return r.groupBy("user_id", "hr").agg(
+        F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "events_gapfill_locf",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) // {US_PER_DAY} AS day, value,
+             epoch_us(ts) AS us, event_id
+      FROM events
+    ),
+    daily AS (
+      SELECT user_id, day, value AS close FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, day
+                                     ORDER BY us DESC, event_id DESC) AS rd
+        FROM t) WHERE rd = 1
+    ),
+    bounds AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1
+      FROM daily GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM bounds
+    )
+    SELECT g.user_id, g.day,
+           last_value(d.close IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS UNBOUNDED PRECEDING) AS filled_close,
+           (d.close IS NOT NULL) AS is_observed
+    FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    """,
+)
+def events_gapfill_locf(spark, sf_dir):
+    """Time-series gap filling: every user's daily series is completed
+    over its [first, last] active range, carrying the last observed
+    daily close forward through silent days (LOCF) — the
+    regularization step before any windowed model ingests an
+    irregular event stream.
+
+    Shape: daily closes (one window), per-user bounds (partial agg),
+    a sequence() explode bounded by the date span, and one LOCF
+    window — everything partitioned by user_id, so the fill is
+    embarrassingly parallel across users at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"ts_us div {US_PER_DAY}").alias("day"),
+        "value",
+        "ts_us",
+        "event_id",
+    )
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    daily = (
+        ev.withColumn("rd", F.row_number().over(wd))
+        .where(F.col("rd") == 1)
+        .select("user_id", "day", F.col("value").alias("close"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    wl = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("close", ignorenulls=True).over(wl).alias("filled_close"),
+        F.col("close").isNotNull().alias("is_observed"),
+    )

@@ -1079,6 +1079,65 @@ def ext_embedding_quantize(spark, sf_dir):
     return vectors.quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
 
+def _duck_pq_ctes(m: int, sub: int, k: int) -> tuple[str, str]:
+    """Per-subspace argmin CTEs mirroring vectors.pq_encode."""
+    parts = [f"cents AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < {k})"]
+    joins = []
+    for s in range(m):
+        lo = s * sub + 1
+        dist = (
+            f"list_reduce(list_transform(range({lo}, {lo + sub}), "
+            f"j -> (n.v[j] - c.cv[j]) * (n.v[j] - c.cv[j])), (a, x) -> a + x)"
+        )
+        parts.append(
+            f"ds{s} AS (SELECT n.vec_id, c.code, {dist} AS d "
+            f"FROM e n CROSS JOIN cents c)"
+        )
+        parts.append(
+            f"""a{s} AS (
+      SELECT vec_id, code, d FROM (
+        SELECT vec_id, code, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, code) AS rn
+        FROM ds{s}) WHERE rn = 1)"""
+        )
+        joins.append(f"a{s}")
+    sel_codes = ", ".join(f"a{s}.code AS code{s}" for s in range(m))
+    recon = " + ".join(f"a{s}.d" for s in range(m))
+    from_clause = joins[0] + "".join(
+        f" JOIN {j} ON {j}.vec_id = a0.vec_id" for j in joins[1:]
+    )
+    final = (
+        f"SELECT a0.vec_id, {sel_codes}, "
+        f"floor(({recon}) * 1000000.0 + 0.5) / 1000000.0 AS recon_err6 "
+        f"FROM {from_clause}"
+    )
+    return ",\n    ".join(parts), final
+
+
+_PQ_CTES, _PQ_FINAL = _duck_pq_ctes(m=4, sub=16, k=16)
+
+
+@query(
+    "ext_embedding_pq",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_PQ_CTES}
+    {_PQ_FINAL}
+    """,
+)
+def ext_embedding_pq(spark, sf_dir):
+    """Product-quantization encoding manifest: 4 subspace codes per
+    64-dim vector + squared reconstruction error — the IVF-PQ storage
+    transform for billion-scale ANN. Narrow per-vector pass against a
+    broadcast codebook; the oracle re-runs the identical per-subspace
+    argmin (strict (x-c)^2 folds, ties on code id)."""
+    from .ext import vectors
+
+    return vectors.pq_encode(
+        load_table(spark, sf_dir, "embeddings"), m=4, sub=16, k=16
+    )
+
+
 @query(
     "ext_pack_sequences",
     oracle="""

@@ -53,6 +53,9 @@ _PRIORITY = [
     "agg_theta_sketch_distinct",
     "cdc_agg_view",
     "cdc_schema_drift_stats",
+    "ext_embedding_pq",
+    "events_ohlc_downsample",
+    "events_gapfill_locf",
 ]
 
 
