@@ -48,6 +48,8 @@ HEADLINE = [
                                 # the O(n²) blocked scan in the headline)
     "ext_similarity_topk",   # §2.G brute-force ANN baseline
     "ext_similarity_ivf_trained",  # §2.G k-means IVF ANN (trained cells)
+    "ext_similarity_ivf_prod",     # §2.G production k-means lane (r3)
+    "ext_embedding_pq",      # §2.G PQ encoding manifest (r3)
     "ext_text_stats",        # §2.G text quality/language analysis
     "tpch_q5",               # flagship 6-table snowflake join
     "tpch_q6",               # flagship scan-filter-agg (I/O-bound shape)
