@@ -425,3 +425,21 @@ def test_ivf_index_persist_roundtrip(spark, sf_dir, tmp_path):
     assert t == l
     topk = S.ivf_topk(emb, n_queries=5, k=5, nprobe=2, cents=loaded)
     assert topk.count() > 0
+
+
+def test_ohlc_windows_share_one_exchange(spark, sf_dir):
+    """events_ohlc_downsample: both row_number windows and the final
+    aggregate are keyed (user_id, hr) — Catalyst must reuse ONE hash
+    exchange for all three, not shuffle per window. At 100 TB the
+    difference is 1 vs 3 full passes over the event log."""
+    df = registry.QUERIES["events_ohlc_downsample"](spark, sf_dir)
+    assert count_shuffles(df) == 1, _physical(df)
+
+
+def test_pq_encode_zero_shuffle(spark, sf_dir):
+    """ext_embedding_pq: encoding is a narrow per-vector pass against
+    a broadcast codebook — ZERO exchanges at any corpus size."""
+    df = registry.QUERIES["ext_embedding_pq"](spark, sf_dir)
+    plan = _physical(df)
+    assert count_shuffles(df) == 0, plan
+    assert "BroadcastExchange" in plan
