@@ -493,3 +493,55 @@ def test_range_search_matches_brute_force(emb):
         for r in S.range_search(emb, 5, radius).collect()
     }
     assert got == bf
+
+
+def test_funnel_counts_monotone_nonincreasing(spark, sf_dir):
+    """Each funnel stage requires a strictly-later event than the
+    previous stage's completion, so reach counts can never grow."""
+    from cdc_debezium_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["events_funnel"](spark, sf_dir).collect()
+    by_idx = {r["stage_idx"]: r["n_users"] for r in rows}
+    seq = [by_idx[i] for i in sorted(by_idx)]
+    assert seq and all(a >= b for a, b in zip(seq, seq[1:]))
+    assert seq[0] > 0
+
+
+def test_gapfill_invariants(spark, sf_dir):
+    """LOCF output: observed rows carry their own close; filled rows
+    are never null (first day per user is observed by construction);
+    each user's grid is contiguous."""
+    import pyspark.sql.functions as F
+
+    from cdc_debezium_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["events_gapfill_locf"](spark, sf_dir)
+    assert out.where(F.col("filled_close").isNull()).count() == 0
+    import itertools
+
+    rows = sorted(
+        ((r["user_id"], r["day"]) for r in out.collect()),
+    )
+    for uid, grp in itertools.groupby(rows, key=lambda t: t[0]):
+        days = [d for _, d in grp]
+        assert days == list(range(days[0], days[-1] + 1)), uid
+
+
+def test_pq_codes_bounded_and_reconstruction_sane(emb):
+    """PQ invariants: codes live in [0, k); reconstruction error is
+    non-negative; vectors that ARE codebook entries reconstruct with
+    zero error."""
+    from cdc_debezium_spark.ext import vectors
+
+    out = vectors.pq_encode(emb, m=4, sub=16, k=16)
+    rows = out.collect()
+    for r in rows:
+        for s in range(4):
+            assert 0 <= r[f"code{s}"] < 16
+        assert r["recon_err6"] >= 0.0
+    by_id = {r["vec_id"]: r for r in rows}
+    for vid in range(16):
+        assert by_id[vid]["recon_err6"] == 0.0
+        assert all(by_id[vid][f"code{s}"] == vid for s in range(4))
