@@ -408,6 +408,95 @@ def ivf_topk(
     )
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_stride: int = 100,
+    m: int = 4,
+    sub: int = 16,
+    n_codes: int = 16,
+) -> DataFrame:
+    """IVF-PQ search: probe `nprobe` cells, rank candidates by
+    asymmetric distance (ADC) against their PQ codes — the
+    billion-scale ANN architecture (coarse quantizer prunes the
+    corpus; product codes replace full vectors in the scan).
+
+    At 100 TB the scan side carries m small codes per vector instead
+    of the embedding (here 4 codes vs 64 doubles); ADC looks each code
+    up in the broadcast codebook and accumulates per-subspace squared
+    distances — a narrow pass over the probed cells only. Exactness is
+    traded twice (cell pruning + code quantization); both layers are
+    deterministic here, so the oracle re-runs the identical pipeline.
+    """
+    from .vectors import pq_encode
+
+    v = _with_unit(emb)
+    cents = _strided_cents(v, centroid_stride)
+    cells = assign_cells(emb, cents=cents).select("vec_id", "cell")
+    codes = pq_encode(emb, m=m, sub=sub, k=n_codes).select(
+        "vec_id", *[f"code{s}" for s in range(m)]
+    )
+    cand = cells.join(codes, "vec_id")
+
+    q = v.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    qc = q.join(F.broadcast(cents)).withColumn(
+        "ccos", _dot(F.col("cv"), F.col("qv")) / (F.col("cnorm") * F.col("qnorm"))
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wprobe))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+
+    cb = v.where(F.col("vec_id") < n_codes).select(
+        F.col("vec_id").alias("code"), F.col("v").alias("cv")
+    )
+    packed = cb.agg(F.array_sort(F.collect_list(F.struct("code", "cv"))).alias("cb"))
+
+    scored = (
+        probes.join(cand, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(packed))
+    )
+    adc = None
+    for s in range(m):
+        lo = s * sub + 1
+        entry = F.element_at(
+            F.col("cb"), (F.col(f"code{s}") + 1).cast("int")
+        )["cv"]
+        d = F.aggregate(
+            F.zip_with(
+                F.slice("qv", lo, sub),
+                F.slice(entry, lo, sub),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        adc = d if adc is None else adc + d
+    wk = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("adc", adc)
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.floor(F.col("adc") * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+                "adc6"
+            ),
+        )
+    )
+
+
 def cluster_profile(
     emb: DataFrame, k: int = 16, iters: int = 2, cache_key: str | None = None
 ) -> DataFrame:

@@ -1079,9 +1079,14 @@ def ext_embedding_quantize(spark, sf_dir):
     return vectors.quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
 
-def _duck_pq_ctes(m: int, sub: int, k: int) -> tuple[str, str]:
-    """Per-subspace argmin CTEs mirroring vectors.pq_encode."""
-    parts = [f"cents AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < {k})"]
+def _duck_pq_ctes(m: int, sub: int, k: int, prefix: str = "") -> tuple[str, str]:
+    """Per-subspace argmin CTEs mirroring vectors.pq_encode. `prefix`
+    namespaces the CTEs so the chain can compose with other centroid
+    CTEs (the IVF-PQ oracle uses both)."""
+    p = prefix
+    parts = [
+        f"{p}cents AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < {k})"
+    ]
     joins = []
     for s in range(m):
         lo = s * sub + 1
@@ -1090,24 +1095,24 @@ def _duck_pq_ctes(m: int, sub: int, k: int) -> tuple[str, str]:
             f"j -> (n.v[j] - c.cv[j]) * (n.v[j] - c.cv[j])), (a, x) -> a + x)"
         )
         parts.append(
-            f"ds{s} AS (SELECT n.vec_id, c.code, {dist} AS d "
-            f"FROM e n CROSS JOIN cents c)"
+            f"{p}ds{s} AS (SELECT n.vec_id, c.code, {dist} AS d "
+            f"FROM e n CROSS JOIN {p}cents c)"
         )
         parts.append(
-            f"""a{s} AS (
+            f"""{p}a{s} AS (
       SELECT vec_id, code, d FROM (
         SELECT vec_id, code, d,
                row_number() OVER (PARTITION BY vec_id ORDER BY d, code) AS rn
-        FROM ds{s}) WHERE rn = 1)"""
+        FROM {p}ds{s}) WHERE rn = 1)"""
         )
-        joins.append(f"a{s}")
-    sel_codes = ", ".join(f"a{s}.code AS code{s}" for s in range(m))
-    recon = " + ".join(f"a{s}.d" for s in range(m))
+        joins.append(f"{p}a{s}")
+    sel_codes = ", ".join(f"{p}a{s}.code AS code{s}" for s in range(m))
+    recon = " + ".join(f"{p}a{s}.d" for s in range(m))
     from_clause = joins[0] + "".join(
-        f" JOIN {j} ON {j}.vec_id = a0.vec_id" for j in joins[1:]
+        f" JOIN {j} ON {j}.vec_id = {p}a0.vec_id" for j in joins[1:]
     )
     final = (
-        f"SELECT a0.vec_id, {sel_codes}, "
+        f"SELECT {p}a0.vec_id, {sel_codes}, "
         f"floor(({recon}) * 1000000.0 + 0.5) / 1000000.0 AS recon_err6 "
         f"FROM {from_clause}"
     )
@@ -1115,6 +1120,83 @@ def _duck_pq_ctes(m: int, sub: int, k: int) -> tuple[str, str]:
 
 
 _PQ_CTES, _PQ_FINAL = _duck_pq_ctes(m=4, sub=16, k=16)
+
+
+def _duck_ivfpq_sql(m: int = 4, sub: int = 16, k: int = 5, nprobe: int = 2) -> str:
+    """IVF probe + PQ codes + ADC ranking, mirroring
+    similarity.ivfpq_topk (strided coarse cells, prefix-namespaced PQ
+    chain, per-subspace (q-cb)^2 folds summed left-to-right)."""
+    pq_parts, _ = _duck_pq_ctes(m=m, sub=sub, k=16, prefix="pq_")
+    codes_join = "pq_a0" + "".join(
+        f" JOIN pq_a{s} ON pq_a{s}.vec_id = pq_a0.vec_id" for s in range(1, m)
+    )
+    codes_sel = ", ".join(f"pq_a{s}.code AS code{s}" for s in range(m))
+    dists = []
+    for s in range(m):
+        lo = s * sub + 1
+        dists.append(
+            f"list_reduce(list_transform(range({lo}, {lo + sub}), "
+            f"j -> (cand.qv[j] - b{s}.cv[j]) * (cand.qv[j] - b{s}.cv[j])), "
+            f"(a, x) -> a + x)"
+        )
+    adc = " + ".join(dists)
+    b_joins = "".join(
+        f" JOIN pq_cents b{s} ON b{s}.code = cand.code{s}" for s in range(m)
+    )
+    cand_codes = ", ".join(f"k.code{s}" for s in range(m))
+    return f"""
+    WITH {EMB_CTE},
+    cents AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id % 100 = 0),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_duck_dot('c', 'n')} / (c.nrm * n.nrm) DESC, c.cell
+               ) AS rn
+        FROM n CROSS JOIN cents c) WHERE rn = 1
+    ),
+    {pq_parts},
+    codes AS (SELECT pq_a0.vec_id, {codes_sel} FROM {codes_join}),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT n.vec_id AS query_id, n.v AS qv, c.cell,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_duck_dot('c', 'n')} / (c.nrm * n.nrm) DESC, c.cell
+               ) AS rn
+        FROM n CROSS JOIN cents c WHERE n.vec_id < 10)
+      WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, {cand_codes}
+      FROM probes p
+      JOIN asg a ON a.cell = p.cell AND a.vec_id != p.query_id
+      JOIN codes k ON k.vec_id = a.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, ({adc}) AS adc
+      FROM cand{b_joins}
+    )
+    SELECT query_id, rank, neighbor_id,
+           floor(adc * 1000000.0 + 0.5) / 1000000.0 AS adc6
+    FROM (SELECT query_id, neighbor_id, adc,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@query("ext_similarity_ivfpq", oracle=_duck_ivfpq_sql())
+def ext_similarity_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN search: coarse cells prune the corpus, product codes
+    replace vectors in the scan, ADC ranks candidates — the
+    billion-scale index architecture end-to-end, deterministic at both
+    quantization layers so the oracle re-runs the identical pipeline."""
+    return similarity.ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5, nprobe=2
+    )
 
 
 @query(

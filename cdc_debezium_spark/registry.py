@@ -54,6 +54,7 @@ _PRIORITY = [
     "cdc_agg_view",
     "cdc_schema_drift_stats",
     "ext_embedding_pq",
+    "ext_similarity_ivfpq",
     "events_ohlc_downsample",
     "events_gapfill_locf",
 ]
