@@ -395,3 +395,97 @@ def events_gapfill_locf(spark, sf_dir):
         F.last("close", ignorenulls=True).over(wl).alias("filled_close"),
         F.col("close").isNotNull().alias("is_observed"),
     )
+
+
+GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "events_active_sessions_sweep",
+    oracle=f"""
+    WITH t AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    marked AS (
+      SELECT user_id, us,
+             CASE WHEN us - lag(us) OVER w > {GAP_US}
+                    OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sess AS (
+      SELECT user_id, us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    iv AS (
+      SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+      FROM sess GROUP BY user_id, sid
+    ),
+    d AS (
+      SELECT s_us AS us, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e_us AS us, -1 AS delta FROM iv
+    ),
+    net AS (SELECT us, CAST(sum(delta) AS BIGINT) AS net FROM d GROUP BY us)
+    SELECT us, net,
+           CAST(sum(net) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS active
+    FROM net
+    """,
+)
+def events_active_sessions_sweep(spark, sf_dir):
+    """Sweep-line concurrency: the number of simultaneously-active user
+    sessions at every boundary instant (session = 30-min-gap islands,
+    matching E5). Interval stabbing realized as +1/-1 boundary deltas
+    and a global prefix sum.
+
+    The prefix sum is the scale story: a naive ORDER BY running total
+    is one partition at 100 TB, so it runs TWO-PHASE — per-day-bucket
+    running sums in parallel (window partitioned by bucket) plus a
+    bucket-offset window over the tiny bucket set — the distributed
+    scan pattern for any cumulative metric. The oracle computes the
+    same answer with a plain global window; integer arithmetic makes
+    the equivalence exact.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts_us").alias("us")
+    )
+    wu = Window.partitionBy("user_id").orderBy("us")
+    lag = F.lag("us").over(wu)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(lag.isNull() | (F.col("us") - lag > GAP_US), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s_us"), F.max("us").alias("e_us")
+    )
+    deltas = iv.select(
+        F.col("s_us").alias("us"), F.lit(1).alias("delta")
+    ).unionByName(iv.select(F.col("e_us").alias("us"), F.lit(-1).alias("delta")))
+    net = deltas.groupBy("us").agg(F.sum("delta").cast("long").alias("net"))
+    net = net.withColumn("bucket", F.expr(f"us div {US_PER_DAY}"))
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    btot = net.groupBy("bucket").agg(F.sum("net").alias("btot"))
+    wo = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = btot.withColumn(
+        "off", F.coalesce(F.sum("btot").over(wo), F.lit(0)).cast("long")
+    ).select("bucket", "off")
+    return (
+        net.join(F.broadcast(offs), "bucket")
+        .withColumn("active", (F.sum("net").over(wb) + F.col("off")).cast("long"))
+        .select("us", "net", "active")
+    )

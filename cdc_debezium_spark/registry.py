@@ -56,6 +56,7 @@ _PRIORITY = [
     "ext_embedding_pq",
     "ext_similarity_ivfpq",
     "events_ohlc_downsample",
+    "events_active_sessions_sweep",
     "events_gapfill_locf",
 ]
 

@@ -619,3 +619,37 @@ def test_incremental_agg_view_parity(spark, sf_dir, tmp_path):
     }
     changed = {d for d in after if after[d] != before.get(d)}
     assert changed == {f"{BUCKET_COL}={pk % 16}"}
+
+
+def test_incremental_agg_view_idempotent_on_redelivery(spark, sf_dir, tmp_path):
+    """E10 for the aggregate view: every chunk delivered twice must
+    leave the view identical to the batch aggregate (the upsert state
+    absorbs replays, so the delta-scoped recompute sees clean state)."""
+    from cdc_debezium_spark import registry
+    from cdc_debezium_spark.streaming.state import (
+        BUCKET_COL,
+        IncrementalAggViewSink,
+    )
+
+    registry.load_all()
+    chunk_dir = str(tmp_path / "chunks_agg2")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=3, repeat=2)
+
+    sink = IncrementalAggViewSink(
+        str(tmp_path / "agg_state2"),
+        str(tmp_path / "agg_view2"),
+        bucket_expr=F.pmod(F.col("pk"), F.lit(16)),
+    )
+    stream = cdc.to_cdc(read_event_stream(spark, chunk_dir))
+    q = run_upsert_stream(stream, sink, str(tmp_path / "agg_cp2"))
+    q.awaitTermination(120)
+
+    got = _rows(
+        sink.read(spark).withColumnRenamed(BUCKET_COL, "bucket_id"),
+        ["bucket_id", "n_keys", "sum_last_val", "max_ts_us"],
+    )
+    want = _rows(
+        registry.QUERIES["cdc_agg_view"](spark, sf_dir),
+        ["bucket_id", "n_keys", "sum_last_val", "max_ts_us"],
+    )
+    assert got == want
