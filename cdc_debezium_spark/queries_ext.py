@@ -1767,3 +1767,59 @@ def ext_multimodal_patches(spark, sf_dir):
     """ViT patch-grid manifest (sequence length + padding per image)
     from metadata only — the payload column is pruned away."""
     return multimodal.patch_grid(load_table(spark, sf_dir, "documents"), patch=48)
+
+
+@query(
+    "ext_text_bpe_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, ' '),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    pairs AS (
+      SELECT tok[i] AS left_ch, tok[i+1] AS right_ch
+      FROM (SELECT tok, unnest(range(1, length(tok))) AS i FROM toks)
+    ),
+    counts AS (
+      SELECT left_ch, right_ch, count(*) AS n
+      FROM pairs GROUP BY left_ch, right_ch
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, left_ch, right_ch)
+                AS INTEGER) AS rank,
+           left_ch, right_ch, n
+    FROM counts
+    QUALIFY rank <= 20
+    """,
+)
+def ext_text_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer training, step one: corpus-wide adjacent
+    character-pair counts inside word tokens, ranked — the merge-pair
+    statistic every BPE/WordPiece trainer computes per iteration. At
+    100 TB this is the canonical map-side-combine shape: pair rows
+    shrink to a vocab²-bounded aggregate before the shuffle. Ranked
+    top-20 with a total ordering so the result is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).alias("tok")
+    )
+    pairs = toks.select(
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1), "
+                "i -> struct(substring(tok, i, 1) AS l, "
+                "substring(tok, i + 1, 1) AS r))"
+            )
+        ).alias("_p", "pr")
+    ).select(F.col("pr.l").alias("left_ch"), F.col("pr.r").alias("right_ch"))
+    counts = pairs.groupBy("left_ch", "right_ch").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("left_ch"), F.asc("right_ch"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("rank", "left_ch", "right_ch", "n")
+    )

@@ -55,6 +55,7 @@ _PRIORITY = [
     "cdc_schema_drift_stats",
     "ext_embedding_pq",
     "ext_similarity_ivfpq",
+    "ext_text_bpe_pairs",
     "events_ohlc_downsample",
     "events_active_sessions_sweep",
     "events_gapfill_locf",

@@ -443,3 +443,17 @@ def test_pq_encode_zero_shuffle(spark, sf_dir):
     plan = _physical(df)
     assert count_shuffles(df) == 0, plan
     assert "BroadcastExchange" in plan
+
+
+def test_sweep_prefix_sum_is_two_phase(spark, sf_dir):
+    """events_active_sessions_sweep: the boundary-delta running total
+    must be computed per-bucket (parallel windows) with only the tiny
+    bucket-offset window unpartitioned — a single global-ORDER-BY
+    window over the deltas would serialize the whole corpus at scale."""
+    df = registry.QUERIES["events_active_sessions_sweep"](spark, sf_dir)
+    plan = _physical(df)
+    # the per-us running sum window is keyed by the day bucket
+    assert "Window" in plan
+    assert "partitionBy=[bucket" in plan.replace(" ", "").replace("#", "#") or (
+        "bucket" in plan and plan.count("Window") >= 2
+    )
