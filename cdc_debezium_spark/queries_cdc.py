@@ -377,3 +377,124 @@ def cdc_pipeline_metrics(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle=CDC_CTE
+    + f"""
+    , s1 AS (
+      SELECT pk, val FROM (
+        SELECT * FROM cdc_events WHERE ts_us <= {cdc.AS_OF_2024_01_15_US}
+        QUALIFY row_number() OVER (PARTITION BY pk ORDER BY ts_us DESC, ord2 DESC) = 1
+      ) WHERE op <> 'd'
+    ),
+    s2 AS (
+      SELECT pk, val FROM (
+        SELECT * FROM cdc_events
+        QUALIFY row_number() OVER (PARTITION BY pk ORDER BY ts_us DESC, ord2 DESC) = 1
+      ) WHERE op <> 'd'
+    )
+    SELECT
+      CASE WHEN s1.pk IS NULL THEN 'added'
+           WHEN s2.pk IS NULL THEN 'removed'
+           WHEN s1.val <> s2.val THEN 'changed'
+           ELSE 'unchanged' END AS change,
+      count(*) AS n_keys
+    FROM s1 FULL OUTER JOIN s2 ON s1.pk = s2.pk
+    GROUP BY change
+    """,
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation: diff the materialized state at two
+    instants (as-of 2024-01-15 vs now) into added/removed/changed/
+    unchanged key counts — the DR/backup verification the reference
+    scripts around topic backups (setup-infrastructure.sh:386-441)
+    as a single full-outer-join query. Both snapshots window on pk, so
+    the join is co-partitioned; at 100 TB this runs where the state
+    lives with no extra shuffle."""
+    ce = cdc.cdc_events(spark, sf_dir)
+    s1 = cdc.as_of_snapshot(ce, cdc.AS_OF_2024_01_15_US).select(
+        F.col("pk").alias("pk1"), F.col("val").alias("val1")
+    )
+    s2 = cdc.latest_state(ce).select(
+        F.col("pk").alias("pk2"), F.col("val").alias("val2")
+    )
+    joined = s1.join(s2, F.col("pk1") == F.col("pk2"), "full_outer")
+    change = (
+        F.when(F.col("pk1").isNull(), "added")
+        .when(F.col("pk2").isNull(), "removed")
+        .when(F.col("val1") != F.col("val2"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(change.alias("change")).agg(
+        F.count("*").alias("n_keys")
+    )
+
+
+@query(
+    "events_rate_anomaly",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hr
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(sum(n) AS BIGINT) AS s,
+             CAST(sum(n * n) AS BIGINT) AS ss,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM hc GROUP BY event_type
+    ),
+    z AS (
+      SELECT hc.event_type, hc.hr, hc.n,
+             CAST(s AS DOUBLE) / cnt AS mean,
+             (CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) / cnt)
+                * (CAST(s AS DOUBLE) / cnt) * cnt) / (cnt - 1) AS var
+      FROM hc JOIN stats ON hc.event_type = stats.event_type
+    )
+    SELECT event_type, hr, n,
+           floor(((n - mean) / sqrt(var)) * 10000.0 + 0.5) / 10000.0 AS zscore,
+           (abs((n - mean) / sqrt(var)) > 3.0) AS is_anomaly
+    FROM z
+    """,
+)
+def events_rate_anomaly(spark, sf_dir):
+    """E9 alerting analog: per-hour event-rate z-scores against each
+    topic's own distribution (the HighConsumerLag / error-rate alert
+    rules, prometheus-rules.yaml:12-37, as a batch surface).
+
+    Variance is computed EXPLICITLY from integer sums
+    ((ss - mean²·n) / (n-1)) with the identical float op order in
+    both engines — the built-in stddev aggregates use engine-specific
+    accumulation orders and would not hash-match. One partial-agg
+    shuffle for the hourly counts, a tiny per-type stats aggregate
+    broadcast back; z-scores round to 4dp to absorb sqrt/division ulp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.expr("ts_us div 3600000000").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    stats = hc.groupBy("event_type").agg(
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+        F.count("*").alias("cnt"),
+    )
+    mean = F.col("s").cast("double") / F.col("cnt")
+    var = (
+        F.col("ss").cast("double") - mean * mean * F.col("cnt")
+    ) / (F.col("cnt") - 1)
+    z = (F.col("n") - F.col("mean")) / F.sqrt(F.col("var"))
+    return (
+        hc.join(F.broadcast(stats), "event_type")
+        .withColumn("mean", mean)
+        .withColumn("var", var)
+        .select(
+            "event_type",
+            "hr",
+            "n",
+            (F.floor(z * 10000.0 + F.lit(0.5)) / 10000.0).alias("zscore"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+    )

@@ -53,6 +53,8 @@ _PRIORITY = [
     "agg_theta_sketch_distinct",
     "cdc_agg_view",
     "cdc_schema_drift_stats",
+    "cdc_snapshot_diff",
+    "events_rate_anomaly",
     "ext_embedding_pq",
     "ext_similarity_ivfpq",
     "ext_text_bpe_pairs",
