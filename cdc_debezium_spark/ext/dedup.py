@@ -103,6 +103,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame, threshold: float = 0.8, n: int = 3, max_df: int = 1000
+) -> DataFrame:
+    """Shingle-containment pairs: C = |A∩B| / min(|A|,|B|) — the
+    doc-in-doc detector. A short document quoted or templated inside a
+    long one has low Jaccard (the union is dominated by the long doc)
+    but containment near 1; corpus curation needs both signals
+    (Jaccard for near-identical pairs, containment for subset/quote
+    structure).
+
+    Same two-phase shape as ngram_jaccard_pairs: df-capped inverted-
+    index candidates, exact verify over the full shingle sets. Values
+    are integer-ratio doubles — engine-exact at 4dp.
+    """
+    sets = _shingle_sets(docs, n).cache()
+    posting = sets.select("doc_id", F.explode("sh").alias("s"))
+    rare = (
+        posting.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("s")
+    )
+    capped = posting.join(rare, "s")
+    cands = (
+        capped.alias("a")
+        .join(capped.alias("b"), "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    n_int = F.size(F.array_intersect("sha", "shb"))
+    cont = n_int / F.least(F.size("sha"), F.size("shb"))
+    jac = n_int / (F.size("sha") + F.size("shb") - n_int)
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("containment", cont)
+        .where(F.col("containment") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            round4(F.col("containment")).alias("containment"),
+            round4(jac).alias("jaccard"),
+        )
+    )
+
+
 def _shingle_hash_rows(
     docs: DataFrame, n: int = 3, distinct: bool = True
 ) -> DataFrame:

@@ -178,6 +178,28 @@ def ext_dedup_ngram(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
 
 
+@query(
+    "ext_dedup_containment",
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    {JACCARD_TAIL}
+    SELECT doc_a, doc_b,
+           floor((ni / least(na, nb)) * 10000.0 + 0.5) / 10000.0 AS containment,
+           floor((ni / (na + nb - ni)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM ver
+    WHERE ni / least(na, nb) >= 0.6
+    """,
+)
+def ext_dedup_containment(spark, sf_dir):
+    """Shingle containment |A∩B|/min(|A|,|B|) — the doc-in-doc /
+    quote detector Jaccard misses (a short doc inside a long one has
+    low Jaccard but containment near 1). Same df-capped two-phase
+    shape; integer-ratio values, engine-exact at 4dp."""
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.6
+    )
+
+
 def _duck_span_acc(n: int) -> str:
     acc = "7::BIGINT"
     for k in range(n):

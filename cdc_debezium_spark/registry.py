@@ -58,6 +58,7 @@ _PRIORITY = [
     "ext_embedding_pq",
     "ext_similarity_ivfpq",
     "ext_text_bpe_pairs",
+    "ext_dedup_containment",
     "events_ohlc_downsample",
     "events_active_sessions_sweep",
     "events_gapfill_locf",
