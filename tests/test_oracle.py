@@ -61,3 +61,15 @@ def test_harness_rejects_array_columns(spark, sf_dir):
     pdf = pd.DataFrame({"feature": arr})
     with pytest.raises(AssertionError, match="un-hashable"):
         assert_driver_hashable("fake_key", pdf, pdf)
+
+
+def test_priority_keys_all_registered():
+    """Every key in the driver-sampling priority list must exist —
+    a typo here silently wastes the round's external signal."""
+    from cdc_debezium_spark.registry import _PRIORITY
+
+    missing = [k for k in _PRIORITY if k not in registry.QUERIES]
+    assert not missing, missing
+    # priority keys must also lead the ordered registry
+    head = list(registry.QUERIES)[: len(_PRIORITY)]
+    assert head == [k for k in _PRIORITY if k in registry.QUERIES]
