@@ -155,3 +155,39 @@ def mixture_sample(
         .where((F.col("h") % 10000) / F.lit(10000.0) < F.col("rate"))
         .select("doc_id", "source")
     )
+
+
+def importance_sample(
+    docs: DataFrame, base_bp: int = 2000, max_tokens: int = 100
+) -> DataFrame:
+    """Quality-weighted deterministic sampling: a document's keep
+    probability scales with a quality weight (here token count capped
+    at `max_tokens` — longer docs up to the cap are likelier kept),
+    all in INTEGER basis points so membership is engine-exact.
+
+    keep iff hash(text) % 10000 < base_bp * min(n_tokens, max_tokens)
+                                   / max_tokens
+
+    The importance-sampling primitive every curation pipeline needs
+    (sample proportional to a score, deterministically): same
+    hash-threshold shape as hash_sample — one narrow pass, membership
+    stable under corpus growth, weights swap in per-doc without
+    touching the mechanism. The threshold is integer arithmetic
+    (bp * w // max_tokens), never a float rate.
+    """
+    w = F.least(
+        F.size(F.filter(F.split("text", " "), lambda t: t != F.lit(""))),
+        F.lit(max_tokens),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            word_hash(F.col("text")).alias("h"),
+            w.alias("w"),
+            F.expr(f"({base_bp} * least(size(filter(split(text, ' '), "
+                   f"t -> t != '')), {max_tokens})) div {max_tokens}")
+            .alias("thr"),
+        )
+        .where(F.col("h") % 10000 < F.col("thr"))
+        .select("doc_id", "w", "thr", (F.col("h") % 10000).alias("bucket"))
+    )

@@ -1845,3 +1845,29 @@ def ext_text_bpe_pairs(spark, sf_dir):
         .where(F.col("rank") <= 20)
         .select("rank", "left_ch", "right_ch", "n")
     )
+
+
+@query(
+    "ext_sample_importance",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, ({duck_word_hash('text')}) AS h,
+             least(len(list_filter(regexp_split_to_array(text, ' '),
+                                   x -> x <> '')), 100) AS w
+      FROM documents
+    )
+    SELECT doc_id, CAST(w AS INTEGER) AS w,
+           CAST((2000 * w) // 100 AS BIGINT) AS thr,
+           h % 10000 AS bucket
+    FROM t
+    WHERE h % 10000 < (2000 * w) // 100
+    """,
+)
+def ext_sample_importance(spark, sf_dir):
+    """Importance sampling: keep probability proportional to a quality
+    weight (token count, capped), in integer basis points — the
+    sample-by-score curation primitive, deterministic and stable under
+    corpus growth like every hash-threshold sampler here."""
+    return sampling.importance_sample(
+        load_table(spark, sf_dir, "documents"), base_bp=2000, max_tokens=100
+    )

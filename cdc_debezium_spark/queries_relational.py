@@ -822,3 +822,60 @@ def sql_pricing_summary(spark, sf_dir):
 
     register_views(spark, sf_dir, ["lineitem"])
     return spark.sql(TPCH_Q1ISH)
+
+
+@query(
+    "udaf_grouped_agg",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             list(CAST(l_quantity AS DOUBLE) ORDER BY l_quantity) AS vs
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(len(vs) AS BIGINT) AS n,
+           floor(exp(list_reduce(list_transform(vs, x -> ln(x)),
+                                 (a, b) -> a + b) / len(vs))
+                 * 10000.0 + 0.5) / 10000.0 AS gmean_qty
+    FROM s
+    """,
+)
+def udaf_grouped_agg(spark, sf_dir):
+    """SURVEY §2.F UDAF surface: a custom aggregate as a pandas
+    GROUPED_AGG UDF — per-group geometric mean (no builtin composition
+    expresses it as one aggregate). The group's values arrive as one
+    Arrow batch; the fold sorts them first so the float sum is
+    deterministic cross-engine (the entropy-lane pattern), and 4dp
+    absorbs libm ln/exp ulp skew. Note the scale contract: GROUPED_AGG
+    has no partial aggregation — a group's values colocate on one
+    task — so this surface is for moderate-cardinality groups; the
+    builtin-expressible path (exp(avg(ln))) keeps partial aggregation
+    and is preferred when sum-order determinism is not required.
+    """
+    import math
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` stringifies type hints, which defeats pyspark's
+    # signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def gmean(v):
+        acc = 0.0
+        for x in sorted(v):
+            acc += math.log(x)
+        return math.exp(acc / len(v))
+
+    # a GROUPED_AGG UDF cannot mix with builtin aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count rides as a second UDAF
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        n_rows(qty).alias("n"),
+        (
+            F.floor(gmean(qty) * 10000.0 + F.lit(0.5)) / 10000.0
+        ).alias("gmean_qty"),
+    )

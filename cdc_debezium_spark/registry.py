@@ -59,6 +59,8 @@ _PRIORITY = [
     "ext_similarity_ivfpq",
     "ext_text_bpe_pairs",
     "ext_dedup_containment",
+    "ext_sample_importance",
+    "udaf_grouped_agg",
     "events_ohlc_downsample",
     "events_active_sessions_sweep",
     "events_gapfill_locf",
