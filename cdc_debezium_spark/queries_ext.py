@@ -1871,3 +1871,63 @@ def ext_sample_importance(spark, sf_dir):
     return sampling.importance_sample(
         load_table(spark, sf_dir, "documents"), base_bp=2000, max_tokens=100
     )
+
+
+@query(
+    "ext_corpus_pipeline",
+    oracle=f"""
+    WITH {TOK_CTE},
+    s AS (
+      SELECT doc_id,
+        len(w) AS n_tokens,
+        len(list_filter(w, t -> list_contains({STOP_SQL}, t))) AS n_stop,
+        len(list_distinct(w)) AS n_types,
+        length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+        n_chars
+      FROM tok
+    ),
+    q AS (
+      SELECT doc_id,
+        floor((least(n_stop / n_tokens * 4, 1.0) * 0.4
+              + n_types / n_tokens * 0.3 + n_alpha / n_chars * 0.3)
+              * 10000.0 + 0.5) / 10000.0 AS quality
+      FROM s
+    ),
+    canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    keep AS (
+      SELECT q.doc_id FROM q JOIN canon USING (doc_id) WHERE quality >= 0.5
+    ),
+    t AS (
+      SELECT d.doc_id, len(regexp_split_to_array(d.text, ' ')) AS n_tokens
+      FROM documents d JOIN keep USING (doc_id)
+    ),
+    p AS (
+      SELECT doc_id, n_tokens,
+             (sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens) // 2048 AS pack_id
+      FROM t
+    )
+    SELECT CAST(pack_id AS BIGINT) AS pack_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM p GROUP BY pack_id
+    """,
+)
+def ext_corpus_pipeline(spark, sf_dir):
+    """The training-data pipeline end-to-end: quality gate + exact
+    dedup select the survivor set (ext_corpus_clean semantics), which
+    is then packed into 2048-token training sequences — the manifest a
+    pretraining loader actually consumes, produced by composing the
+    lane primitives with no new shuffle beyond their own. At 100 TB
+    the pack window runs sharded (pack_sequences n_shards) exactly as
+    in ext_pack_sequences_sharded."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.text_stats(docs).select("doc_id", "quality")
+    canon = dedup.exact_dupes(docs).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    keep = stats.join(canon, "doc_id").where(F.col("quality") >= 0.5).select(
+        "doc_id"
+    )
+    return sampling.pack_sequences(docs.join(keep, "doc_id"), 2048)

@@ -61,6 +61,7 @@ _PRIORITY = [
     "ext_dedup_containment",
     "ext_sample_importance",
     "udaf_grouped_agg",
+    "ext_corpus_pipeline",
     "events_ohlc_downsample",
     "events_active_sessions_sweep",
     "events_gapfill_locf",
