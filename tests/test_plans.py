@@ -457,3 +457,16 @@ def test_sweep_prefix_sum_is_two_phase(spark, sf_dir):
     assert "partitionBy=[bucket" in plan.replace(" ", "").replace("#", "#") or (
         "bucket" in plan and plan.count("Window") >= 2
     )
+
+
+def test_no_cartesian_product_in_any_registered_plan(spark, sf_dir):
+    """Global 100 TB guardrail: no registered query may plan a
+    CartesianProduct. Legitimate 1-row broadcast reductions appear as
+    BroadcastNestedLoopJoin and are bounded; an actual cartesian is
+    always a bug at scale. Sweeps every key's physical plan."""
+    offenders = []
+    for key, fn in registry.QUERIES.items():
+        plan = _physical(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(key)
+    assert not offenders, offenders
