@@ -1931,3 +1931,39 @@ def ext_corpus_pipeline(spark, sf_dir):
         "doc_id"
     )
     return sampling.pack_sequences(docs.join(keep, "doc_id"), 2048)
+
+
+@query(
+    "ext_text_dedup_report",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups,
+           floor(((count(*) - count(DISTINCT md5(text))) / count(*))
+                 * 10000.0 + 0.5) / 10000.0 AS dup_ratio
+    FROM documents GROUP BY source
+    """,
+)
+def ext_text_dedup_report(spark, sf_dir):
+    """Per-source duplication dashboard: how much of each source is
+    exact-duplicate mass — the first chart any curation run looks at
+    before choosing source weights. One partial-agg shuffle on
+    (source, digest); integer-ratio dup rates hash exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dups"),
+        (
+            F.floor(
+                (
+                    (F.count("*") - F.countDistinct(F.md5("text")))
+                    / F.count("*")
+                )
+                * 10000.0
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("dup_ratio"),
+    )

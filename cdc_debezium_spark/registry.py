@@ -62,6 +62,7 @@ _PRIORITY = [
     "ext_sample_importance",
     "udaf_grouped_agg",
     "ext_corpus_pipeline",
+    "ext_text_dedup_report",
     "events_ohlc_downsample",
     "events_active_sessions_sweep",
     "events_gapfill_locf",

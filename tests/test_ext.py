@@ -591,3 +591,17 @@ def test_ivfpq_adc_distance_inflation_bounded(emb):
         assert ratio <= 1.3, (qid, ratio)
         ratios.append(ratio)
     assert np.mean(ratios) <= 1.2
+
+
+def test_importance_sample_monotone_in_rate_and_weight(docs):
+    """Raising the base rate can only ADD documents (hash-threshold
+    membership is monotone), and a kept document's threshold always
+    exceeds its hash bucket."""
+    from cdc_debezium_spark.ext import sampling
+
+    lo = {r.doc_id for r in sampling.importance_sample(docs, base_bp=1000).collect()}
+    hi = {r.doc_id for r in sampling.importance_sample(docs, base_bp=3000).collect()}
+    assert lo <= hi and hi
+    for r in sampling.importance_sample(docs, base_bp=2000).collect():
+        assert r.bucket < r.thr
+        assert 1 <= r.w <= 100
