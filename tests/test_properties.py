@@ -117,3 +117,63 @@ def test_p4_as_of_equals_truncated_latest(spark, rows, cut):
         (r.pk, r.ord2, r.val) for r in cdc.latest_state(truncated).collect()
     )
     assert via_op == via_trunc
+
+
+@given(
+    rows=EVENT_LOGS,
+    boundaries=st.lists(st.integers(1, 24), max_size=3),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_p5_incremental_agg_view_chunk_invariant(
+    spark, tmp_path_factory, rows, boundaries
+):
+    """P5: maintaining the aggregate view incrementally over ANY
+    chunking of the log yields exactly the batch aggregate over
+    latest-state — the delta-scoped recompute can never depend on
+    where micro-batch boundaries fall."""
+    from cdc_debezium_spark.streaming.state import (
+        BUCKET_COL,
+        IncrementalAggViewSink,
+    )
+
+    out, df = _mk(spark, rows)
+    base = tmp_path_factory.mktemp("p5")
+    sink = IncrementalAggViewSink(
+        str(base / "state"),
+        str(base / "view"),
+        bucket_expr=F.pmod(F.col("pk"), F.lit(4)),
+        n_buckets=4,
+    )
+    cuts = sorted({min(b, len(out)) for b in boundaries})
+    chunks, prev = [], 0
+    for c in cuts + [len(out)]:
+        if c > prev:
+            chunks.append(out[prev:c])
+            prev = c
+    for i, ch in enumerate(chunks):
+        sink(spark.createDataFrame(ch, SCHEMA), i)
+
+    got = sorted(
+        tuple(r) for r in sink.read(spark)
+        .select(
+            F.col(BUCKET_COL).alias("b"), "n_keys", "sum_last_val", "max_ts_us"
+        )
+        .collect()
+    )
+    live = cdc.latest_state(df)
+    want = sorted(
+        tuple(r) for r in live.groupBy(F.pmod(F.col("pk"), F.lit(4)).alias("b"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum(F.col("val").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_last_val"),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+        .collect()
+    )
+    assert got == want
