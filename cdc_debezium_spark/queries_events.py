@@ -489,3 +489,51 @@ def events_active_sessions_sweep(spark, sf_dir):
         .withColumn("active", (F.sum("net").over(wb) + F.col("off")).cast("long"))
         .select("us", "net", "active")
     )
+
+
+@query(
+    "events_rolling_active_users",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {US_PER_DAY} AS day
+      FROM events
+    ),
+    grid AS (SELECT DISTINCT day FROM d)
+    SELECT g.day,
+           count(DISTINCT CASE WHEN d.day = g.day THEN d.user_id END) AS dau,
+           count(DISTINCT CASE WHEN d.day > g.day - 7 THEN d.user_id END) AS wau,
+           count(DISTINCT d.user_id) AS mau
+    FROM grid g
+    JOIN d ON d.day <= g.day AND d.day > g.day - 28
+    GROUP BY g.day
+    """,
+)
+def events_rolling_active_users(spark, sf_dir):
+    """DAU/WAU/MAU: distinct active users over rolling 1/7/28-day
+    windows — the growth dashboard every activity stream feeds.
+
+    Rolling DISTINCT cannot use a plain window frame (distinct is not
+    frame-decomposable), so it runs as the day-grid range join over
+    the deduplicated (user, day) activity table: |days| × 28 bounded
+    rows per user-day, conditional distinct counts per grid day. At
+    100 TB the (user, day) dedup is the only corpus-sized shuffle; the
+    grid join fans out at most 28 rows per user-day.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr(f"ts_us div {US_PER_DAY}").alias("day")
+    ).distinct()
+    grid = d.select("day").distinct().select(F.col("day").alias("gday"))
+    joined = d.join(
+        grid,
+        (F.col("day") <= F.col("gday")) & (F.col("day") > F.col("gday") - 28),
+    )
+    return joined.groupBy(F.col("gday").alias("day")).agg(
+        F.countDistinct(
+            F.when(F.col("day") == F.col("gday"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct(
+            F.when(F.col("day") > F.col("gday") - 7, F.col("user_id"))
+        ).alias("wau"),
+        F.countDistinct("user_id").alias("mau"),
+    )

@@ -1967,3 +1967,61 @@ def ext_text_dedup_report(spark, sf_dir):
             / 10000.0
         ).alias("dup_ratio"),
     )
+
+
+@query(
+    "ext_multimodal_shards",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             (['image/png','audio/wav','video/mp4'])[CAST(doc_id % 3 AS INTEGER) + 1]
+               AS mime,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ),
+    p AS (
+      SELECT mime, doc_id, n_bytes,
+             (sum(n_bytes) OVER (PARTITION BY mime ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_bytes) // 4096 AS shard_id
+      FROM m
+    )
+    SELECT mime, CAST(shard_id AS BIGINT) AS shard_id,
+           count(*) AS n_files,
+           CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM p GROUP BY mime, shard_id
+    """,
+)
+def ext_multimodal_shards(spark, sf_dir):
+    """WebDataset-style shard manifest: media payloads laid end-to-end
+    per mime type and cut into ~4 KB byte-budget shards (the tar-shard
+    layout multimodal training loaders stream). The byte cumsum
+    windows PARTITION BY mime — shards build in parallel per modality,
+    no global sort — and the payload column itself is never read
+    (n_bytes comes from metadata), the same pruning contract as the
+    media scan. Integer window arithmetic, engine-exact."""
+    from pyspark.sql import Window
+
+    m = multimodal.media_table(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "mime", F.col("meta.n_bytes").alias("n_bytes")
+    )
+    w = (
+        Window.partitionBy("mime")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = m.withColumn(
+        "shard_id",
+        F.expr(
+            "(sum(n_bytes) OVER (PARTITION BY mime ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes) "
+            "div 4096"
+        ),
+    )
+    return p.groupBy("mime", "shard_id").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_bytes").cast("long").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -63,6 +63,8 @@ _PRIORITY = [
     "udaf_grouped_agg",
     "ext_corpus_pipeline",
     "ext_text_dedup_report",
+    "ext_multimodal_shards",
+    "events_rolling_active_users",
     "events_ohlc_downsample",
     "events_active_sessions_sweep",
     "events_gapfill_locf",
