@@ -1998,9 +1998,10 @@ def ext_multimodal_shards(spark, sf_dir):
     per mime type and cut into ~4 KB byte-budget shards (the tar-shard
     layout multimodal training loaders stream). The byte cumsum
     windows PARTITION BY mime — shards build in parallel per modality,
-    no global sort — and the payload column itself is never read
-    (n_bytes comes from metadata), the same pruning contract as the
-    media scan. Integer window arithmetic, engine-exact."""
+    no global sort. At rest n_bytes is a metadata column and the
+    payload stays unread (the media-scan pruning contract); this
+    fixture has no real payloads, so n_bytes derives from the text
+    column here. Integer window arithmetic, engine-exact."""
     from pyspark.sql import Window
 
     m = multimodal.media_table(load_table(spark, sf_dir, "documents")).select(
