@@ -605,3 +605,36 @@ def test_importance_sample_monotone_in_rate_and_weight(docs):
     for r in sampling.importance_sample(docs, base_bp=2000).collect():
         assert r.bucket < r.thr
         assert 1 <= r.w <= 100
+
+
+def test_ohlc_bars_internally_consistent(spark, sf_dir):
+    """Every bar: low <= open/close <= high; bar counts sum to the
+    event count (bars partition the stream)."""
+    from cdc_debezium_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["events_ohlc_downsample"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+    total = sum(r["n"] for r in rows)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total == n_events
+
+
+def test_sweep_concurrency_conserved(spark, sf_dir):
+    """Sweep-line invariants: active count never negative, net deltas
+    sum to zero (every session that opens closes), and the final
+    boundary returns to zero concurrency."""
+    from cdc_debezium_spark import registry
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["events_active_sessions_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r["us"],
+    )
+    assert rows
+    assert all(r["active"] >= 0 for r in rows)
+    assert sum(r["net"] for r in rows) == 0
+    assert rows[-1]["active"] == 0
