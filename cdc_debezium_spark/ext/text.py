@@ -461,3 +461,29 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
         F.size("ts").alias("n_types"),
         (F.floor(score * 10000.0 + F.lit(0.5)) / 10000.0).alias("neg_log2p"),
     )
+
+
+def chunk_dedup_stats(docs: DataFrame, size: int = 64) -> DataFrame:
+    """Paragraph/window-level duplicate mass per document: chunk each
+    document into NON-overlapping `size`-token windows, hash them, and
+    report what fraction of each document's chunks also appear
+    elsewhere in the corpus — the C4-style coarse-granularity dedup
+    signal between whole-document dedup and exact span dedup.
+
+    Shape: the chunker is narrow per-row; one (chunk_md5) frequency
+    shuffle (map-side combine) and a join back — no pairwise stage of
+    any kind. Integer-ratio dup fractions hash exactly.
+    """
+    ch = chunk_documents(docs, size=size, stride=size).select(
+        "doc_id", "chunk_md5"
+    )
+    freq = ch.groupBy("chunk_md5").agg(F.count("*").alias("dfc"))
+    joined = ch.join(freq, "chunk_md5")
+    dup = F.sum(F.when(F.col("dfc") > 1, 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        dup.cast("long").alias("n_dup_chunks"),
+        (
+            F.floor((dup / F.count("*")) * 10000.0 + F.lit(0.5)) / 10000.0
+        ).alias("dup_frac"),
+    )

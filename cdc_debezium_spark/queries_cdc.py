@@ -498,3 +498,48 @@ def events_rate_anomaly(spark, sf_dir):
             (F.abs(z) > 3.0).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "cdc_compaction_stats",
+    oracle=CDC_CTE
+    + """
+    , live AS (
+      SELECT pk FROM (
+        SELECT * FROM cdc_events
+        QUALIFY row_number() OVER (PARTITION BY pk ORDER BY ts_us DESC, ord2 DESC) = 1
+      ) WHERE op <> 'd'
+    ),
+    per_key AS (
+      SELECT pk, count(*) AS n_events FROM cdc_events GROUP BY pk
+    )
+    SELECT pk % 16 AS bucket_id,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           count(*) AS n_keys,
+           CAST(count(CASE WHEN live.pk IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_live_keys,
+           floor((sum(n_events) / count(*)) * 10000.0 + 0.5) / 10000.0
+             AS events_per_key
+    FROM per_key LEFT JOIN live USING (pk)
+    GROUP BY bucket_id
+    """,
+)
+def cdc_compaction_stats(spark, sf_dir):
+    """Log-compaction planning stats per state bucket: how many events
+    the retained log holds per key (the compaction ratio that sizes
+    the B6 materialization and the Kafka compacted-topic analog), and
+    how many keys are still live vs tombstoned. One per-key partial
+    aggregate + a co-partitioned join; integer-ratio densities."""
+    ce = cdc.cdc_events(spark, sf_dir)
+    live = cdc.latest_state(ce).select("pk").withColumn("is_live", F.lit(1))
+    per_key = ce.groupBy("pk").agg(F.count("*").alias("n_events"))
+    joined = per_key.join(live, "pk", "left")
+    return joined.groupBy((F.col("pk") % 16).alias("bucket_id")).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.count("*").alias("n_keys"),
+        F.count("is_live").cast("long").alias("n_live_keys"),
+        (
+            F.floor((F.sum("n_events") / F.count("*")) * 10000.0 + F.lit(0.5))
+            / 10000.0
+        ).alias("events_per_key"),
+    )

@@ -2026,3 +2026,36 @@ def ext_multimodal_shards(spark, sf_dir):
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "ext_text_chunk_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, ' ') AS w,
+             1 + ((greatest(len(regexp_split_to_array(text, ' ')) - 64, 0) + 63) // 64) AS nc
+      FROM documents
+    ),
+    c AS (SELECT doc_id, w, unnest(range(0, nc)) AS chunk_id FROM t),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(w[chunk_id * 64 + 1 : chunk_id * 64 + 64], ' '))
+               AS m
+      FROM c
+    ),
+    freq AS (SELECT m, count(*) AS dfc FROM ch GROUP BY m)
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN dfc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           floor((sum(CASE WHEN dfc > 1 THEN 1 ELSE 0 END) / count(*))
+                 * 10000.0 + 0.5) / 10000.0 AS dup_frac
+    FROM ch JOIN freq USING (m)
+    GROUP BY doc_id
+    """,
+)
+def ext_text_chunk_dedup(spark, sf_dir):
+    """Paragraph/window-level duplicate mass per document
+    (non-overlapping 64-token chunks hashed and frequency-joined) —
+    the C4-style coarse dedup signal between whole-document and exact
+    span dedup; integer-ratio fractions hash exactly."""
+    return text.chunk_dedup_stats(load_table(spark, sf_dir, "documents"), 64)

@@ -879,3 +879,35 @@ def udaf_grouped_agg(spark, sf_dir):
             F.floor(gmean(qty) * 10000.0 + F.lit(0.5)) / 10000.0
         ).alias("gmean_qty"),
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           grouping_id(o_orderstatus, o_orderpriority) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """C13 completed: arbitrary GROUPING SETS (the subset of the cube
+    a DW report actually needs — here both marginals plus the full
+    cross, skipping the grand total). Spark expands the sets into one
+    pass with partial aggregation per set; grouping_id disambiguates
+    the granularities, exact-decimal money sums hash identically."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )

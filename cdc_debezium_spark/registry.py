@@ -65,6 +65,9 @@ _PRIORITY = [
     "ext_text_dedup_report",
     "ext_multimodal_shards",
     "events_rolling_active_users",
+    "agg_grouping_sets",
+    "ext_text_chunk_dedup",
+    "cdc_compaction_stats",
     "events_ohlc_downsample",
     "events_active_sessions_sweep",
     "events_gapfill_locf",
