@@ -30,19 +30,26 @@ def query(key: str, oracle: str | None = None):
     return deco
 
 
-# Must-check-first order for a count-budgeted driver sample (the r1
-# driver stopped after 50 keys in registration order; the r2 verdict
-# notes tpch_q2..q22 have never been sampled). Round-3 layout: the four
-# r2-red keys (now fixed) and the new r3 keys lead (~26), then the
-# whole TPC-H suite via load_all()'s ordering (21 more) — a 50-key
-# prefix covers both; the long-green ext_* keys from r1/r2 follow.
+# Must-check-first order for a count-budgeted driver sample. Round-4
+# layout (per the r3 verdict's "Next round" #1): tpch_q7/q8/q9 are the
+# ONLY keys with no driver row in any round — they lead, followed by
+# any new r4 keys, then keys whose plans changed this round and so need
+# a fresh external sample; the long-green keys from r1-r3 follow via
+# load_all()'s ordering.
 _PRIORITY = [
-    # r2-red keys, fixed in r3 — need a green driver row
+    # never driver-sampled in r1-r3 (locally oracle-green) — sample first
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    # new r4 keys with no driver row yet
+    "ext_multimodal_real_header",
+    # plans changed in r4 (skew-guard single-pass rework) — resample
+    "ext_dedup_embedding_ann",
+    # r3 keys whose latest row is green but only sampled once
     "ext_pack_sequences",
     "ext_pack_sequences_sharded",
     "ext_multimodal_scan",
     "ext_multimodal_features",
-    # new r3 keys with no driver row yet
     "ext_similarity_ivf_prod",
     "ext_text_unigram_logprob",
     "ext_dedup_levenshtein",
