@@ -653,3 +653,56 @@ def test_incremental_agg_view_idempotent_on_redelivery(spark, sf_dir, tmp_path):
         ["bucket_id", "n_keys", "sum_last_val", "max_ts_us"],
     )
     assert got == want
+
+
+def test_log_compaction_preserves_state_and_drops_files(spark, sf_dir, tmp_path):
+    """compact_log is the action cdc_compaction_stats plans for: dense
+    buckets collapse to latest-event-per-key (tombstones kept — the
+    compacted-topic contract), state materialized from the log is
+    IDENTICAL before and after, and both row and file counts drop.
+    A no-op threshold must leave the log byte-count untouched."""
+    import os
+
+    from cdc_debezium_spark.streaming.state import BUCKET_COL, compact_log
+
+    log_path = str(tmp_path / "retained_log")
+    ce = cdc.cdc_events(spark, sf_dir).withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64("pk"), F.lit(16))
+    )
+    # several part files per bucket dir — the post-micro-batch layout
+    ce.repartition(8).write.partitionBy(BUCKET_COL).parquet(log_path)
+
+    def parquet_files():
+        return sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(log_path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    def state(drop_deleted):
+        df = spark.read.parquet(log_path).drop(BUCKET_COL)
+        return {
+            tuple(r)
+            for r in cdc.latest_state(df, drop_deleted=drop_deleted).collect()
+        }
+
+    before_full = state(drop_deleted=False)
+    before_live = state(drop_deleted=True)
+    files_before = parquet_files()
+    rows_total_before = spark.read.parquet(log_path).count()
+
+    res = compact_log(spark, log_path, min_events_per_key=2.0)
+    assert res["buckets_compacted"] > 0
+    assert res["rows_after"] < res["rows_before"]
+
+    assert state(drop_deleted=False) == before_full  # tombstones survive
+    assert state(drop_deleted=True) == before_live
+    assert len(parquet_files()) < len(files_before)
+    assert spark.read.parquet(log_path).count() < rows_total_before
+
+    # threshold nothing reaches -> plan is empty, log untouched
+    files_now = parquet_files()
+    res2 = compact_log(spark, log_path, min_events_per_key=1e9)
+    assert res2 == {"buckets_compacted": 0, "rows_before": 0, "rows_after": 0}
+    assert parquet_files() == files_now
