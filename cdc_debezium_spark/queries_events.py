@@ -144,8 +144,11 @@ def agg_approx_quantile(spark, sf_dir):
     query computes the approx median AND the exact 49th/51st
     percentiles and emits within_bound = p49 <= approx <= p51 (the
     sketch's rank error at accuracy=10000 is far inside that band);
-    the oracle asserts TRUE per group. Production uses the approx-only
-    aggregate — the exact percentiles exist to power the check.
+    the oracle asserts TRUE per group.
+
+    ORACLE SCAFFOLDING: the exact percentile(0.49/0.51) columns exist
+    only to power the driver check — production runs approx_percentile
+    alone (the exact lanes are the per-group sort the sketch avoids).
     """
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -219,7 +222,13 @@ def agg_theta_sketch_distinct(spark, sf_dir):
     (theta_union_agg over per-segment sketches), the driver gate uses
     the error-bound pattern: theta is exact below its nominal-entries
     budget and well inside 5% beyond it; the oracle asserts TRUE plus
-    the exact counts."""
+    the exact counts.
+
+    ORACLE SCAFFOLDING: every countDistinct in this query exists only
+    to power the driver's error-bound check. Production runs the
+    sketch columns alone — at 100 TB, keep theta_sketch_agg /
+    theta_union_agg and DROP the exact countDistinct companions (they
+    are the full shuffle the sketch exists to avoid)."""
     ev = load_table(spark, sf_dir, "events")
     per = ev.groupBy("event_type").agg(
         F.expr("theta_sketch_estimate(theta_sketch_agg(user_id))").alias("est"),

@@ -148,3 +148,30 @@ def unwrap(parsed: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
         .select("_row.*", *keep)
         .withColumn("__deleted", (F.col("op") == "d"))
     )
+
+
+# Schema-change topic (A7) ---------------------------------------------------
+
+SCHEMA_CHANGE_SCHEMA = StructType(
+    [
+        StructField("source", SOURCE_SCHEMA),
+        StructField("databaseName", StringType()),
+        StructField("schemaName", StringType()),
+        StructField("ddl", StringType()),
+    ]
+)
+
+
+def parse_schema_change(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Deserialize the DDL events Debezium emits to its schema-change
+    topic (``include.schema.changes`` — the reference's connectors keep
+    it on by default; the public docs document the message shape:
+    {source, databaseName, schemaName, ddl, tableChanges}). Consumers
+    use the ddl string + source.table to evolve downstream schemas;
+    `tableChanges` is connector-internal and not declared, so
+    from_json ignores it."""
+    return raw.select(
+        F.from_json(
+            F.col(value_col).cast("string"), SCHEMA_CHANGE_SCHEMA
+        ).alias("_e")
+    ).select("_e.*")
