@@ -543,3 +543,58 @@ def cdc_compaction_stats(spark, sf_dir):
             / 10000.0
         ).alias("events_per_key"),
     )
+
+
+def _varint_len_sql(expr: str) -> str:
+    """SQL for the byte length of the zigzag varint of a NON-NEGATIVE
+    bigint expr (zigzag of n >= 0 is 2n; one byte per 7 bits)."""
+    z = f"(2 * ({expr}))"
+    cases = " ".join(f"WHEN {z} < {128 ** k} THEN {k}" for k in range(1, 10))
+    return f"(CASE {cases} ELSE 10 END)"
+
+
+@query(
+    "avro_roundtrip",
+    # The oracle recomputes the EXACT wire size from the public Avro
+    # binary spec (5-byte Confluent frame + zigzag-varint longs +
+    # varint-length string + 8-byte double) — so a framing or varint
+    # bug breaks the hash even though the decoded values also roundtrip.
+    oracle=f"""
+    SELECT event_id, user_id, event_type, value,
+           CAST(5 + {_varint_len_sql("event_id")} + {_varint_len_sql("user_id")}
+                + {_varint_len_sql("length(event_type)")} + length(event_type)
+                + 8 AS BIGINT) AS n_bytes,
+           CAST(1 AS INTEGER) AS schema_id
+    FROM events
+    """,
+)
+def avro_roundtrip(spark, sf_dir):
+    """A12 sibling: Avro wire format with Schema-Registry framing —
+    encode rows to framed Avro binary, decode them back, and report
+    the real encoded byte size (sources/avro_wire.py implements the
+    public Avro binary encoding; the reference deploys the registry at
+    helm-charts/cdc-system/values.yaml:63-69)."""
+    from .sources.avro_wire import (
+        InMemorySchemaRegistry,
+        from_avro_wire,
+        to_avro_wire,
+    )
+
+    fields = [
+        ("event_id", "long"),
+        ("user_id", "long"),
+        ("event_type", "string"),
+        ("value", "double"),
+    ]
+    reg = InMemorySchemaRegistry()
+    sid = reg.register("events-value", fields)
+    ev = load_table(spark, sf_dir, "events")
+    wire = to_avro_wire(ev, fields, sid).withColumn(
+        "n_bytes", F.length("value").cast("long")
+    )
+    return from_avro_wire(
+        wire,
+        reg,
+        "event_id long, user_id long, event_type string, value double, n_bytes long",
+        keep_cols=("n_bytes",),
+    )

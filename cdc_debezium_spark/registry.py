@@ -43,6 +43,7 @@ _PRIORITY = [
     "tpch_q9",
     # new r4 keys with no driver row yet
     "ext_multimodal_real_header",
+    "avro_roundtrip",
     # plans changed in r4 (skew-guard single-pass rework) — resample
     "ext_dedup_embedding_ann",
     # r3 keys whose latest row is green but only sampled once

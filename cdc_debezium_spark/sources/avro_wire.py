@@ -1,0 +1,247 @@
+"""Avro wire format + Schema-Registry framing (the A12 JSON wire's
+sibling lane).
+
+The reference deploys a Confluent Schema Registry next to Kafka
+(helm-charts/cdc-system/values.yaml:63-69) even though its converters
+run schemaless JSON (prod-resources.yaml:12-13) — the Avro wire is the
+path a hardened deployment flips to. Spark's own avro functions
+(pyspark.sql.avro.functions.from_avro/to_avro) are the production
+codec when the spark-avro jar is on the classpath; this image has no
+jar and no python avro package, so the codec here implements the
+PUBLIC Avro binary spec (Apache Avro specification, "Binary encoding")
+for flat records, dependency-free:
+
+- long/int  : zigzag varint
+- double    : little-endian IEEE 754, 8 bytes
+- boolean   : 1 byte
+- string/bytes: zigzag-varint byte length + payload
+- nullable  : union ["null", T] — zigzag-varint branch index, then T
+
+Framing is the public Confluent wire format: magic byte 0x00 +
+big-endian 4-byte schema id + Avro body.
+
+Encode/decode run as Arrow-batched mapInPandas (never row-at-a-time
+Python UDFs); at scale the call sites swap to the JVM from_avro/to_avro
+one-for-one — the DataFrame contract (binary `value` in, typed columns
+out) is kept identical on purpose.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MAGIC = 0
+
+SCALARS = {"long", "int", "double", "string", "boolean", "bytes"}
+
+
+# Binary primitives (Avro spec, "Binary encoding") ---------------------------
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_varint(out: bytearray, n: int) -> None:
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def write_long(out: bytearray, n: int) -> None:
+    _write_varint(out, _zigzag(n) & 0xFFFFFFFFFFFFFFFF)
+
+
+def read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    n, pos = _read_varint(buf, pos)
+    return _unzigzag(n), pos
+
+
+# Flat-record codec ----------------------------------------------------------
+#
+# fields: sequence of (name, type) where type is a scalar name above or
+# ["null", scalar] for a nullable field (null first, the Avro default).
+
+
+def encode_record(fields, row: dict) -> bytes:
+    out = bytearray()
+    for name, typ in fields:
+        v = row[name]
+        if isinstance(typ, (list, tuple)):
+            if v is None:
+                write_long(out, 0)  # union branch 0 = null
+                continue
+            write_long(out, 1)
+            typ = typ[1]
+        if typ in ("long", "int"):
+            write_long(out, int(v))
+        elif typ == "double":
+            out += struct.pack("<d", float(v))
+        elif typ == "boolean":
+            out.append(1 if v else 0)
+        elif typ in ("string", "bytes"):
+            b = v.encode("utf-8") if typ == "string" else bytes(v)
+            write_long(out, len(b))
+            out += b
+        else:
+            raise TypeError(f"unsupported avro type {typ!r}")
+    return bytes(out)
+
+
+def decode_record(fields, buf: bytes, pos: int = 0) -> tuple[dict, int]:
+    row = {}
+    for name, typ in fields:
+        if isinstance(typ, (list, tuple)):
+            branch, pos = read_long(buf, pos)
+            if branch == 0:
+                row[name] = None
+                continue
+            typ = typ[1]
+        if typ in ("long", "int"):
+            row[name], pos = read_long(buf, pos)
+        elif typ == "double":
+            (row[name],) = struct.unpack_from("<d", buf, pos)
+            pos += 8
+        elif typ == "boolean":
+            row[name] = buf[pos] == 1
+            pos += 1
+        elif typ in ("string", "bytes"):
+            ln, pos = read_long(buf, pos)
+            raw = buf[pos : pos + ln]
+            row[name] = raw.decode("utf-8") if typ == "string" else raw
+            pos += ln
+        else:
+            raise TypeError(f"unsupported avro type {typ!r}")
+    return row, pos
+
+
+def avro_schema_json(name: str, fields) -> str:
+    """Canonical Avro record-schema JSON (what a real registry stores)."""
+    return json.dumps(
+        {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": n, "type": list(t) if isinstance(t, (list, tuple)) else t}
+                for n, t in fields
+            ],
+        }
+    )
+
+
+class InMemorySchemaRegistry:
+    """Subject -> monotonically-assigned schema ids, like the HTTP
+    registry's POST /subjects/<s>/versions. In production this is a
+    thin client over the registry REST API; the id-framing contract is
+    identical, which is what the wire tests pin."""
+
+    def __init__(self) -> None:
+        self._by_id: dict[int, tuple] = {}
+        self._next = 1
+
+    def register(self, subject: str, fields) -> int:
+        sid = self._next
+        self._next += 1
+        self._by_id[sid] = (subject, tuple(fields), avro_schema_json(subject, fields))
+        return sid
+
+    def fields_by_id(self, sid: int):
+        return self._by_id[sid][1]
+
+    def schema_json_by_id(self, sid: int) -> str:
+        return self._by_id[sid][2]
+
+
+# Confluent framing ----------------------------------------------------------
+
+
+def frame(schema_id: int, body: bytes) -> bytes:
+    return struct.pack(">bI", MAGIC, schema_id) + body
+
+
+def unframe(payload: bytes) -> tuple[int, bytes]:
+    magic, sid = struct.unpack_from(">bI", payload, 0)
+    if magic != MAGIC:
+        raise ValueError(f"bad wire magic {magic}")
+    return sid, payload[5:]
+
+
+# DataFrame lanes ------------------------------------------------------------
+
+
+def to_avro_wire(df: DataFrame, fields, schema_id: int) -> DataFrame:
+    """columns -> one framed binary `value` column (Arrow-batched).
+    Swap point for pyspark.sql.avro.functions.to_avro + concat of the
+    frame header when the spark-avro jar is present."""
+    names = [n for n, _ in fields]
+    fields = tuple((n, tuple(t) if isinstance(t, list) else t) for n, t in fields)
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "value": [
+                        frame(
+                            schema_id,
+                            encode_record(
+                                fields, {n: row[n] for n in names}
+                            ),
+                        )
+                        for row in pdf.to_dict("records")
+                    ]
+                }
+            )
+
+    return df.select(*names).mapInPandas(run, "value binary")
+
+
+def from_avro_wire(
+    df: DataFrame,
+    registry: InMemorySchemaRegistry,
+    out_ddl: str,
+    value_col: str = "value",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """framed binary -> typed columns + schema_id (Arrow-batched); the
+    per-row schema-id lookup is how mixed-version topics decode.
+    `keep_cols` pass through beside the decoded fields (declare them in
+    out_ddl)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i, payload in enumerate(pdf[value_col]):
+                sid, body = unframe(bytes(payload))
+                row, _ = decode_record(registry.fields_by_id(sid), body)
+                for c in keep_cols:
+                    row[c] = pdf[c].iloc[i]
+                row["schema_id"] = sid
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, out_ddl + ", schema_id int")

@@ -266,3 +266,52 @@ def test_debezium_docs_schema_change_conformance(spark):
     assert r["databaseName"] == "postgres" and r["schemaName"] == "public"
     assert r["ddl"].startswith("ALTER TABLE customers")
     assert r["source"]["table"] == "customers"
+
+
+def test_avro_binary_spec_vectors():
+    """The codec must match the PUBLIC Avro spec's published binary
+    examples (spec 'Binary encoding': 0,-1,1,-2,2 -> 00,01,02,03,04;
+    -64 -> 7f, 64 -> 80 01; string 'foo' -> 06 66 6f 6f) and the
+    Confluent frame layout (magic 0x00 + big-endian 4-byte id)."""
+    from cdc_debezium_spark.sources import avro_wire as aw
+
+    for val, want in [
+        (0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (-2, b"\x03"),
+        (2, b"\x04"), (-64, b"\x7f"), (64, b"\x80\x01"),
+    ]:
+        out = bytearray()
+        aw.write_long(out, val)
+        assert bytes(out) == want, (val, bytes(out), want)
+        back, pos = aw.read_long(bytes(out), 0)
+        assert back == val and pos == len(want)
+
+    enc = aw.encode_record([("s", "string")], {"s": "foo"})
+    assert enc == b"\x06foo"
+
+    framed = aw.frame(0x0102, b"\xab")
+    assert framed == b"\x00\x00\x00\x01\x02\xab"
+    sid, body = aw.unframe(framed)
+    assert sid == 0x0102 and body == b"\xab"
+
+
+def test_avro_record_roundtrip_with_nullable_union():
+    """Flat-record codec: nullable union fields take branch varints
+    (null -> just 0x00); full record roundtrips all scalar types."""
+    from cdc_debezium_spark.sources import avro_wire as aw
+
+    fields = [
+        ("id", "long"),
+        ("name", ["null", "string"]),
+        ("ok", "boolean"),
+        ("x", "double"),
+        ("raw", "bytes"),
+    ]
+    row = {"id": 7, "name": None, "ok": True, "x": -2.5, "raw": b"\x01\x02"}
+    enc = aw.encode_record(fields, row)
+    # null branch is exactly one 0x00 byte after the id varint
+    assert enc[1:2] == b"\x00"
+    dec, pos = aw.decode_record(fields, enc)
+    assert pos == len(enc) and dec == row
+    row2 = dict(row, name="née")  # non-ascii utf-8 length
+    dec2, _ = aw.decode_record(fields, aw.encode_record(fields, row2))
+    assert dec2 == row2
