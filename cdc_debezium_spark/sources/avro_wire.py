@@ -230,7 +230,10 @@ def from_avro_wire(
     """framed binary -> typed columns + schema_id (Arrow-batched); the
     per-row schema-id lookup is how mixed-version topics decode.
     `keep_cols` pass through beside the decoded fields (declare them in
-    out_ddl)."""
+    out_ddl). Rows are aligned to out_ddl's columns, so a topic mixing
+    schema versions decodes to one frame — fields a writer schema
+    lacks come out null (the registry's evolution contract)."""
+    out_cols = [c.strip().split()[0] for c in out_ddl.split(",")] + ["schema_id"]
 
     def run(batches):
         for pdf in batches:
@@ -241,7 +244,7 @@ def from_avro_wire(
                 for c in keep_cols:
                     row[c] = pdf[c].iloc[i]
                 row["schema_id"] = sid
-                rows.append(row)
-            yield pd.DataFrame(rows)
+                rows.append([row.get(c) for c in out_cols])
+            yield pd.DataFrame(rows, columns=out_cols)
 
     return df.mapInPandas(run, out_ddl + ", schema_id int")
