@@ -470,3 +470,20 @@ def test_no_cartesian_product_in_any_registered_plan(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(key)
     assert not offenders, offenders
+
+
+def test_real_media_scan_prunes_to_doc_id(spark, sf_dir):
+    """The real-media builder is parameterized by doc_id alone, so the
+    documents scan must read ONE column — at 100 TB the text column is
+    the table's mass and touching it here would be pure waste."""
+    df = registry.QUERIES["ext_multimodal_real_header"](spark, sf_dir)
+    rs = read_schema(df)
+    assert "doc_id" in rs and "text" not in rs and "lang" not in rs
+
+
+def test_avro_roundtrip_is_shuffle_free(spark, sf_dir):
+    """Wire encode/decode is a narrow per-row transform: the whole
+    roundtrip plan must contain zero exchanges (a shuffle in a wire
+    codec would serialize the corpus twice at 100 TB)."""
+    df = registry.QUERIES["avro_roundtrip"](spark, sf_dir)
+    assert count_shuffles(df) == 0
