@@ -706,3 +706,73 @@ def test_log_compaction_preserves_state_and_drops_files(spark, sf_dir, tmp_path)
     res2 = compact_log(spark, log_path, min_events_per_key=1e9)
     assert res2 == {"buckets_compacted": 0, "rows_before": 0, "rows_after": 0}
     assert parquet_files() == files_now
+
+
+def test_merge_into_sql_semantics_and_touched_buckets(spark, tmp_path):
+    """merge_into = SQL MERGE on the bucketed layout: matched-update,
+    matched-delete (predicate over source cols), not-matched-insert,
+    not-matched-by-source rows untouched — and ONLY the buckets
+    containing source keys are rewritten (mtime-asserted), the
+    touched-bucket cost model every 100 TB merge depends on."""
+    import os
+    import time
+
+    from cdc_debezium_spark.streaming.state import BUCKET_COL, merge_into
+
+    path = str(tmp_path / "merge_state")
+    init = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(1, 7)],
+        "pk long, name string, val double",
+    )
+    merge_into(spark, path, init, keys=["pk"], n_buckets=4)
+    got0 = {
+        (r.pk, r.name, r.val)
+        for r in spark.read.parquet(path).drop(BUCKET_COL).collect()
+    }
+    assert got0 == {(i, f"n{i}", float(i)) for i in range(1, 7)}
+
+    before = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path)
+        if d.startswith(f"{BUCKET_COL}=")
+    }
+    time.sleep(1.1)  # mtime resolution guard
+
+    src = spark.createDataFrame(
+        [
+            (2, "n2x", 20.0, "u"),   # matched -> update
+            (3, "whatever", 0.0, "d"),  # matched + predicate -> delete
+            (9, "n9", 9.0, "c"),     # not matched -> insert
+        ],
+        "pk long, name string, val double, _op string",
+    )
+    merge_into(
+        spark, path, src, keys=["pk"], n_buckets=4,
+        delete_expr=F.col("s._op") == "d",
+    )
+    got = {
+        (r.pk, r.name, r.val)
+        for r in spark.read.parquet(path).drop(BUCKET_COL).collect()
+    }
+    assert got == {
+        (1, "n1", 1.0), (2, "n2x", 20.0), (4, "n4", 4.0),
+        (5, "n5", 5.0), (6, "n6", 6.0), (9, "n9", 9.0),
+    }
+    # source-only column (_op) never lands in the target schema
+    assert set(spark.read.parquet(path).columns) == {
+        "pk", "name", "val", BUCKET_COL,
+    }
+
+    touched = {
+        f"{BUCKET_COL}={r.b}"
+        for r in spark.createDataFrame([(2,), (3,), (9,)], "pk long")
+        .select(F.pmod(F.xxhash64("pk"), F.lit(4)).alias("b"))
+        .collect()
+    }
+    after = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path)
+        if d.startswith(f"{BUCKET_COL}=")
+    }
+    changed = {d for d in after if after[d] != before.get(d)}
+    assert changed == touched
