@@ -9,7 +9,10 @@ path a hardened deployment flips to. Spark's own avro functions
 codec when the spark-avro jar is on the classpath; this image has no
 jar and no python avro package, so the codec here implements the
 PUBLIC Avro binary spec (Apache Avro specification, "Binary encoding")
-for flat records, dependency-free:
+for records — flat or nested (a nested record type is written inline
+field-by-field, exactly the spec's record encoding, which is how the
+full Debezium envelope {before, after, source, op, ts_ms} rides this
+wire) — dependency-free:
 
 - long/int  : zigzag varint
 - double    : little-endian IEEE 754, 8 bytes
@@ -98,7 +101,9 @@ def encode_record(fields, row: dict) -> bytes:
                 continue
             write_long(out, 1)
             typ = typ[1]
-        if typ in ("long", "int"):
+        if isinstance(typ, dict):  # nested record {"record": fields}
+            out += encode_record(typ["record"], v)
+        elif typ in ("long", "int"):
             write_long(out, int(v))
         elif typ == "double":
             out += struct.pack("<d", float(v))
@@ -122,7 +127,9 @@ def decode_record(fields, buf: bytes, pos: int = 0) -> tuple[dict, int]:
                 row[name] = None
                 continue
             typ = typ[1]
-        if typ in ("long", "int"):
+        if isinstance(typ, dict):  # nested record {"record": fields}
+            row[name], pos = decode_record(typ["record"], buf, pos)
+        elif typ in ("long", "int"):
             row[name], pos = read_long(buf, pos)
         elif typ == "double":
             (row[name],) = struct.unpack_from("<d", buf, pos)
@@ -140,18 +147,25 @@ def decode_record(fields, buf: bytes, pos: int = 0) -> tuple[dict, int]:
     return row, pos
 
 
-def avro_schema_json(name: str, fields) -> str:
-    """Canonical Avro record-schema JSON (what a real registry stores)."""
-    return json.dumps(
-        {
+def _schema_type(name: str, typ):
+    if isinstance(typ, (list, tuple)):
+        return [_schema_type(name, t) for t in typ]
+    if isinstance(typ, dict):
+        return {
             "type": "record",
-            "name": name,
+            "name": typ.get("name", name),
             "fields": [
-                {"name": n, "type": list(t) if isinstance(t, (list, tuple)) else t}
-                for n, t in fields
+                {"name": n, "type": _schema_type(n, t)}
+                for n, t in typ["record"]
             ],
         }
-    )
+    return typ
+
+
+def avro_schema_json(name: str, fields) -> str:
+    """Canonical Avro record-schema JSON (what a real registry stores);
+    handles nested records and unions recursively."""
+    return json.dumps(_schema_type(name, {"record": fields, "name": name}))
 
 
 class InMemorySchemaRegistry:
