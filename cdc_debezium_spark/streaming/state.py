@@ -250,6 +250,7 @@ def merge_into(
     update: bool = True,
     insert: bool = True,
     delete_expr=None,
+    insert_expr=None,
     n_buckets: int = 16,
     bucket_expr=None,
 ) -> None:
@@ -265,15 +266,27 @@ def merge_into(
     - ``delete_expr``: Column over SOURCE columns; matched keys where
       it holds are deleted (evaluated before update).
     - ``insert``: source keys absent from the target are inserted.
+    - ``insert_expr``: Column over SOURCE columns gating the insert
+      (SQL's ``WHEN NOT MATCHED AND cond THEN INSERT``) — e.g. a CDC
+      apply inserts only non-delete rows: ``F.col("s.op") != "d"``.
 
     Cost model is the upsert sink's: only buckets containing source
-    keys are read and dynamically overwritten — a k-key merge rewrites
+    keys are read and rewritten — a k-key merge rewrites
     ≤ min(k, n_buckets) buckets regardless of state size, the touched
-    set rides a broadcast semi-join (no driver materialization), and
-    the per-bucket full-outer join co-partitions on the same key hash
-    the layout bucketed by. Source must have one row per key (the
-    MERGE precondition; real MERGE raises on duplicate matches too).
+    set rides a broadcast semi-join, and the per-bucket full-outer
+    join co-partitions on the same key hash the layout bucketed by.
+    Source must have one row per key (the MERGE precondition; real
+    MERGE raises on duplicate matches too).
+
+    The rewrite stages to a sibling temp dir, then swaps exactly the
+    touched bucket dirs. Dynamic partition overwrite cannot express
+    MERGE's deletes: a bucket whose rows ALL vanish is absent from the
+    output and its stale dir would survive — the swap removes it. The
+    swap loop's bucket list is ≤ n_buckets values (layout-bounded, not
+    data-bounded — the same class as compact_log's partition listing).
     """
+    import os
+    import shutil
     expr = (
         bucket_expr
         if bucket_expr is not None
@@ -287,7 +300,12 @@ def merge_into(
         tgt = None
 
     if tgt is None:
-        merged = src if insert else src.limit(0)
+        gate = (
+            F.lit(insert)
+            if insert_expr is None
+            else F.coalesce(insert_expr, F.lit(False))
+        )
+        merged = src.alias("s").where(gate)
     else:
         touched = src.select(BUCKET_COL).distinct()
         tgt_touched = tgt.join(F.broadcast(touched), BUCKET_COL, "left_semi")
@@ -323,14 +341,32 @@ def merge_into(
         bucket_out = F.coalesce(
             F.col(f"s.{BUCKET_COL}"), F.col(f"t.{BUCKET_COL}")
         ).alias(BUCKET_COL)
+        insert_gate = (
+            F.lit(insert)
+            if insert_expr is None
+            else F.coalesce(insert_expr, F.lit(False))
+        )
         merged = (
             j.where(~is_delete)  # matched deletes drop here
-            .where(t_present | F.lit(insert))  # not-matched-insert gate
+            .where(t_present | insert_gate)  # not-matched-insert gate
             .select(*out_cols, bucket_out)
         )
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+    if tgt is None:
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+        return
+
+    tmp = path + ".merge"
+    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+    touched_vals = [r[0] for r in touched.collect()]  # ≤ n_buckets
+    for v in touched_vals:
+        dst = os.path.join(path, f"{BUCKET_COL}={v}")
+        stg = os.path.join(tmp, f"{BUCKET_COL}={v}")
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        if os.path.exists(stg):  # absent staged dir = bucket emptied
+            shutil.move(stg, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def compaction_plan(

@@ -776,3 +776,33 @@ def test_merge_into_sql_semantics_and_touched_buckets(spark, tmp_path):
     }
     changed = {d for d in after if after[d] != before.get(d)}
     assert changed == touched
+
+
+def test_chunked_merge_apply_equals_batch_latest_state(spark, sf_dir, tmp_path):
+    """The MERGE-based CDC apply path: folding per-chunk latest rows
+    into state via merge_into (delete on op='d', insert gated to
+    non-deletes) must land exactly the batch latest_state — the same
+    parity contract the foreachBatch upsert sink is held to, proven
+    for the MERGE consumer a warehouse sink would run."""
+    from cdc_debezium_spark.streaming.state import BUCKET_COL, merge_into
+
+    ce = cdc.cdc_events(spark, sf_dir)
+    lo, hi = ce.agg(F.min("ts_us"), F.max("ts_us")).first()
+    path = str(tmp_path / "merge_apply_state")
+    cuts = [lo - 1, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi]
+    for a, b in zip(cuts, cuts[1:]):
+        chunk = ce.where((F.col("ts_us") > a) & (F.col("ts_us") <= b))
+        src = cdc.latest_state(chunk, drop_deleted=False)
+        merge_into(
+            spark, path, src, keys=["pk"],
+            delete_expr=F.col("s.op") == "d",
+            insert_expr=F.col("s.op") != "d",
+        )
+    got = sorted(
+        (r.pk, r.ts_us, r.val)
+        for r in spark.read.parquet(path).drop(BUCKET_COL).collect()
+    )
+    want = sorted(
+        (r.pk, r.ts_us, r.val) for r in cdc.latest_state(ce).collect()
+    )
+    assert got == want and got
