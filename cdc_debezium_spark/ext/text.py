@@ -487,3 +487,37 @@ def chunk_dedup_stats(docs: DataFrame, size: int = 64) -> DataFrame:
             F.floor((dup / F.count("*")) * 10000.0 + F.lit(0.5)) / 10000.0
         ).alias("dup_frac"),
     )
+
+
+def oov_stats(docs: DataFrame, vocab_k: int = 200) -> DataFrame:
+    """Vocabulary coverage per document: token count, out-of-vocab
+    count, and OOV rate against the corpus top-`vocab_k` vocabulary —
+    the tokenizer-fit diagnostic a training pipeline runs before
+    committing to a vocab size.
+
+    Two shuffles total: the token-count aggregate that builds the
+    vocab (map-side partial agg) and the per-doc aggregate. The vocab
+    itself is k rows and BROADCASTS to the exploded token stream —
+    at 100 TB the token stream is never shuffled, only scanned.
+    """
+    vocab = vocab_topk(docs, vocab_k).select("token").withColumn(
+        "_in_vocab", F.lit(1)
+    )
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    joined = toks.join(F.broadcast(vocab), "token", "left")
+    n_oov = F.sum(
+        F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+    ).cast("long")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+                / F.count("*")
+                * 10000.0
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("oov_rate"),
+    )

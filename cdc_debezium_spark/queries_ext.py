@@ -2089,3 +2089,33 @@ def ext_multimodal_real_header(spark, sf_dir):
     per document, then extract width/height/sample-rate features by
     actually parsing the file headers (judge r3 item 5)."""
     return multimodal.real_header_features(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ext_text_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS token
+      FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY n DESC, token) AS r
+        FROM counts)
+      WHERE r <= 200
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           floor(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END)
+                 / count(*) * 10000.0 + 0.5) / 10000.0 AS oov_rate
+    FROM toks LEFT JOIN vocab USING (token)
+    GROUP BY doc_id
+    """,
+)
+def ext_text_oov_rate(spark, sf_dir):
+    """Per-document vocabulary coverage against the corpus top-200
+    vocab (tokenizer-fit diagnostic; broadcast vocab, token stream
+    never shuffled). Integer-ratio rate hashes exactly."""
+    return text.oov_stats(load_table(spark, sf_dir, "documents"), 200)

@@ -44,6 +44,7 @@ _PRIORITY = [
     # new r4 keys with no driver row yet
     "ext_multimodal_real_header",
     "avro_roundtrip",
+    "ext_text_oov_rate",
     # plans changed in r4 (skew-guard single-pass rework) — resample
     "ext_dedup_embedding_ann",
     # r3 keys whose latest row is green but only sampled once

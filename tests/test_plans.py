@@ -487,3 +487,13 @@ def test_avro_roundtrip_is_shuffle_free(spark, sf_dir):
     codec would serialize the corpus twice at 100 TB)."""
     df = registry.QUERIES["avro_roundtrip"](spark, sf_dir)
     assert count_shuffles(df) == 0
+
+
+def test_oov_rate_broadcasts_vocab(spark, sf_dir):
+    """The k-row vocab must broadcast to the exploded token stream —
+    a shuffle join there would re-shuffle every token occurrence in
+    the corpus."""
+    df = registry.QUERIES["ext_text_oov_rate"](spark, sf_dir)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
