@@ -177,3 +177,83 @@ def test_p5_incremental_agg_view_chunk_invariant(
         .collect()
     )
     assert got == want
+
+
+# P6: the Avro codec is lossless on arbitrary rows -----------------------------
+
+AVRO_FIELDS = [
+    ("id", "long"),
+    ("name", ["null", "string"]),
+    ("ok", "boolean"),
+    ("x", ["null", "double"]),
+    ("raw", "bytes"),
+]
+
+AVRO_ROWS = st.fixed_dictionaries(
+    {
+        "id": st.integers(-(2**63), 2**63 - 1),
+        "name": st.none() | st.text(max_size=40),
+        "ok": st.booleans(),
+        "x": st.none()
+        | st.floats(allow_nan=False, allow_infinity=False, width=64),
+        "raw": st.binary(max_size=40),
+    }
+)
+
+
+@given(st.lists(AVRO_ROWS, min_size=1, max_size=20), st.integers(1, 2**31 - 1))
+@settings(max_examples=50, deadline=None)
+def test_p6_avro_roundtrip_lossless(rows, sid):
+    """encode->frame->unframe->decode is the identity for every value
+    the schema can carry (full 64-bit long range, unicode, None
+    branches, arbitrary bytes), and decode consumes every byte."""
+    from cdc_debezium_spark.sources import avro_wire as aw
+
+    for row in rows:
+        payload = aw.frame(sid, aw.encode_record(AVRO_FIELDS, row))
+        got_sid, body = aw.unframe(payload)
+        dec, pos = aw.decode_record(AVRO_FIELDS, body)
+        assert got_sid == sid and pos == len(body) and dec == row
+
+
+# P7: chunked MERGE apply == batch latest-state, any log -----------------------
+
+
+@given(EVENT_LOGS, st.integers(1001, 1019))
+@SETTINGS
+def test_p7_merge_fold_equals_latest_state(spark, tmp_path_factory, rows, cut):
+    """Folding per-chunk latest rows through merge_into (delete on
+    op='d', insert gated to non-deletes) equals batch latest_state for
+    ANY log and ANY chunk boundary — the algebra that makes the
+    MERGE-based warehouse consumer safe under arbitrary batching."""
+    import os
+    import tempfile
+
+    from cdc_debezium_spark.streaming.state import BUCKET_COL, merge_into
+
+    _, df = _mk(spark, rows)
+    path = os.path.join(
+        tempfile.mkdtemp(dir=tmp_path_factory.getbasetemp()), "st"
+    )
+    for lo, hi in ((None, cut), (cut, None)):
+        chunk = df
+        if lo is not None:
+            chunk = chunk.where(F.col("ts_us") > lo)
+        if hi is not None:
+            chunk = chunk.where(F.col("ts_us") <= hi)
+        src = cdc.latest_state(chunk, drop_deleted=False)
+        if src.isEmpty():
+            continue
+        merge_into(
+            spark, path, src, keys=["pk"], n_buckets=4,
+            delete_expr=F.col("s.op") == "d",
+            insert_expr=F.col("s.op") != "d",
+        )
+    try:
+        got = sorted(
+            (r.pk, r.ord2, r.ts_us, r.val)
+            for r in spark.read.parquet(path).drop(BUCKET_COL).collect()
+        )
+    except Exception:
+        got = []  # no chunk produced state
+    assert got == _state(df)
