@@ -546,3 +546,97 @@ def events_rolling_active_users(spark, sf_dir):
         ).alias("wau"),
         F.countDistinct("user_id").alias("mau"),
     )
+
+
+@query(
+    "events_metric_correlation",
+    # Pearson over INTEGER daily counts: every sum (n, Σx, Σy, Σxy,
+    # Σx², Σy²) is exact in int64, sqrt/divide are single IEEE ops,
+    # floor-4dp seals the hash. Zero-filled day grid so absent days
+    # count as 0 (a gap IS a measurement for correlation).
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT epoch_us(ts) // {US_PER_DAY} AS day FROM events
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT epoch_us(ts) // {US_PER_DAY} AS day, event_type,
+             count(*) AS n
+      FROM events GROUP BY day, event_type
+    ),
+    grid AS (
+      SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+      FROM days d CROSS JOIN types t
+      LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_days,
+             sum(a.n) AS sx, sum(b.n) AS sy,
+             sum(a.n * b.n) AS sxy,
+             sum(a.n * a.n) AS sxx, sum(b.n * b.n) AS syy
+      FROM grid a JOIN grid b ON a.day = b.day
+      WHERE a.event_type < b.event_type
+      GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, CAST(n_days AS BIGINT) AS n_days,
+           floor((n_days * sxy - sx * sy)
+                 / sqrt((n_days * sxx - sx * sx)
+                        * (n_days * syy - sy * sy))
+                 * 10000.0 + 0.5) / 10000.0 AS pearson
+    FROM pairs
+    """,
+)
+def events_metric_correlation(spark, sf_dir):
+    """Cross-metric correlation matrix: Pearson between every pair of
+    event types' daily count series (the alert-triage view that tells
+    an operator which metrics move together). Aggregates FIRST (days x
+    types rows), then the tiny grid self-joins per day — at 100 TB the
+    corpus is touched once; the pair space is |types|² over day rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            F.expr(f"ts_us div {US_PER_DAY}").alias("day"), "event_type"
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    days = counts.select("day").distinct()
+    types = counts.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))  # |types| rows, broadcast
+        .join(counts, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("a.n").alias("sx"),
+            F.sum("b.n").alias("sy"),
+            F.sum(F.col("a.n") * F.col("b.n")).alias("sxy"),
+            F.sum(F.col("a.n") * F.col("a.n")).alias("sxx"),
+            F.sum(F.col("b.n") * F.col("b.n")).alias("syy"),
+        )
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.col("n_days").cast("long").alias("n_days"),
+        (F.floor(num / den * 10000.0 + F.lit(0.5)) / 10000.0).alias("pearson"),
+    )

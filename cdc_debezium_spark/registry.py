@@ -45,6 +45,7 @@ _PRIORITY = [
     "ext_multimodal_real_header",
     "avro_roundtrip",
     "ext_text_oov_rate",
+    "events_metric_correlation",
     # plans changed in r4 (skew-guard single-pass rework) — resample
     "ext_dedup_embedding_ann",
     # r3 keys whose latest row is green but only sampled once
