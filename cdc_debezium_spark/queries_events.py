@@ -640,3 +640,61 @@ def events_metric_correlation(spark, sf_dir):
         F.col("n_days").cast("long").alias("n_days"),
         (F.floor(num / den * 10000.0 + F.lit(0.5)) / 10000.0).alias("pearson"),
     )
+
+
+@query(
+    "events_transition_matrix",
+    # lead() under the identical (ts_us, event_id) total order on both
+    # engines; probabilities are integer ratios floored at 4dp.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           floor(n / (sum(n) OVER (PARTITION BY from_type))
+                 * 10000.0 + 0.5) / 10000.0 AS p
+    FROM trans
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """User-journey transition matrix: counts and row-normalized
+    probabilities of consecutive event-type pairs per user (the
+    session-flow / Markov view product analytics builds from an
+    activity stream).
+
+    The lead() window partitions by user_id — co-partitioned with the
+    ingest layout, state bounded by one user's events — then the
+    transition space collapses to |types|² rows before the tiny
+    normalizing window. Total order (ts_us, event_id) on both engines.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    norm = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.floor(F.col("n") / F.sum("n").over(norm) * 10000.0 + F.lit(0.5))
+            / 10000.0
+        ).alias("p"),
+    )

@@ -46,6 +46,7 @@ _PRIORITY = [
     "avro_roundtrip",
     "ext_text_oov_rate",
     "events_metric_correlation",
+    "events_transition_matrix",
     # plans changed in r4 (skew-guard single-pass rework) — resample
     "ext_dedup_embedding_ann",
     # r3 keys whose latest row is green but only sampled once
