@@ -911,3 +911,43 @@ def agg_grouping_sets(spark, sf_dir):
                                 (o_orderstatus, o_orderpriority))
         """
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT l_returnflag,
+             'flag_' || l_returnflag AS flag_label
+      FROM lineitem
+    )
+    SELECT flag_label, count(*) AS n_rows,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem JOIN dim USING (l_returnflag)
+    GROUP BY flag_label
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-safe salted join proven semantics-preserving by the driver
+    gate: l_returnflag has only 3 values, so an unsalted shuffle join
+    concentrates three reducers at 100 TB; operators.relational.
+    salted_join spreads each hot key over `salt` reducers (big side
+    salted deterministically, small side replicated) and the result
+    must equal the plain join the oracle runs."""
+    from .operators.relational import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    dim = (
+        li.select("l_returnflag")
+        .distinct()
+        .withColumn(
+            "flag_label", F.concat(F.lit("flag_"), F.col("l_returnflag"))
+        )
+    )
+    j = salted_join(li, dim, ["l_returnflag"], salt=8)
+    return j.groupBy("flag_label").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+    )

@@ -47,6 +47,7 @@ _PRIORITY = [
     "ext_text_oov_rate",
     "events_metric_correlation",
     "events_transition_matrix",
+    "join_skew_salted",
     # plans changed in r4 (skew-guard single-pass rework) — resample
     "ext_dedup_embedding_ann",
     # r3 keys whose latest row is green but only sampled once

@@ -497,3 +497,12 @@ def test_oov_rate_broadcasts_vocab(spark, sf_dir):
     plan = _physical(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_salted_join_spreads_hot_keys(spark, sf_dir):
+    """The salted join's shuffle keys must include the salt column —
+    that's the whole point: 3 hot flag values spread over salt*3
+    reducer partitions instead of 3."""
+    df = registry.QUERIES["join_skew_salted"](spark, sf_dir)
+    plan = _physical(df)
+    assert "_salt" in plan
