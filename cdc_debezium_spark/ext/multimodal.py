@@ -8,10 +8,13 @@ payload here is the utf-8 text bytes and metadata is derived
 deterministically; the *plumbing* — schema, Arrow batch shape,
 mapInPandas signature, partition behavior — is the real, tested part.
 
-Real codec work (PIL/ffmpeg/torchaudio) is stubbed behind
-`decode_media`: it raises NotImplementedError unless the deterministic
-fake decoder is selected, and the fake produces stable per-row
-features so tests and oracles are reproducible.
+Codec surface: the deterministic fake decoder (byte moments) keeps
+the original lanes oracle-able; the REAL-format lane below builds
+spec-valid PNG/RIFF-WAVE files and decodes them back — headers
+(IHDR / fmt-chunk parsing) and, for PNG, actual pixels (zlib inflate
++ unfilter + nearest-neighbor resize). General-purpose codecs
+(PIL/ffmpeg) are still absent from this image; `decode_media` raises
+for those backends — that's the plug-in seam.
 """
 
 from __future__ import annotations
@@ -442,3 +445,87 @@ def real_header_features(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return m.mapInPandas(run, REAL_HEADER_SCHEMA)
+
+
+def decode_png_pixels(payload: bytes):
+    """REAL pixel decode for 8-bit RGB PNGs with filter type 0: walk
+    the chunk stream, concatenate IDAT, zlib-inflate, strip per-scanline
+    filter bytes. Returns (width, height, bytes of h*w*3 samples).
+    Raises on interlace/filters this decoder doesn't implement — the
+    seam where a full codec (PIL) plugs in."""
+    import struct
+    import zlib
+
+    hdr = parse_png_header(payload)
+    if hdr["bit_depth"] != 8 or hdr["color_type"] != 2:
+        raise NotImplementedError("only 8-bit RGB supported here")
+    w, h = hdr["width"], hdr["height"]
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos : pos + 8])
+        if typ == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + 3 * w
+    out = bytearray()
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        if row[0] != 0:
+            raise NotImplementedError(f"PNG filter {row[0]} not supported")
+        out += row[1:]
+    return w, h, bytes(out)
+
+
+def resize_nearest(w: int, h: int, pixels: bytes, tw: int, th: int) -> bytes:
+    """Nearest-neighbor resample with the floor mapping
+    src = (dst * src_size) // dst_size — integer-exact, so the result
+    is closed-form for deterministic source pixels."""
+    out = bytearray()
+    for y in range(th):
+        yi = (y * h) // th
+        for x in range(tw):
+            xi = (x * w) // tw
+            base = (yi * w + xi) * 3
+            out += pixels[base : base + 3]
+    return bytes(out)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def resize_stats(docs: DataFrame, tw: int = 4, th: int = 4) -> DataFrame:
+    """Decode the real PNG payloads to PIXELS, nearest-resize to
+    (tw, th), and report per-channel sample sums — the thumbnail /
+    vision-preprocessing stage with every byte actually decoded
+    (inflate + unfilter), not just headers."""
+    m = real_media_table(docs).where(F.col("doc_id") % 3 == 0)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_png_pixels(bytes(p))
+                small = resize_nearest(w, h, px, tw, th)
+                sums = [0, 0, 0]
+                for i, b in enumerate(small):
+                    sums[i % 3] += b
+                rows.append((int(d), w, h, sums[0], sums[1], sums[2]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return m.mapInPandas(run, RESIZE_SCHEMA)

@@ -2119,3 +2119,36 @@ def ext_text_oov_rate(spark, sf_dir):
     vocab (tokenizer-fit diagnostic; broadcast vocab, token stream
     never shuffled). Integer-ratio rate hashes exactly."""
     return text.oov_stats(load_table(spark, sf_dir, "documents"), 200)
+
+
+@query(
+    "ext_multimodal_resize",
+    # Spark decodes REAL bytes (IDAT zlib inflate + scanline unfilter)
+    # and nearest-resizes with the floor mapping; the oracle recomputes
+    # the resized per-channel sums from the generator's closed form —
+    # any byte-level decode or resample-index bug breaks the sums.
+    oracle="""
+    WITH png AS (
+      SELECT doc_id, 2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             (x * w) // 4 AS xi, (y * h) // 4 AS yi
+      FROM png, range(4) xs(x), range(4) ys(y)
+    )
+    SELECT doc_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(sum((doc_id + xi * 3 + 0 + yi * 7) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id + xi * 3 + 1 + yi * 7) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id + xi * 3 + 2 + yi * 7) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def ext_multimodal_resize(spark, sf_dir):
+    """Real pixel decode + thumbnail resize: inflate and unfilter the
+    PNG payloads, nearest-resize to 4x4, report per-channel sample
+    sums (the vision-preprocessing stage, every byte actually
+    decoded)."""
+    return multimodal.resize_stats(load_table(spark, sf_dir, "documents"), 4, 4)

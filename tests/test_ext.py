@@ -705,3 +705,25 @@ def test_decode_media_header_backends():
     assert mm.decode_media(p, "", backend="header")[:2] == [5.0, 4.0]
     with _pytest.raises(NotImplementedError):
         mm.decode_media(p, "image/png", backend="pil")
+
+
+def test_png_pixel_decode_and_resize_roundtrip():
+    """decode_png_pixels must invert build_png exactly (inflate +
+    unfilter), and resize_nearest must follow the floor mapping — both
+    checked against the pixel generator formula, independent of the
+    Spark lane."""
+    from cdc_debezium_spark.ext import multimodal as mm
+
+    for d in (0, 3, 21, 33):
+        w, h = 2 + d % 7, 1 + d % 5
+        dw, dh, px = mm.decode_png_pixels(mm.build_png(w, h, d))
+        assert (dw, dh) == (w, h)
+        assert all(
+            px[(y * w + x) * 3 + c] == (d + x * 3 + c + y * 7) % 256
+            for y in range(h) for x in range(w) for c in range(3)
+        )
+        small = mm.resize_nearest(w, h, px, 4, 4)
+        assert small == bytes(
+            (d + ((x * w) // 4) * 3 + c + ((y * h) // 4) * 7) % 256
+            for y in range(4) for x in range(4) for c in range(3)
+        )
