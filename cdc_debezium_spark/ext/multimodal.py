@@ -529,3 +529,63 @@ def resize_stats(docs: DataFrame, tw: int = 4, th: int = 4) -> DataFrame:
             )
 
     return m.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def decode_wav_samples(payload: bytes):
+    """REAL sample decode for 16-bit PCM WAVE: RIFF chunk walk to the
+    data chunk, little-endian int16 unpack. Returns
+    (sample_rate, channels, list of interleaved samples)."""
+    import struct
+
+    hdr = parse_wav_header(payload)
+    if hdr["bits_per_sample"] != 16:
+        raise NotImplementedError("only 16-bit PCM supported here")
+    pos = 12
+    data = None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack("<4sI", payload[pos : pos + 8])
+        if cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    samples = [s for (s,) in struct.iter_unpack("<h", data)]
+    return hdr["sample_rate"], hdr["channels"], samples
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_s", LongType()),
+        StructField("min_s", LongType()),
+        StructField("max_s", LongType()),
+    ]
+)
+
+
+def audio_sample_stats(docs: DataFrame) -> DataFrame:
+    """Decode the real WAVE payloads to PCM SAMPLES and report
+    integer stats — the audio feature-extraction stage with every
+    byte actually decoded (the loudness/clipping screen an audio
+    corpus runs before training)."""
+    m = real_media_table(docs).where(F.col("doc_id") % 3 == 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                sr, ch, smp = decode_wav_samples(bytes(p))
+                rows.append(
+                    (int(d), sr, ch, len(smp), sum(smp), min(smp), max(smp))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "n_samples",
+                    "sum_s", "min_s", "max_s",
+                ],
+            )
+
+    return m.mapInPandas(run, AUDIO_SCHEMA)

@@ -2152,3 +2152,39 @@ def ext_multimodal_resize(spark, sf_dir):
     sums (the vision-preprocessing stage, every byte actually
     decoded)."""
     return multimodal.resize_stats(load_table(spark, sf_dir, "documents"), 4, 4)
+
+
+@query(
+    "ext_multimodal_audio_stats",
+    # Spark decodes the real RIFF bytes to int16 samples; the oracle
+    # recomputes the stats from the sample generator's closed form
+    # over a frames x channels grid — endianness, block alignment, or
+    # chunk-walk bugs all break the sums.
+    oracle="""
+    WITH wav AS (
+      SELECT doc_id,
+             8000 + (doc_id % 4) * 4000 AS sr,
+             1 + doc_id % 2 AS ch,
+             16 + doc_id % 33 AS nf
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    smp AS (
+      SELECT doc_id, sr, ch, nf,
+             ((doc_id * 31 + i * 7 + c * 13) % 65536) - 32768 AS s
+      FROM wav, range(100) fs(i), range(2) cs(c)
+      WHERE i < nf AND c < ch
+    )
+    SELECT doc_id,
+           CAST(max(sr) AS BIGINT) AS sample_rate,
+           CAST(max(ch) AS BIGINT) AS channels,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(s) AS BIGINT) AS sum_s,
+           CAST(min(s) AS BIGINT) AS min_s,
+           CAST(max(s) AS BIGINT) AS max_s
+    FROM smp GROUP BY doc_id
+    """,
+)
+def ext_multimodal_audio_stats(spark, sf_dir):
+    """Real PCM sample decode: unpack the int16 stream out of the
+    RIFF data chunk and report integer loudness stats per document."""
+    return multimodal.audio_sample_stats(load_table(spark, sf_dir, "documents"))
