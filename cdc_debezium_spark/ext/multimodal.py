@@ -589,3 +589,113 @@ def audio_sample_stats(docs: DataFrame) -> DataFrame:
             )
 
     return m.mapInPandas(run, AUDIO_SCHEMA)
+
+
+# Real video lane: YUV4MPEG2 (Y4M) — the uncompressed interchange
+# container (mjpegtools lineage; ffmpeg/mplayer read it natively).
+# Format: "YUV4MPEG2" + space-separated tags (W<idth> H<eight>
+# F<rate> C<olorspace>...) + "\n", then per frame "FRAME\n" followed
+# by the raw planes. With C444 each frame is 3*w*h bytes.
+
+Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def build_y4m(width: int, height: int, n_frames: int, seed: int) -> bytes:
+    """A valid Y4M stream with deterministic plane bytes."""
+    out = bytearray(
+        Y4M_MAGIC + f" W{width} H{height} F25:1 Ip A1:1 C444\n".encode()
+    )
+    fsz = 3 * width * height
+    for f in range(n_frames):
+        out += b"FRAME\n"
+        out += bytes((seed + f * 11 + k) % 256 for k in range(fsz))
+    return bytes(out)
+
+
+def parse_y4m(payload: bytes):
+    """Parse the stream header and frame payloads: (width, height,
+    list of frame-byte strings). Real byte work — tag scan, frame
+    marker walk, exact plane sizing (C444)."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].split(b" ")
+    if header[0] != Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream")
+    tags = {t[:1]: t[1:] for t in header[1:] if t}
+    if tags.get(b"C", b"444") not in (b"444",):
+        raise NotImplementedError("only C444 supported here")
+    w, h = int(tags[b"W"]), int(tags[b"H"])
+    fsz = 3 * w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 6] != b"FRAME\n":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        frames.append(payload[pos + 6 : pos + 6 + fsz])
+        pos += 6 + fsz
+    return w, h, frames
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("y_sum", LongType()),
+    ]
+)
+
+
+def real_video_table(docs: DataFrame) -> DataFrame:
+    """doc_id -> real Y4M payloads for the video mime lane
+    (doc_id % 3 == 2; mp4 needs a real muxer — Y4M is the
+    uncompressed interchange any ffmpeg swap-in also reads)."""
+    base = docs.select("doc_id").where(F.col("doc_id") % 3 == 2)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_y4m(
+                            2 + int(d) % 5, 1 + int(d) % 4, 3 + int(d) % 6,
+                            int(d),
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return base.mapInPandas(run, "doc_id long, payload binary")
+
+
+def video_frame_stats(docs: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame-sample the real video streams: parse Y4M, take every
+    `stride`-th frame, and report the Y-plane byte sum — keyframe
+    thumbnailing's data path with every container byte actually
+    parsed."""
+    m = real_video_table(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = parse_y4m(bytes(p))
+                for i in range(0, len(frames), stride):
+                    rows.append(
+                        (
+                            int(d), w, h, len(frames), i,
+                            sum(frames[i][: w * h]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames", "frame_idx",
+                    "y_sum",
+                ],
+            )
+
+    return m.mapInPandas(run, VIDEO_FRAME_SCHEMA)

@@ -2188,3 +2188,40 @@ def ext_multimodal_audio_stats(spark, sf_dir):
     """Real PCM sample decode: unpack the int16 stream out of the
     RIFF data chunk and report integer loudness stats per document."""
     return multimodal.audio_sample_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ext_multimodal_video_frames",
+    # Spark parses real YUV4MPEG2 bytes (tag scan, FRAME markers,
+    # C444 plane sizing); the oracle recomputes sampled-frame Y-plane
+    # sums from the plane generator's closed form.
+    oracle="""
+    WITH vid AS (
+      SELECT doc_id,
+             2 + doc_id % 5 AS w, 1 + doc_id % 4 AS h,
+             3 + doc_id % 6 AS nf
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    fr AS (
+      SELECT doc_id, w, h, nf, f FROM vid, range(9) fs(f)
+      WHERE f < nf AND f % 2 = 0
+    ),
+    px AS (
+      SELECT doc_id, w, h, nf, f, (doc_id + f * 11 + k) % 256 AS b
+      FROM fr, range(30) ks(k)
+      WHERE k < w * h
+    )
+    SELECT doc_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(max(nf) AS BIGINT) AS n_frames,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(sum(b) AS BIGINT) AS y_sum
+    FROM px GROUP BY doc_id, f
+    """,
+)
+def ext_multimodal_video_frames(spark, sf_dir):
+    """Real video frame sampling: parse the Y4M container, take every
+    2nd frame, report Y-plane sums (the keyframe-thumbnail data path
+    with every container byte parsed)."""
+    return multimodal.video_frame_stats(load_table(spark, sf_dir, "documents"), 2)

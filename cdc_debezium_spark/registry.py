@@ -50,6 +50,7 @@ _PRIORITY = [
     "join_skew_salted",
     "ext_multimodal_resize",
     "ext_multimodal_audio_stats",
+    "ext_multimodal_video_frames",
     # plans changed in r4 (skew-guard single-pass rework) — resample
     "ext_dedup_embedding_ann",
     # r3 keys whose latest row is green but only sampled once

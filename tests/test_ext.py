@@ -727,3 +727,19 @@ def test_png_pixel_decode_and_resize_roundtrip():
             (d + ((x * w) // 4) * 3 + c + ((y * h) // 4) * 7) % 256
             for y in range(4) for x in range(4) for c in range(3)
         )
+
+
+def test_y4m_build_parse_roundtrip():
+    """parse_y4m must invert build_y4m exactly: header tags, FRAME
+    markers, and C444 plane sizing all checked against the plane
+    generator formula, independent of the Spark lane."""
+    from cdc_debezium_spark.ext import multimodal as mm
+
+    for d in (2, 5, 17, 26):
+        w, h, n = 2 + d % 5, 1 + d % 4, 3 + d % 6
+        pw, ph, frames = mm.parse_y4m(mm.build_y4m(w, h, n, d))
+        assert (pw, ph, len(frames)) == (w, h, n)
+        assert all(
+            fr == bytes((d + f * 11 + k) % 256 for k in range(3 * w * h))
+            for f, fr in enumerate(frames)
+        )
