@@ -95,3 +95,36 @@ def grouped_processor_batched(
             yield fn(pdf)
 
     return df.repartition(*list(keys)).mapInPandas(run, schema=schema)
+
+
+def zorder_value(x, y, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns'
+    low `bits` bits — the multi-dimensional clustering key behind
+    Delta/Iceberg OPTIMIZE ZORDER BY. Sorting or range-partitioning by
+    this value co-locates rows that are close in BOTH dimensions, so
+    per-file min/max statistics prune scans for predicates on either
+    column. Pure integer arithmetic (shifts as multiplies), one narrow
+    projection — whole-stage codegen, no shuffle to compute."""
+    import pyspark.sql.functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        xbit = F.floor(x / (2 ** i)) % 2
+        ybit = F.floor(y / (2 ** i)) % 2
+        z = z + xbit * (2 ** (2 * i)) + ybit * (2 ** (2 * i + 1))
+    return z
+
+
+def zorder_repartition(df, x_col: str, y_col: str, n_files: int, bits: int = 16):
+    """Layout rewrite: range-partition by the Morton key so each output
+    file covers a compact z-range (2D-local rows land together). The
+    writer-side half of OPTIMIZE ZORDER — one range shuffle, then
+    sortWithinPartitions keeps row groups internally clustered too."""
+    import pyspark.sql.functions as F
+
+    z = zorder_value(F.col(x_col), F.col(y_col), bits).alias("_z")
+    return (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+    )

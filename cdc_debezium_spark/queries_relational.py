@@ -951,3 +951,55 @@ def join_skew_salted(spark, sf_dir):
         F.count("*").alias("n_rows"),
         F.sum("l_quantity").cast("long").alias("sum_qty"),
     )
+
+
+def _zorder_sql(xcol: str, ycol: str, bits: int) -> str:
+    terms = [
+        f"(({xcol} // {2 ** i}) % 2) * {2 ** (2 * i)}"
+        f" + (({ycol} // {2 ** i}) % 2) * {2 ** (2 * i + 1)}"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "layout_zorder",
+    # Morton interleave recomputed arithmetically on both engines;
+    # bucket profile (counts + z extents) proves the clustering key,
+    # the part of OPTIMIZE ZORDER BY that determines what file-level
+    # min/max pruning can achieve.
+    oracle=f"""
+    WITH z AS (
+      SELECT {_zorder_sql("(o_custkey % 1024)", "(o_orderkey % 1024)", 10)}
+               AS zv
+      FROM orders
+    )
+    SELECT zv // {2 ** 14} AS z_bucket,
+           count(*) AS n_rows,
+           CAST(min(zv) AS BIGINT) AS min_z,
+           CAST(max(zv) AS BIGINT) AS max_z
+    FROM z GROUP BY z_bucket
+    """,
+)
+def layout_zorder(spark, sf_dir):
+    """Z-order clustering key over (o_custkey, o_orderkey): the
+    Morton interleave that OPTIMIZE ZORDER BY sorts files by, plus the
+    per-z-range bucket profile (row counts and z extents). The key is
+    one narrow integer projection (whole-stage codegen, no shuffle to
+    compute); writers pair it with zorder_repartition's range shuffle
+    to lay files out so min/max stats prune on BOTH columns."""
+    from .operators.relational import zorder_value
+
+    o = load_table(spark, sf_dir, "orders")
+    z = zorder_value(
+        F.col("o_custkey") % 1024, F.col("o_orderkey") % 1024, 10
+    ).alias("zv")
+    return (
+        o.select(z)
+        .groupBy(F.floor(F.col("zv") / (2 ** 14)).cast("long").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("zv").cast("long").alias("min_z"),
+            F.max("zv").cast("long").alias("max_z"),
+        )
+    )

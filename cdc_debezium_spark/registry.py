@@ -51,6 +51,7 @@ _PRIORITY = [
     "ext_multimodal_resize",
     "ext_multimodal_audio_stats",
     "ext_multimodal_video_frames",
+    "layout_zorder",
     # plans changed in r4 (skew-guard single-pass rework) — resample
     "ext_dedup_embedding_ann",
     # r3 keys whose latest row is green but only sampled once

@@ -506,3 +506,31 @@ def test_salted_join_spreads_hot_keys(spark, sf_dir):
     df = registry.QUERIES["join_skew_salted"](spark, sf_dir)
     plan = _physical(df)
     assert "_salt" in plan
+
+
+def test_zorder_key_is_narrow_and_layout_clusters(spark, sf_dir):
+    """The Morton key must be a narrow projection (the only exchange in
+    layout_zorder is the aggregate's), and zorder_repartition must
+    produce partitions whose z-ranges don't interleave — that
+    disjointness IS what makes file min/max stats prunable on both
+    columns."""
+    import pyspark.sql.functions as F
+
+    from cdc_debezium_spark.operators.relational import zorder_repartition
+
+    df = registry.QUERIES["layout_zorder"](spark, sf_dir)
+    assert count_shuffles(df) == 1  # only the groupBy
+
+    o = load_table(spark, sf_dir, "orders")
+    n_orders = o.count()
+    parts = (
+        zorder_repartition(o, "o_custkey", "o_orderkey", 8)
+        .select("_z", F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"), F.count("*").alias("n"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert sum(r.n for r in parts) == n_orders
+    for a, b in zip(parts, parts[1:]):
+        assert a.hi <= b.lo  # ranges are disjoint and ordered
