@@ -521,3 +521,125 @@ def oov_stats(docs: DataFrame, vocab_k: int = 200) -> DataFrame:
             / 10000.0
         ).alias("oov_rate"),
     )
+
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Bigram language-model score per document: the mean negative
+    log2 conditional probability -log2 p(w2|w1) of the document's
+    bigrams under the corpus bigram distribution — one step up the
+    n-gram ladder from unigram_logprob, the KenLM-style cheap
+    perplexity proxy (CCNet filters on exactly this statistic).
+
+    p(w2|w1) = cnt(w1 w2) / ctx(w1), where cnt is the corpus bigram
+    count and ctx(w1) = Σ_w cnt(w1 w) is the left-context total. Every
+    document's own bigrams are part of the corpus counts, so cnt ≥ 1
+    and no smoothing term is needed.
+
+    Shape at 100 TB: bigram construction is NARROW (slice + zip_with
+    per row — no posexplode self-join); then one (doc_id, bigram) tf
+    shuffle, one bigram→corpus-count shuffle, a context rollup over
+    the (already tiny relative to the corpus) count table, and hash
+    joins keyed on bigram/context — no broadcast assumption, the
+    bigram vocabulary is unbounded. The per-doc fold list is bounded
+    by the doc's distinct-bigram count, and the SORTED left-to-right
+    fold keeps float sums bit-identical cross-engine (entropy-lane
+    pattern); 4dp floor rounding absorbs libm log2 ulp skew.
+    """
+    toks = F.filter(tokens_col(), lambda t: t != F.lit(""))
+    base = docs.select("doc_id", toks.alias("ts")).filter(F.size("ts") >= 2)
+    heads = F.slice("ts", 1, F.size("ts") - 1)
+    tails = F.slice("ts", 2, F.size("ts") - 1)
+    bgs = F.zip_with(heads, tails, lambda a, b: F.concat_ws(" ", a, b))
+    bg = base.select("doc_id", F.explode(bgs).alias("bg"))
+    tf = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("tf"))
+    cnt = tf.groupBy("bg").agg(F.sum("tf").alias("cnt"))
+    ctx = (
+        cnt.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("cnt").alias("ctx"))
+    )
+    per_doc = (
+        tf.join(cnt, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("bg", "tf", "cnt", "ctx"))
+            ).alias("bs")
+        )
+    )
+    n_bg = F.aggregate("bs", F.lit(0).cast("long"), lambda a, s: a + s["tf"])
+    logsum = F.aggregate(
+        "bs",
+        F.lit(0.0),
+        lambda a, s: a
+        + s["tf"].cast("double")
+        * (F.log2(s["ctx"].cast("double")) - F.log2(s["cnt"].cast("double"))),
+    )
+    return per_doc.select(
+        "doc_id",
+        n_bg.alias("n_bigrams"),
+        F.size("bs").alias("n_bigram_types"),
+        (F.floor(logsum / n_bg.cast("double") * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+            "neg_log2p_bigram"
+        ),
+    )
+
+
+# Logistic quality-classifier weights (fastText/CCNet-style linear
+# model over interpretable features; the values stand in for trained
+# weights — a real deployment broadcasts its trained coefficient row
+# the same way these constants compile into the plan).
+CLASSIFIER_WEIGHTS = {
+    "bias": -2.0,
+    "log_words": 0.5,     # longer docs mildly favored (log-scaled)
+    "mean_wordlen": -0.15,  # very long average words → code/noise
+    "stop_ratio": 3.0,    # natural-language indicator
+    "ttr": 1.0,           # lexical diversity
+}
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """Model-based quality score per document: a logistic regression
+    over the same interpretable features the Gopher rules threshold
+    (quality_rules), scored in one narrow codegen pass — the
+    classifier-filtering stage of a curation pipeline (CCNet / GPT-3
+    WebText-similarity filtering), with the trained weights replaced
+    by fixed documented constants.
+
+    score = sigmoid(b + w·[ln(1+n), sumlen/n, stop/n, types/n])
+
+    Shape at 100 TB: zero shuffles, zero Python — the weight vector
+    compiles into the plan (the broadcast-model idiom at its limit)
+    and every feature reuses the quality_rules integer counters. The
+    linear term is written as a fixed left-to-right chain so both
+    engines evaluate the identical IEEE expression; 4dp floor absorbs
+    libm exp ulp skew, and the keep flag compares the ROUNDED score so
+    it is engine-exact.
+    """
+    w = tokens_col()
+    n_words = F.size(w)
+    sum_wordlen = F.aggregate(
+        F.transform(w, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_stop = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS)))
+    n_types = F.size(F.array_distinct(w))
+    nd = n_words.cast("double")
+    wt = CLASSIFIER_WEIGHTS
+    z = (
+        F.lit(wt["bias"])
+        + F.lit(wt["log_words"]) * F.log(F.lit(1.0) + nd)
+        + F.lit(wt["mean_wordlen"]) * (sum_wordlen.cast("double") / nd)
+        + F.lit(wt["stop_ratio"]) * (n_stop.cast("double") / nd)
+        + F.lit(wt["ttr"]) * (n_types.cast("double") / nd)
+    )
+    score = F.floor(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) * 10000.0 + F.lit(0.5)
+    ) / 10000.0
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        score.alias("score"),
+        (score > 0.5).alias("keep"),
+    )

@@ -598,3 +598,76 @@ def avro_roundtrip(spark, sf_dir):
         "event_id long, user_id long, event_type string, value double, n_bytes long",
         keep_cols=("n_bytes",),
     )
+
+
+@query(
+    "cdc_outbox_router",
+    oracle="""
+    SELECT event_id,
+           'outbox.event.' || event_type AS topic,
+           CAST(user_id AS VARCHAR) AS part_key,
+           event_type AS evt_type,
+           props AS payload
+    FROM events
+    """,
+)
+def cdc_outbox_router(spark, sf_dir):
+    """B-extension: outbox EventRouter SMT analog — the transactional-
+    outbox pattern Debezium ships as io.debezium.transforms.outbox.
+    EventRouter (public Debezium docs; the reference's connector
+    config, k8s-manifests/connectors/postgresql-connector.yaml:50-56,
+    wires the SMT chain this router plugs into). The outbox row's
+    aggregate type picks the destination topic
+    (route.topic.replacement = outbox.event.${routedByValue}), the
+    aggregate id becomes the Kafka partition key (so one aggregate's
+    events stay ordered), and the payload column is forwarded verbatim
+    as the message value.
+
+    Fixture mapping: event_type -> aggregatetype, user_id ->
+    aggregateid, props -> payload. Shape: narrow per-row projection —
+    zero exchanges; at 100 TB the router rides the source scan's
+    partitioning untouched.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.concat(F.lit("outbox.event."), F.col("event_type")).alias("topic"),
+        F.col("user_id").cast("string").alias("part_key"),
+        F.col("event_type").alias("evt_type"),
+        F.col("props").alias("payload"),
+    )
+
+
+@query(
+    "cdc_mask_columns",
+    oracle="""
+    SELECT event_id,
+           repeat('*', 8) AS props_masked,
+           left(event_type, 3) AS type_trunc,
+           sha256('salt-v1' || CAST(user_id AS VARCHAR)) AS user_hash
+    FROM events
+    """,
+)
+def cdc_mask_columns(spark, sf_dir):
+    """B-extension: column masking/truncation — Debezium's
+    column.mask.with.length.chars, column.truncate.to.length.chars and
+    column.mask.hash.v2 connector properties (public Debezium docs;
+    the PII-redaction knobs a production deployment of the reference's
+    postgresql connector would set alongside its SMT chain). Mask
+    replaces the value with a fixed-length '*' run (length leaks
+    nothing), truncate keeps a bounded prefix, and the keyed hash is a
+    salted SHA-256 so the column stays joinable without exposing the
+    raw key.
+
+    Shape: narrow per-row projection, zero exchanges; sha2 runs
+    JVM-side inside whole-stage codegen (no Python anywhere).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.lit("********").alias("props_masked"),
+        F.substring("event_type", 1, 3).alias("type_trunc"),
+        F.sha2(
+            F.concat(F.lit("salt-v1"), F.col("user_id").cast("string")), 256
+        ).alias("user_hash"),
+    )

@@ -2225,3 +2225,93 @@ def ext_multimodal_video_frames(spark, sf_dir):
     2nd frame, report Y-plane sums (the keyframe-thumbnail data path
     with every container byte parsed)."""
     return multimodal.video_frame_stats(load_table(spark, sf_dir, "documents"), 2)
+
+
+@query(
+    "ext_text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, ' '), t -> t <> '') AS ts
+      FROM documents
+    ),
+    bgs AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ts) - 1),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      FROM toks WHERE len(ts) >= 2
+    ),
+    tf AS (SELECT doc_id, bg, count(*) AS tf FROM bgs GROUP BY doc_id, bg),
+    cnt AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY bg),
+    ctx AS (
+      SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(cnt) AS BIGINT) AS ctx
+      FROM cnt GROUP BY w1
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+             list({'bg': t.bg, 'tf': t.tf, 'cnt': c.cnt, 'ctx': x.ctx}
+                  ORDER BY t.bg) AS bs
+      FROM tf t
+      JOIN cnt c ON t.bg = c.bg
+      JOIN ctx x ON split_part(t.bg, ' ', 1) = x.w1
+      GROUP BY t.doc_id
+    ),
+    folded AS (
+      SELECT doc_id, bs,
+             CAST(list_reduce(list_transform(bs, s -> s.tf),
+                              (a, x) -> a + x) AS BIGINT) AS n_bigrams,
+             list_reduce(list_transform(bs,
+                 s -> CAST(s.tf AS DOUBLE)
+                      * (log2(CAST(s.ctx AS DOUBLE))
+                         - log2(CAST(s.cnt AS DOUBLE)))),
+                 (a, x) -> a + x) AS logsum
+      FROM per_doc
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(len(bs) AS INTEGER) AS n_bigram_types,
+           floor(logsum / CAST(n_bigrams AS DOUBLE) * 10000.0 + 0.5)
+             / 10000.0 AS neg_log2p_bigram
+    FROM folded
+    """,
+)
+def ext_text_bigram_logprob(spark, sf_dir):
+    """Bigram conditional-LM score (mean -log2 p(w2|w1) under corpus
+    counts) — the next perplexity proxy up from the unigram lane;
+    narrow bigram build, sorted per-doc fold, engine-exact to 4dp."""
+    return text.bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ext_quality_classifier",
+    oracle=f"""
+    WITH {TOK_CTE},
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS INTEGER) AS n_words,
+             CAST(len(w) AS DOUBLE) AS nd,
+             CAST(list_reduce(list_transform(w, t -> length(t)),
+                              (a, x) -> a + x) AS DOUBLE) AS sum_wordlen,
+             CAST(len(list_filter(w, t -> list_contains({STOP_SQL}, t)))
+                  AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(w)) AS DOUBLE) AS n_types
+      FROM tok
+    ),
+    scored AS (
+      SELECT doc_id, n_words,
+             floor((1.0 / (1.0 + exp(-(
+                 -2.0 + 0.5 * ln(1.0 + nd)
+                 + -0.15 * (sum_wordlen / nd)
+                 + 3.0 * (n_stop / nd)
+                 + 1.0 * (n_types / nd))))) * 10000.0 + 0.5)
+               / 10000.0 AS score
+      FROM m
+    )
+    SELECT doc_id, n_words, score, (score > 0.5) AS keep
+    FROM scored
+    """,
+)
+def ext_quality_classifier(spark, sf_dir):
+    """Logistic quality classifier over the Gopher-rule features with
+    compiled-in (broadcast-model) weights — zero shuffles, zero
+    Python; keep flag compares the rounded score so it hashes exactly."""
+    return text.quality_classifier(load_table(spark, sf_dir, "documents"))

@@ -42,6 +42,10 @@ _PRIORITY = [
     "tpch_q8",
     "tpch_q9",
     # new r4 keys with no driver row yet
+    "cdc_outbox_router",
+    "cdc_mask_columns",
+    "ext_text_bigram_logprob",
+    "ext_quality_classifier",
     "ext_multimodal_real_header",
     "avro_roundtrip",
     "ext_text_oov_rate",
