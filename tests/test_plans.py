@@ -534,3 +534,29 @@ def test_zorder_key_is_narrow_and_layout_clusters(spark, sf_dir):
     assert sum(r.n for r in parts) == n_orders
     for a, b in zip(parts, parts[1:]):
         assert a.hi <= b.lo  # ranges are disjoint and ordered
+
+
+def test_smt_lanes_are_shuffle_free(spark, sf_dir):
+    """The outbox router and column-mask SMTs are per-row rewrites on
+    the change stream — any exchange there would re-shuffle the whole
+    topic at 100 TB for a transform Kafka Connect does inline."""
+    for key in ("cdc_outbox_router", "cdc_mask_columns"):
+        df = registry.QUERIES[key](spark, sf_dir)
+        assert count_shuffles(df) == 0, key
+
+
+def test_bigram_lm_narrow_build_no_broadcast_of_counts(spark, sf_dir):
+    """Bigram construction must be narrow (slice+zip_with in the scan
+    stage — no posexplode self-join), and the model joins must NOT
+    assume the bigram vocabulary broadcasts: at 100 TB the count
+    table is itself corpus-scale, so the plan keys hash joins on the
+    bigram/context columns instead."""
+    df = registry.QUERIES["ext_text_bigram_logprob"](spark, sf_dir)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the tf aggregate is the FIRST exchange: nothing upstream of it
+    # may shuffle (bigram build rides the scan stage).
+    first = plan.find("Exchange")
+    assert first != -1
+    assert "Generate explode" in plan  # one explode of the zipped array
