@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pytest
 
-from cdc_debezium_spark.ext import dedup, multimodal, similarity
+from cdc_debezium_spark.ext import dedup, multimodal, similarity, text
 from cdc_debezium_spark.sources.catalog import load_table
 
 
@@ -743,3 +743,45 @@ def test_y4m_build_parse_roundtrip():
             fr == bytes((d + f * 11 + k) % 256 for k in range(3 * w * h))
             for f, fr in enumerate(frames)
         )
+
+
+def test_bigram_logprob_zero_for_deterministic_chain(spark):
+    """If every left context is followed by exactly one word anywhere
+    in the corpus, p(w2|w1)=1 for every bigram and the score is 0 —
+    the LM-algebra identity that pins sign conventions and the
+    ctx/cnt join."""
+    rows = [(1, "a b c d"), (2, "a b c d"), (3, "b c d")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.bigram_logprob(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        assert r["neg_log2p_bigram"] == 0.0
+    assert out[1]["n_bigrams"] == 3 and out[3]["n_bigrams"] == 2
+
+
+def test_bigram_logprob_rarer_continuation_scores_higher(spark):
+    """A document taking the rare branch of a shared context must score
+    strictly higher (more surprising) than one taking the common
+    branch: -log2 p is monotone in branch probability."""
+    rows = [(i, "x common") for i in range(9)] + [(100, "x rare")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["neg_log2p_bigram"]
+           for r in text.bigram_logprob(docs).collect()}
+    assert out[100] > out[0] > 0.0
+
+
+def test_quality_classifier_monotone_in_stopword_ratio(spark):
+    """With length/diversity held fixed, swapping content words for
+    stopwords must raise the score (the stopword weight is positive) —
+    and the keep flag must agree with the rounded score."""
+    rows = [
+        (1, "zq wv xk rj pm ln bd fg"),          # zero stopwords
+        (2, "the of and in zq wv xk rj"),        # half stopwords
+        (3, "the of and in a to is the"),        # nearly all stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.quality_classifier(docs).collect()}
+    assert out[1]["score"] < out[2]["score"] < out[3]["score"]
+    for r in out.values():
+        assert r["keep"] == (r["score"] > 0.5)
+        assert 0.0 <= r["score"] <= 1.0
