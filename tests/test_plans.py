@@ -560,3 +560,36 @@ def test_bigram_lm_narrow_build_no_broadcast_of_counts(spark, sf_dir):
     first = plan.find("Exchange")
     assert first != -1
     assert "Generate explode" in plan  # one explode of the zipped array
+
+
+def test_fact_join_is_runtime_bloom_eligible(spark, sf_dir):
+    """At 100 TB a selectively-filtered dimension no longer broadcasts;
+    the scale path is a shuffle join where Spark injects a runtime
+    Bloom semi-join reduction (might_contain on the fact scan) so the
+    fact side drops non-matching rows BEFORE the exchange. Pin that our
+    canonical fact-join shape is eligible for that injection by
+    recreating the at-scale planner conditions (no broadcast, zero
+    application-side scan threshold) — at local fixture scale the
+    broadcast path wins instead, which is equally correct."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
