@@ -671,3 +671,143 @@ def cdc_mask_columns(spark, sf_dir):
             F.concat(F.lit("salt-v1"), F.col("user_id").cast("string")), 256
         ).alias("user_hash"),
     )
+
+
+# Incremental-snapshot chunking constants (DBLog analog): contiguous
+# pk ranges of CHUNK_SZ keys; chunk k's snapshot read happens STEP_US
+# after the previous one, starting at the initial-snapshot cut. Sized
+# so the fixture's pk range spans many chunks at every SF and the last
+# chunk still reads inside the log's time range.
+INCR_CHUNK_SZ = 10
+INCR_STEP_US = 7_200_000_000  # 2 h between chunk reads
+
+
+@query(
+    "cdc_incremental_snapshot",
+    oracle=CDC_CTE
+    + f"""
+    , aug AS (
+      SELECT *,
+             CAST(pk // {INCR_CHUNK_SZ} AS BIGINT) AS chunk_id,
+             CAST({cdc.SNAPSHOT_CUT_US} + (pk // {INCR_CHUNK_SZ})
+                  * {INCR_STEP_US} AS BIGINT) AS read_ts_us
+      FROM cdc_events
+    ),
+    snap AS (
+      SELECT pk, chunk_id, read_ts_us, ts_us AS snap_ts_us, val AS snap_val
+      FROM (
+        SELECT * FROM aug WHERE ts_us <= read_ts_us
+        QUALIFY row_number() OVER (PARTITION BY pk
+                                   ORDER BY ts_us DESC, ord2 DESC) = 1
+      )
+      WHERE op <> 'd'
+    ),
+    tail AS (
+      SELECT pk, count(*) AS n_tail
+      FROM aug WHERE ts_us > read_ts_us GROUP BY pk
+    )
+    SELECT s.pk, s.chunk_id, s.read_ts_us, s.snap_ts_us, s.snap_val,
+           COALESCE(t.n_tail, 0) AS n_tail_events
+    FROM snap s LEFT JOIN tail t ON s.pk = t.pk
+    """,
+)
+def cdc_incremental_snapshot(spark, sf_dir):
+    """A4 sibling: incremental (ad-hoc) snapshot — Debezium's
+    signal-driven DBLog algorithm (public Debezium docs: incremental
+    snapshots chunk the table by primary key and interleave each
+    chunk's read with the live stream, deduplicating against events
+    inside the chunk's watermark window). Batch analog: chunk k of
+    CHUNK_SZ contiguous pks snapshots at read_ts(k) = cut + k·STEP;
+    a key's snapshot row is its latest non-deleted state as of ITS
+    chunk's read instant, and every later change rides the stream
+    (counted here as n_tail_events — the rows the watermark dedup
+    hands back to the streaming side).
+
+    Shape at 100 TB: read_ts is a narrow pk-derived column (no join
+    against a chunk table), then ONE pk-window for latest-as-of, one
+    pk-aggregate for the tail count, and a co-partitioned pk join —
+    the same single-key shuffle family as cdc_latest_state; chunking
+    never materializes per-chunk frames or loops on the driver.
+    """
+    from pyspark.sql import Window
+
+    ce = cdc.cdc_events(spark, sf_dir)
+    aug = ce.withColumn(
+        "chunk_id", F.expr(f"pk div {INCR_CHUNK_SZ}")
+    ).withColumn(
+        "read_ts_us",
+        (F.lit(cdc.SNAPSHOT_CUT_US) + F.col("chunk_id") * F.lit(INCR_STEP_US)).cast(
+            "long"
+        ),
+    )
+    w = Window.partitionBy("pk").orderBy(F.desc("ts_us"), F.desc("ord2"))
+    snap = (
+        aug.filter(F.col("ts_us") <= F.col("read_ts_us"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select(
+            "pk",
+            "chunk_id",
+            "read_ts_us",
+            F.col("ts_us").alias("snap_ts_us"),
+            F.col("val").alias("snap_val"),
+        )
+    )
+    tail = (
+        aug.filter(F.col("ts_us") > F.col("read_ts_us"))
+        .groupBy("pk")
+        .agg(F.count("*").alias("n_tail"))
+    )
+    return snap.join(tail, "pk", "left").select(
+        "pk",
+        "chunk_id",
+        "read_ts_us",
+        "snap_ts_us",
+        "snap_val",
+        F.coalesce(F.col("n_tail"), F.lit(0)).cast("long").alias("n_tail_events"),
+    )
+
+
+@query(
+    "cdc_transaction_metadata",
+    oracle="""
+    SELECT CAST(event_id // 10 AS BIGINT) AS tx_id,
+           count(*) AS n_events,
+           min(event_id) AS first_ord2,
+           max(event_id) AS last_ord2,
+           min(epoch_us(ts)) AS begin_ts_us,
+           max(epoch_us(ts)) AS end_ts_us,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_collections
+    FROM events
+    GROUP BY tx_id
+    """,
+)
+def cdc_transaction_metadata(spark, sf_dir):
+    """Transaction-boundary metadata — Debezium's
+    provide.transaction.metadata=true emits BEGIN/END events carrying
+    per-transaction event counts and per-collection data counts
+    (public Debezium docs). Batch analog: the log's contiguous
+    10-event windows are the source transactions (event_id IS the log
+    sequence); each output row is the END event's metadata — event
+    count, ordinal and timestamp bounds, distinct keys and distinct
+    collections touched.
+
+    Shape: ONE hash aggregate on the derived tx_id (narrow column off
+    the scan); distinct counts are per-group exact via Spark's
+    two-phase distinct-aggregate expansion — no self-join, no window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("tx_id", F.expr("event_id div 10"))
+        .groupBy("tx_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_ord2"),
+            F.max("event_id").alias("last_ord2"),
+            F.min("ts_us").alias("begin_ts_us"),
+            F.max("ts_us").alias("end_ts_us"),
+            F.countDistinct("user_id").alias("n_keys"),
+            F.countDistinct("event_type").alias("n_collections"),
+        )
+    )

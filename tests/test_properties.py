@@ -257,3 +257,51 @@ def test_p7_merge_fold_equals_latest_state(spark, tmp_path_factory, rows, cut):
     except Exception:
         got = []  # no chunk produced state
     assert got == _state(df)
+
+
+def test_incremental_snapshot_reconstructs_latest_state(spark, sf_dir):
+    """The DBLog guarantee: chunked snapshot rows + the post-read-
+    instant stream tail replay to EXACTLY the state a full-log
+    compaction produces — chunking loses nothing, duplicates nothing.
+    Reconstruction merges each key's snapshot row (as an op='r' read)
+    with its tail events and compacts; compared row-for-row against
+    cdc_latest_state."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from cdc_debezium_spark import registry
+    from cdc_debezium_spark.operators import cdc
+    from cdc_debezium_spark.queries_cdc import INCR_CHUNK_SZ, INCR_STEP_US
+
+    registry.load_all()
+    snap = registry.QUERIES["cdc_incremental_snapshot"](spark, sf_dir)
+    ce = cdc.cdc_events(spark, sf_dir).withColumn(
+        "read_ts_us",
+        (
+            F.lit(cdc.SNAPSHOT_CUT_US)
+            + F.expr(f"pk div {INCR_CHUNK_SZ}") * F.lit(INCR_STEP_US)
+        ).cast("long"),
+    )
+    tail = ce.filter(F.col("ts_us") > F.col("read_ts_us")).select(
+        "pk", "ts_us", "ord2", "op", "val"
+    )
+    snap_rows = snap.select(
+        "pk",
+        F.col("snap_ts_us").alias("ts_us"),
+        F.lit(-1).cast("long").alias("ord2"),
+        F.lit("r").alias("op"),
+        F.col("snap_val").alias("val"),
+    )
+    w = Window.partitionBy("pk").orderBy(F.desc("ts_us"), F.desc("ord2"))
+    rebuilt = (
+        snap_rows.unionByName(tail)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select("pk", "ts_us", "val")
+    )
+    latest = registry.QUERIES["cdc_latest_state"](spark, sf_dir).select(
+        "pk", F.col("last_ts_us").alias("ts_us"), F.col("last_val").alias("val")
+    )
+    got = {tuple(r) for r in rebuilt.collect()}
+    want = {tuple(r) for r in latest.collect()}
+    assert got == want and len(want) > 0
