@@ -53,6 +53,7 @@ HEADLINE = [
     "ext_text_stats",        # §2.G text quality/language analysis
     "ext_text_oov_rate",     # §2.G vocab coverage (broadcast over tokens, r4)
     "ext_text_bigram_logprob",  # §2.G bigram-LM perplexity proxy (r4)
+    "ext_retrieval_bm25",    # §2.G lexical retrieval scoring (r4)
     "ext_multimodal_real_header",  # §2.G real PNG/WAV header decode (r4)
     "tpch_q5",               # flagship 6-table snowflake join
     "tpch_q6",               # flagship scan-filter-agg (I/O-bound shape)

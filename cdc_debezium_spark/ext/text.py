@@ -144,8 +144,12 @@ def vocab_topk(docs: DataFrame, top_k: int = 50) -> DataFrame:
 
     explode -> groupBy(token) with map-side partial aggregation (the
     shuffle carries one row per distinct token per partition, not one
-    per occurrence) -> rank window over the aggregated counts (tiny:
-    |vocab| rows). Deterministic tie-break (count desc, token asc).
+    per occurrence) -> orderBy().limit(k), which Spark compiles to
+    TakeOrderedAndProject (per-partition top-k + k-row driver merge) —
+    NOT a single-partition global window, so the distinct-token table
+    can be billions of rows and no task ever sorts all of it. The rank
+    window then runs over the k surviving rows only. Deterministic
+    tie-break (count desc, token asc).
     """
     from pyspark.sql import Window
 
@@ -154,10 +158,10 @@ def vocab_topk(docs: DataFrame, top_k: int = 50) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_k)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "token", "n")
     )
 
@@ -642,4 +646,101 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
         n_words.alias("n_words"),
         score.alias("score"),
         (score > 0.5).alias("keep"),
+    )
+
+
+def bm25_scores(docs: DataFrame, query_k: int = 5) -> DataFrame:
+    """BM25 relevance of every document against the corpus's top-df
+    query terms (k1=1.2, b=0.75) — the lexical half of a retrieval /
+    hard-negative-mining stage in a curation pipeline; the vector half
+    is ext_similarity_topk, and fusing the two rankings is a plain
+    join on doc_id.
+
+    Shape at 100 TB: one (doc_id, token) tf shuffle; doc lengths and
+    document frequencies both derive from that SAME tf frame (no
+    second pass over the token stream); the query-term table is k rows
+    and BROADCASTS; corpus N/avgdl is a broadcast 1-row aggregate. The
+    global top-df window runs over the token-count table, not the
+    corpus. Per-doc scoring is a SORTED fold over ≤ query_k structs —
+    engine-exact floats, 4dp floor.
+    """
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    # TakeOrderedAndProject, not a single-partition window: the
+    # distinct-token table is corpus-scale at 100 TB.
+    qterms = (
+        dfreq.orderBy(F.desc("dfreq"), F.asc("token"))
+        .limit(query_k)
+        .select("token", "dfreq")
+    )
+    per = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    g = per.groupBy("doc_id", "dl", "n_docs", "sum_dl").agg(
+        F.sort_array(F.collect_list(F.struct("token", "tf", "dfreq"))).alias("qs")
+    )
+    ndd = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / ndd
+    dld = F.col("dl").cast("double")
+    score = F.aggregate(
+        "qs",
+        F.lit(0.0),
+        lambda a, s: a
+        + F.log(
+            (ndd - s["dfreq"].cast("double") + 0.5)
+            / (s["dfreq"].cast("double") + 0.5)
+            + 1.0
+        )
+        * (s["tf"].cast("double") * 2.2)
+        / (s["tf"].cast("double") + 1.2 * (0.25 + 0.75 * (dld / avgdl))),
+    )
+    return g.select(
+        "doc_id",
+        F.size("qs").alias("n_hits"),
+        F.col("dl").alias("dl"),
+        (F.floor(score * 10000.0 + F.lit(0.5)) / 10000.0).alias("bm25"),
+    )
+
+
+def source_quality_prior(docs: DataFrame, m: float = 20.0) -> DataFrame:
+    """Host/source-level quality prior with empirical-Bayes shrinkage:
+    each source's Gopher-rule keep rate pulled toward the corpus rate
+    with pseudo-count m — the CommonCrawl-style host filter that stays
+    sane for sources with 3 documents (pure rate would be 0/1-noisy).
+
+    shrunk = (keeps + m·global_rate) / (n + m)
+
+    Shape: the rule flags are integer-exact narrow expressions, ONE
+    source aggregate, a broadcast 1-row corpus aggregate — at 100 TB
+    the per-source table is tiny relative to the corpus, and nothing
+    shuffles the documents twice. Output is per-source (hosts, not
+    docs), so the frame is low-cardinality by construction.
+    """
+    flags = quality_rules(docs).select("doc_id", F.col("keep").cast("long").alias("k"))
+    src = docs.select("doc_id", "source").join(flags, "doc_id")
+    per = src.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("k").alias("n_keep")
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("tot_docs"), F.sum("n_keep").alias("tot_keep")
+    )
+    g = per.crossJoin(F.broadcast(tot))
+    grate = F.col("tot_keep").cast("double") / F.col("tot_docs").cast("double")
+    shrunk = (F.col("n_keep").cast("double") + F.lit(m) * grate) / (
+        F.col("n_docs").cast("double") + F.lit(m)
+    )
+    raw = F.col("n_keep").cast("double") / F.col("n_docs").cast("double")
+    return g.select(
+        "source",
+        "n_docs",
+        "n_keep",
+        (F.floor(raw * 10000.0 + F.lit(0.5)) / 10000.0).alias("raw_rate"),
+        (F.floor(shrunk * 10000.0 + F.lit(0.5)) / 10000.0).alias("shrunk_rate"),
     )

@@ -2315,3 +2315,107 @@ def ext_quality_classifier(spark, sf_dir):
     compiled-in (broadcast-model) weights — zero shuffles, zero
     Python; keep flag compares the rounded score so it hashes exactly."""
     return text.quality_classifier(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ext_retrieval_bm25",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY token),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl
+      FROM dl
+    ),
+    qterms AS (
+      SELECT token, dfreq FROM (
+        SELECT token, dfreq,
+               row_number() OVER (ORDER BY dfreq DESC, token) AS r
+        FROM dfreq)
+      WHERE r <= 5
+    ),
+    per AS (
+      SELECT t.doc_id, d.dl, t.token, t.tf, q.dfreq
+      FROM tf t
+      JOIN qterms q USING (token)
+      JOIN dl d ON t.doc_id = d.doc_id
+    ),
+    g AS (
+      SELECT doc_id, dl, n_docs, sum_dl,
+             list({'token': token, 'tf': tf, 'dfreq': dfreq}
+                  ORDER BY token) AS qs
+      FROM per CROSS JOIN stats
+      GROUP BY doc_id, dl, n_docs, sum_dl
+    ),
+    folded AS (
+      SELECT doc_id, dl, qs,
+             list_reduce(list_transform(qs, s ->
+                 ln((CAST(n_docs AS DOUBLE)
+                       - CAST(s.dfreq AS DOUBLE) + 0.5)
+                    / (CAST(s.dfreq AS DOUBLE) + 0.5) + 1.0)
+                 * (CAST(s.tf AS DOUBLE) * 2.2)
+                 / (CAST(s.tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                        / (CAST(sum_dl AS DOUBLE)
+                           / CAST(n_docs AS DOUBLE)))))),
+               (a, x) -> a + x) AS score
+      FROM g
+    )
+    SELECT doc_id, CAST(len(qs) AS INTEGER) AS n_hits, dl,
+           floor(score * 10000.0 + 0.5) / 10000.0 AS bm25
+    FROM folded
+    """,
+)
+def ext_retrieval_bm25(spark, sf_dir):
+    """BM25 lexical retrieval scores against the corpus top-5 df query
+    terms — one tf shuffle feeds lengths+dfs, k-row query broadcast,
+    sorted per-doc fold; engine-exact to 4dp."""
+    return text.bm25_scores(load_table(spark, sf_dir, "documents"), 5)
+
+
+@query(
+    "ext_source_quality_prior",
+    oracle=f"""
+    WITH {TOK_CTE},
+    flags AS (
+      SELECT t.doc_id, d.source,
+             CASE WHEN (len(w) >= 20 AND len(w) <= 1000)
+                   AND (3 * len(w) <= list_reduce(
+                          list_transform(w, x -> length(x)), (a, b) -> a + b)
+                        AND list_reduce(list_transform(w, x -> length(x)),
+                                        (a, b) -> a + b) <= 10 * len(w))
+                   AND (len(list_filter(w, x -> list_contains({STOP_SQL}, x))) >= 2)
+                   AND (5 * len(list_distinct(w)) > len(w))
+                  THEN 1 ELSE 0 END AS k
+      FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+    ),
+    per AS (
+      SELECT source, count(*) AS n_docs, CAST(sum(k) AS BIGINT) AS n_keep
+      FROM flags GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+             CAST(sum(n_keep) AS BIGINT) AS tot_keep
+      FROM per
+    )
+    SELECT source, n_docs, n_keep,
+           floor(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS raw_rate,
+           floor((CAST(n_keep AS DOUBLE)
+                  + 20.0 * (CAST((SELECT tot_keep FROM tot) AS DOUBLE)
+                            / CAST((SELECT tot_docs FROM tot) AS DOUBLE)))
+                 / (CAST(n_docs AS DOUBLE) + 20.0)
+                 * 10000.0 + 0.5) / 10000.0 AS shrunk_rate
+    FROM per
+    """,
+)
+def ext_source_quality_prior(spark, sf_dir):
+    """Per-source Gopher keep rate with empirical-Bayes shrinkage
+    toward the corpus rate (pseudo-count 20) — the host-level quality
+    prior; integer counters, one source aggregate, broadcast total."""
+    return text.source_quality_prior(load_table(spark, sf_dir, "documents"), 20.0)

@@ -593,3 +593,14 @@ def test_fact_join_is_runtime_bloom_eligible(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_topk_vocab_lanes_use_take_ordered(spark, sf_dir):
+    """Corpus top-k selections (vocab, BM25 query terms) must compile
+    to TakeOrderedAndProject — per-partition top-k + a k-row merge —
+    never a single-partition global-window sort of the distinct-token
+    table (corpus-scale at 100 TB)."""
+    for key in ("ext_text_oov_rate", "ext_retrieval_bm25", "ext_text_vocab"):
+        df = registry.QUERIES[key](spark, sf_dir)
+        plan = _physical(df)
+        assert "TakeOrderedAndProject" in plan, key
