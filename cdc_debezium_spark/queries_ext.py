@@ -1839,10 +1839,12 @@ def ext_text_bpe_pairs(spark, sf_dir):
         ).alias("_p", "pr")
     ).select(F.col("pr.l").alias("left_ch"), F.col("pr.r").alias("right_ch"))
     counts = pairs.groupBy("left_ch", "right_ch").agg(F.count("*").alias("n"))
+    # TakeOrderedAndProject then a 20-row rank window (alphabet² is
+    # small, but the distributed top-k idiom costs nothing).
+    top = counts.orderBy(F.desc("n"), F.asc("left_ch"), F.asc("right_ch")).limit(20)
     w = Window.orderBy(F.desc("n"), F.asc("left_ch"), F.asc("right_ch"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "left_ch", "right_ch", "n")
     )
 
