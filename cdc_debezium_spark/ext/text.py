@@ -744,3 +744,48 @@ def source_quality_prior(docs: DataFrame, m: float = 20.0) -> DataFrame:
         (F.floor(raw * 10000.0 + F.lit(0.5)) / 10000.0).alias("raw_rate"),
         (F.floor(shrunk * 10000.0 + F.lit(0.5)) / 10000.0).alias("shrunk_rate"),
     )
+
+
+def retrieval_fusion(docs: DataFrame, emb: DataFrame, k: int = 50) -> DataFrame:
+    """Reciprocal-rank fusion of the lexical (BM25) and vector
+    (cosine top-k against query vector 0) rankings — the standard
+    hybrid-retrieval merge (RRF, Cormack et al.): documents surfacing
+    in either list score 1/(60+rank) per list, summed.
+
+    Shape at 100 TB: both source rankings reduce to k-row frames
+    BEFORE the fusion join (TakeOrdered for the lexical side, the
+    brute-force/IVF top-k for the vector side), so the full-outer
+    fusion join touches 2k rows regardless of corpus size. Ranks are
+    integers and the RRF sum is two fixed-order divisions — engine-
+    exact, 4dp floor.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import brute_force_topk
+
+    lex_top = bm25_scores(docs, 5).orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    ).limit(k)
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = lex_top.withColumn(
+        "lex_rank", F.row_number().over(wl).cast("long")
+    ).select("doc_id", "lex_rank")
+    vec = (
+        brute_force_topk(emb, n_queries=1, k=k)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("long").alias("vec_rank"),
+        )
+    )
+    fused = lex.join(vec, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("lex_rank").cast("double")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("vec_rank").cast("double")), F.lit(0.0)
+    )
+    return fused.select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (F.floor(rrf * 10000.0 + F.lit(0.5)) / 10000.0).alias("rrf"),
+    )

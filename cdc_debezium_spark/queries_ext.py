@@ -2319,10 +2319,7 @@ def ext_quality_classifier(spark, sf_dir):
     return text.quality_classifier(load_table(spark, sf_dir, "documents"))
 
 
-@query(
-    "ext_retrieval_bm25",
-    oracle="""
-    WITH toks AS (
+BM25_CTES = """toks AS (
       SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS token
       FROM documents
     ),
@@ -2367,7 +2364,13 @@ def ext_quality_classifier(spark, sf_dir):
                            / CAST(n_docs AS DOUBLE)))))),
                (a, x) -> a + x) AS score
       FROM g
-    )
+    )"""
+
+
+@query(
+    "ext_retrieval_bm25",
+    oracle=f"""
+    WITH {BM25_CTES}
     SELECT doc_id, CAST(len(qs) AS INTEGER) AS n_hits, dl,
            floor(score * 10000.0 + 0.5) / 10000.0 AS bm25
     FROM folded
@@ -2421,3 +2424,49 @@ def ext_source_quality_prior(spark, sf_dir):
     toward the corpus rate (pseudo-count 20) — the host-level quality
     prior; integer counters, one source aggregate, broadcast total."""
     return text.source_quality_prior(load_table(spark, sf_dir, "documents"), 20.0)
+
+
+@query(
+    "ext_retrieval_fusion",
+    oracle=f"""
+    WITH {BM25_CTES},
+    bm AS (
+      SELECT doc_id,
+             floor(score * 10000.0 + 0.5) / 10000.0 AS bm25
+      FROM folded
+    ),
+    lex AS (
+      SELECT doc_id, CAST(r AS BIGINT) AS lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM bm)
+      WHERE r <= 50
+    ),
+    {EMB_CTE},
+    vecr AS (
+      SELECT neighbor_id AS doc_id, CAST(r AS BIGINT) AS vec_rank FROM (
+        SELECT b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 ORDER BY {DUCK_DOT} / (a.nrm * b.nrm) DESC, b.vec_id) AS r
+        FROM n a JOIN n b ON b.vec_id != a.vec_id
+        WHERE a.vec_id = 0)
+      WHERE r <= 50
+    )
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           l.lex_rank, v.vec_rank,
+           floor((COALESCE(1.0 / (60.0 + CAST(l.lex_rank AS DOUBLE)), 0.0)
+                  + COALESCE(1.0 / (60.0 + CAST(v.vec_rank AS DOUBLE)), 0.0))
+                 * 10000.0 + 0.5) / 10000.0 AS rrf
+    FROM lex l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+    """,
+)
+def ext_retrieval_fusion(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    top-50 and the cosine top-50 for query vector 0 — both rankings
+    reduce to k rows before the fusion join, so the merge is
+    corpus-size-independent."""
+    return text.retrieval_fusion(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        50,
+    )
