@@ -1003,3 +1003,35 @@ def layout_zorder(spark, sf_dir):
             F.max("zv").cast("long").alias("max_z"),
         )
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(least(floor(value / 25.0), 19) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo_val,
+           round(max(value), 2) AS hi_val
+    FROM events
+    GROUP BY bucket
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """C11 sibling: fixed-width histogram — the bucket id is a narrow
+    arithmetic projection (no bands table, no join; contrast
+    join_range's data-driven bands), then ONE hash aggregate with
+    map-side combine: the shuffle carries <= n_buckets rows per task
+    at any corpus size. Counts are integers and the per-bucket extrema
+    are passthrough values, so the result hashes exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("long")
+    return (
+        ev.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo_val"),
+            F.round(F.max("value"), 2).alias("hi_val"),
+        )
+    )

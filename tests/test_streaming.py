@@ -806,3 +806,54 @@ def test_chunked_merge_apply_equals_batch_latest_state(spark, sf_dir, tmp_path):
         (r.pk, r.ts_us, r.val) for r in cdc.latest_state(ce).collect()
     )
     assert got == want and got
+
+
+def test_snapshot_seeded_state_plus_tail_replay(spark, sf_dir, tmp_path):
+    """Deployment shape of the incremental snapshot: the chunked
+    snapshot SEEDS the serving store, then the live stream tail
+    (everything after each key's chunk-read instant) replays through
+    the upsert sink in ts-ordered micro-batches — the final store must
+    equal the batch latest-state exactly (DBLog handoff loses
+    nothing, duplicates nothing)."""
+    from cdc_debezium_spark import registry
+    from cdc_debezium_spark.queries_cdc import INCR_CHUNK_SZ, INCR_STEP_US
+
+    registry.load_all()
+    cols = ["pk", "ts_us", "ord2", "op", "val"]
+
+    snap = registry.QUERIES["cdc_incremental_snapshot"](spark, sf_dir)
+    seed = snap.select(
+        "pk",
+        F.col("snap_ts_us").alias("ts_us"),
+        F.lit(-1).cast("long").alias("ord2"),
+        F.lit("r").alias("op"),
+        F.col("snap_val").alias("val"),
+    )
+    sink = ParquetUpsertSink(str(tmp_path / "seeded_state"))
+    sink(seed, -1)
+
+    ce = cdc.cdc_events(spark, sf_dir).withColumn(
+        "read_ts_us",
+        (
+            F.lit(cdc.SNAPSHOT_CUT_US)
+            + F.expr(f"pk div {INCR_CHUNK_SZ}") * F.lit(INCR_STEP_US)
+        ).cast("long"),
+    )
+    tail = (
+        ce.filter(F.col("ts_us") > F.col("read_ts_us"))
+        .select(*cols)
+        .orderBy("ts_us", "ord2")
+        .collect()
+    )
+    n_batches = 3
+    per = (len(tail) + n_batches - 1) // n_batches
+    for i in range(n_batches):
+        rows = tail[i * per : (i + 1) * per]
+        if rows:
+            sink(spark.createDataFrame(rows, seed.schema), i)
+
+    got = _rows(sink.read_live(spark), ["pk", "ts_us", "val"])
+    want = _rows(
+        cdc.latest_state(cdc.cdc_events(spark, sf_dir)), ["pk", "ts_us", "val"]
+    )
+    assert got == want
