@@ -191,3 +191,50 @@ def importance_sample(
         .where(F.col("h") % 10000 < F.col("thr"))
         .select("doc_id", "w", "thr", (F.col("h") % 10000).alias("bucket"))
     )
+
+
+def mixture_token_budget(
+    docs: DataFrame, alpha: float = 0.5, budget_frac: float = 0.5
+) -> DataFrame:
+    """α-temperature token-budget allocation per source — the
+    multilingual-LM mixing rule (XLM-R / mT5, public): target share
+    p_s ∝ T_s^α flattens the corpus distribution (α<1 upweights small
+    sources), then a global token budget B = budget_frac·ΣT is split
+    as B·p_s and converted to a per-source sampling rate capped at 1
+    (no oversampling without repetition). Emits the allocation plan a
+    mixture_sample run would execute.
+
+    Shape at 100 TB: one source aggregate (map-side combine), a
+    broadcast 1-row total, pure arithmetic — the documents are scanned
+    once and never reshuffled. Determinism: the normalizer Σ T_s^α is
+    a SORTED fold over the per-source list (hash-agg float-sum order
+    is nondeterministic), and α=0.5 uses sqrt (correctly rounded IEEE,
+    bit-identical cross-engine) instead of libm pow; 4dp floor.
+    """
+    powc = (
+        (lambda c: F.sqrt(c)) if alpha == 0.5 else (lambda c: F.pow(c, F.lit(alpha)))
+    )
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sort_array(F.collect_list(F.struct("source", "n_tokens"))).alias("ss"),
+        F.sum("n_tokens").alias("t_all"),
+    )
+    z = F.aggregate(
+        "ss", F.lit(0.0), lambda a, s: a + powc(s["n_tokens"].cast("double"))
+    )
+    g = per.crossJoin(F.broadcast(tot.select(z.alias("z"), F.col("t_all"))))
+    p = powc(F.col("n_tokens").cast("double")) / F.col("z")
+    desired = F.lit(budget_frac) * F.col("t_all").cast("double") * p
+    rate = F.least(F.lit(1.0), desired / F.col("n_tokens").cast("double"))
+    r4 = lambda c: F.floor(c * 10000.0 + F.lit(0.5)) / 10000.0  # noqa: E731
+    return g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        r4(p).alias("target_share"),
+        F.floor(desired).cast("long").alias("desired_tokens"),
+        r4(rate).alias("sample_rate"),
+    )

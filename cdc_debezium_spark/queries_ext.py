@@ -2470,3 +2470,46 @@ def ext_retrieval_fusion(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings"),
         50,
     )
+
+
+@query(
+    "ext_mixture_token_budget",
+    oracle="""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(regexp_split_to_array(text, ' '))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT list({'source': source, 'n_tokens': n_tokens}
+                  ORDER BY source) AS ss,
+             CAST(sum(n_tokens) AS BIGINT) AS t_all
+      FROM per
+    ),
+    z AS (
+      SELECT list_reduce(list_transform(ss,
+                 s -> sqrt(CAST(s.n_tokens AS DOUBLE))),
+             (a, x) -> a + x) AS z, t_all
+      FROM tot
+    )
+    SELECT source, n_docs, n_tokens,
+           floor(sqrt(CAST(n_tokens AS DOUBLE)) / z * 10000.0 + 0.5)
+             / 10000.0 AS target_share,
+           CAST(floor(0.5 * CAST(t_all AS DOUBLE)
+                      * (sqrt(CAST(n_tokens AS DOUBLE)) / z)) AS BIGINT)
+             AS desired_tokens,
+           floor(least(1.0, (0.5 * CAST(t_all AS DOUBLE)
+                             * (sqrt(CAST(n_tokens AS DOUBLE)) / z))
+                            / CAST(n_tokens AS DOUBLE)) * 10000.0 + 0.5)
+             / 10000.0 AS sample_rate
+    FROM per CROSS JOIN z
+    """,
+)
+def ext_mixture_token_budget(spark, sf_dir):
+    """α=0.5 temperature token-budget allocation per source (target
+    share ∝ √tokens, budget 50% of the corpus, rate capped at 1) —
+    sorted-fold normalizer and sqrt keep it engine-exact to 4dp."""
+    return sampling.mixture_token_budget(
+        load_table(spark, sf_dir, "documents"), 0.5, 0.5
+    )
