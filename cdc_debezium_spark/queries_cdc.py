@@ -811,3 +811,52 @@ def cdc_transaction_metadata(spark, sf_dir):
             F.countDistinct("event_type").alias("n_collections"),
         )
     )
+
+
+@query(
+    "cdc_order_audit",
+    oracle=CDC_CTE
+    + """
+    , seq AS (
+      SELECT pk, ts_us,
+             lag(ts_us) OVER (PARTITION BY pk ORDER BY ord2) AS prev_ts
+      FROM cdc_events
+    )
+    SELECT pk, count(*) AS n_events,
+           CAST(sum(CASE WHEN prev_ts IS NOT NULL AND ts_us < prev_ts
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+           CAST(COALESCE(max(CASE WHEN prev_ts IS NOT NULL AND ts_us < prev_ts
+                                  THEN prev_ts - ts_us END), 0) AS BIGINT)
+             AS max_regression_us
+    FROM seq GROUP BY pk
+    """,
+)
+def cdc_order_audit(spark, sf_dir):
+    """Log-order vs event-time audit: per key, how often the wall
+    clock runs BACKWARD along the log sequence (producer clock skew /
+    out-of-order capture) and by how much — the operational check
+    behind every event-time watermark decision: max_regression_us is
+    exactly the watermark delay that would have been needed.
+
+    Shape: one pk-window (lag) and one pk-aggregate in the SAME
+    partitioning — the exchange is reused (single pk shuffle), the
+    cdc_latest_state family's shape.
+    """
+    from pyspark.sql import Window
+
+    ce = cdc.cdc_events(spark, sf_dir)
+    w = Window.partitionBy("pk").orderBy("ord2")
+    inv = F.col("prev_ts").isNotNull() & (F.col("ts_us") < F.col("prev_ts"))
+    return (
+        ce.withColumn("prev_ts", F.lag("ts_us").over(w))
+        .groupBy("pk")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(inv, 1).otherwise(0)).cast("long").alias("n_inversions"),
+            F.coalesce(
+                F.max(F.when(inv, F.col("prev_ts") - F.col("ts_us"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("max_regression_us"),
+        )
+    )

@@ -42,6 +42,7 @@ _PRIORITY = [
     "tpch_q8",
     "tpch_q9",
     # new r4 keys with no driver row yet
+    "cdc_order_audit",
     "ext_mixture_token_budget",
     "agg_histogram",
     "ext_retrieval_fusion",
