@@ -785,3 +785,77 @@ def test_quality_classifier_monotone_in_stopword_ratio(spark):
     for r in out.values():
         assert r["keep"] == (r["score"] > 0.5)
         assert 0.0 <= r["score"] <= 1.0
+
+
+def test_bm25_rewards_matching_docs(spark):
+    """A document with more query-term occurrences (same length) must
+    score strictly higher; a document with no query term is absent."""
+    rows = [
+        (1, "q q q pad pad pad pad pad"),
+        (2, "q pad pad pad pad pad pad pad"),
+        (3, "none here at all pad pad pad pad"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.bm25_scores(docs, query_k=2).collect()}
+    # top-2 df terms are 'pad' (3 docs) and 'q' (2 docs)
+    assert out[1]["bm25"] > out[2]["bm25"]
+    assert 3 in out  # matches 'pad'
+    assert out[2]["bm25"] > out[3]["bm25"]
+
+
+def test_retrieval_fusion_rank_algebra(spark, sf_dir):
+    """RRF identities: every rank pair present reproduces
+    1/(60+r_lex)+1/(60+r_vec) to 4dp, ranks are unique per list, and a
+    doc in both lists beats a doc holding the same rank in only one."""
+    from cdc_debezium_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["ext_retrieval_fusion"](spark, sf_dir).collect()
+    lex = [r["lex_rank"] for r in rows if r["lex_rank"] is not None]
+    vec = [r["vec_rank"] for r in rows if r["vec_rank"] is not None]
+    assert len(lex) == len(set(lex)) == 50
+    assert len(vec) == len(set(vec)) == 50
+    import math
+    for r in rows:
+        want = (1.0 / (60.0 + r["lex_rank"]) if r["lex_rank"] else 0.0) + (
+            1.0 / (60.0 + r["vec_rank"]) if r["vec_rank"] else 0.0
+        )
+        assert abs(r["rrf"] - math.floor(want * 10000.0 + 0.5) / 10000.0) < 1e-12
+
+
+def test_mixture_token_budget_invariants(spark, sf_dir):
+    """Allocation algebra: target shares sum to ~1, every rate is in
+    (0, 1], and desired tokens sum to ~the budget (half the corpus)."""
+    from cdc_debezium_spark.ext import sampling
+    from cdc_debezium_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sampling.mixture_token_budget(docs, 0.5, 0.5).collect()
+    assert abs(sum(r["target_share"] for r in rows) - 1.0) < 0.01
+    assert all(0.0 < r["sample_rate"] <= 1.0 for r in rows)
+    t_all = sum(r["n_tokens"] for r in rows)
+    desired = sum(r["desired_tokens"] for r in rows)
+    assert abs(desired - 0.5 * t_all) < len(rows) + 1  # floor slack per source
+    # alpha < 1 flattens: smallest source gets a larger share than its
+    # raw token fraction, largest gets a smaller one
+    small = min(rows, key=lambda r: r["n_tokens"])
+    large = max(rows, key=lambda r: r["n_tokens"])
+    if small["n_tokens"] < large["n_tokens"]:
+        assert small["target_share"] > small["n_tokens"] / t_all
+        assert large["target_share"] < large["n_tokens"] / t_all
+
+
+def test_histogram_conserves_rows(spark, sf_dir):
+    """Bucket counts must sum to the table row count and bucket
+    extrema must sit inside the bucket's numeric range."""
+    from cdc_debezium_spark import registry
+    from cdc_debezium_spark.sources.catalog import load_table
+
+    registry.load_all()
+    rows = registry.QUERIES["agg_histogram"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n"] for r in rows) == total
+    for r in rows:
+        lo = r["bucket"] * 25.0
+        hi = (r["bucket"] + 1) * 25.0 if r["bucket"] < 19 else float("inf")
+        assert lo <= r["lo_val"] <= r["hi_val"] < hi + 0.005  # 2dp rounding slack
