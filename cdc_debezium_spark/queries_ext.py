@@ -2513,3 +2513,49 @@ def ext_mixture_token_budget(spark, sf_dir):
     return sampling.mixture_token_budget(
         load_table(spark, sf_dir, "documents"), 0.5, 0.5
     )
+
+
+@query(
+    "ext_dedup_exact_normalized",
+    # Normalization chain mirrored exactly: lowercase -> strip
+    # non-alphanumeric/space -> collapse space runs -> trim.
+    oracle="""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                                                  '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS digest,
+           min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
+    FROM documents GROUP BY 1
+    """,
+)
+def ext_dedup_exact_normalized(spark, sf_dir):
+    """Normalized exact dedup (C4/Dolma-style "fuzzy-exact"): hash the
+    text AFTER lowercasing, stripping punctuation, and collapsing
+    whitespace, so trivially-reformatted copies collapse into one
+    group — the standard first pass before any near-dup stage.
+    n_raw_variants counts how many RAW digests each normalized group
+    absorbed (the signal that normalization did work).
+
+    Shape: the normalization chain is three regexp_replace calls in
+    whole-stage codegen (narrow), then ONE digest shuffle with
+    map-side partial aggregation — identical cost profile to
+    ext_dedup_exact at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.withColumn("digest", F.md5(norm))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct(F.md5("text")).alias("n_raw_variants"),
+        )
+    )

@@ -322,3 +322,33 @@ def json_map_explode(spark, sf_dir):
             F.max("v").alias("max_v"),
         )
     )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS lo_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, user_id) AS x,
+           event_id << 2 AS shl,
+           event_id >> 3 AS shr,
+           CAST(bit_count(event_id) AS INTEGER) AS popcnt
+    FROM events
+    """,
+)
+def scalar_bitwise(spark, sf_dir):
+    """Bitwise scalar family — mask/flag/xor/shift/popcount (the ops
+    behind the engine's own Morton keys, hash mixing, and SimHash bit
+    slicing, exposed as a user-facing surface). Narrow codegen pass,
+    zero exchanges."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("event_id & 255").alias("lo_byte"),
+        F.expr("event_id | 4096").alias("with_flag"),
+        F.expr("event_id ^ user_id").alias("x"),
+        F.expr("shiftleft(event_id, 2)").alias("shl"),
+        F.expr("shiftright(event_id, 3)").alias("shr"),
+        F.expr("bit_count(event_id)").alias("popcnt"),
+    )
