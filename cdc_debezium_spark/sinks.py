@@ -13,7 +13,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from .operators.cdc import latest_state
 
@@ -54,7 +54,7 @@ def write_kv_latest(
 def to_kafka_wire(
     df: DataFrame,
     key_cols: Sequence[str],
-    topic: str,
+    topic: str | Column,
     num_partitions: int = 12,
 ) -> DataFrame:
     """Encode rows to the Kafka wire shape the reference produces:
@@ -62,13 +62,19 @@ def to_kafka_wire(
     prod-resources.yaml:10-13), hash-partitioned by key into the
     default 12 partitions (prod-resources.yaml:94-95).
 
+    ``topic`` may be a constant name or a per-row Column — the latter
+    is what topic-routing SMTs (RegexRouter, the outbox EventRouter)
+    produce; Kafka's producer API takes the topic per record, so a
+    routed stream is still ONE producer/one sink.
+
     Feed the result to ``writeStream.format("kafka")`` in prod or to
     `sources.debezium.parse_envelope` in tests — the roundtrip is the
     wire-format contract (A6/A12).
     """
     keys = [F.col(c) for c in list(key_cols)]
+    topic_col = F.lit(topic) if isinstance(topic, str) else topic
     wire = df.select(
-        F.lit(topic).alias("topic"),
+        topic_col.alias("topic"),
         F.encode(F.to_json(F.struct(*keys)), "utf-8").alias("key"),
         F.encode(F.to_json(F.struct(*df.columns)), "utf-8").alias("value"),
         F.pmod(F.hash(*keys), num_partitions).alias("partition"),

@@ -449,3 +449,59 @@ def test_avro_nested_record_carries_debezium_envelope():
     assert by_name["before"]["type"][0] == "null"
     assert by_name["before"]["type"][1]["type"] == "record"
     assert by_name["source"]["type"]["fields"][0]["name"] == "db"
+
+
+def test_outbox_routed_stream_hits_per_aggregate_topics(spark, sf_dir, tmp_path):
+    """Outbox EventRouter on a STREAM: route each change to its
+    aggregate-type topic through the same wire encoder, per-record
+    topic column included — per-topic counts and key bytes must match
+    the batch router exactly."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from cdc_debezium_spark import registry
+    from cdc_debezium_spark.sinks import to_kafka_wire
+    from cdc_debezium_spark.streaming.replay import (
+        read_event_stream,
+        write_event_chunks,
+    )
+
+    registry.load_all()
+    chunk_dir = str(tmp_path / "outbox_chunks")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=3)
+    out: list = []
+
+    def sink(batch, _bid):
+        routed = batch.select(
+            F.concat(F.lit("outbox.event."), F.col("event_type")).alias("t"),
+            "user_id",
+            "props",
+        )
+        wire = to_kafka_wire(routed, ["user_id"], topic=F.col("t"))
+        out.extend(
+            (r["topic"], bytes(r["key"]).decode()) for r in wire.collect()
+        )
+
+    q = (
+        read_event_stream(spark, chunk_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "outbox_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from collections import Counter
+
+    got = Counter(t for t, _ in out)
+    want = Counter(
+        "outbox.event." + r["event_type"]
+        for r in registry.QUERIES["cdc_outbox_router"](spark, sf_dir)
+        .select(F.col("evt_type").alias("event_type"))
+        .collect()
+    )
+    assert got == want
+    # key bytes carry the aggregate id (ordering key per aggregate)
+    for _, k in out[:50]:
+        assert "user_id" in json.loads(k)
