@@ -1035,3 +1035,62 @@ def agg_histogram(spark, sf_dir):
             F.round(F.max("value"), 2).alias("hi_val"),
         )
     )
+
+
+@query(
+    "join_shuffle_hash",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_items,
+           round(sum(l_quantity), 2) AS qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_shuffle_hash(spark, sf_dir):
+    """C5 sibling: the SHUFFLE_HASH-hinted join — identical semantics
+    to the sort-merge join but the build side is hashed instead of
+    both sides being sorted. At 100 TB this is the right pick when one
+    side comfortably fits per-partition memory after the shuffle and
+    the output feeds an aggregate (no sort-order to exploit): it skips
+    two full sorts. The hint surface is part of the user API — Spark
+    honors it per-join; the plan pin asserts ShuffledHashJoin.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o.hint("shuffle_hash"), o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )
+
+
+@query(
+    "agg_percentiles_exact",
+    oracle="""
+    SELECT event_type,
+           floor(quantile_cont(value, 0.25) * 10000.0 + 0.5) / 10000.0 AS p25,
+           floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+           floor(quantile_cont(value, 0.75) * 10000.0 + 0.5) / 10000.0 AS p75,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentiles_exact(spark, sf_dir):
+    """C14 sibling: EXACT linear-interpolated percentiles per group
+    (both engines implement the same R-7 quantile definition, so the
+    values are engine-exact to 4dp) — the ground-truth companion to
+    agg_approx_quantile's sketch. Exact percentiles sort each group's
+    values once inside the aggregate; at 100 TB you run the sketch
+    lane and keep this one for audits on sampled partitions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    r4 = lambda c: F.floor(c * 10000.0 + F.lit(0.5)) / 10000.0  # noqa: E731
+    return ev.groupBy("event_type").agg(
+        r4(F.expr("percentile(value, 0.25)")).alias("p25"),
+        r4(F.expr("percentile(value, 0.5)")).alias("p50"),
+        r4(F.expr("percentile(value, 0.75)")).alias("p75"),
+        F.count("*").alias("n"),
+    )

@@ -604,3 +604,13 @@ def test_topk_vocab_lanes_use_take_ordered(spark, sf_dir):
         df = registry.QUERIES[key](spark, sf_dir)
         plan = _physical(df)
         assert "TakeOrderedAndProject" in plan, key
+
+
+def test_shuffle_hash_hint_is_honored(spark, sf_dir):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin (skipping
+    both sort passes) — if Spark silently falls back to sort-merge the
+    key's documented rationale is void."""
+    df = registry.QUERIES["join_shuffle_hash"](spark, sf_dir)
+    plan = _physical(df)
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
