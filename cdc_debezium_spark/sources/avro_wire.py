@@ -262,3 +262,71 @@ def from_avro_wire(
             yield pd.DataFrame(rows, columns=out_cols)
 
     return df.mapInPandas(run, out_ddl + ", schema_id int")
+
+
+# ---------------------------------------------------------------------------
+# Schema-registry compatibility checking (Confluent semantics over this
+# module's field-spec subset: a nullable union stands in for "field
+# with a default", which is what makes adds/removes resolvable).
+# ---------------------------------------------------------------------------
+
+
+def _is_optional(typ) -> bool:
+    return isinstance(typ, (list, tuple)) and typ and typ[0] == "null"
+
+
+def _inner(typ):
+    return typ[1] if _is_optional(typ) else typ
+
+
+def _reader_accepts(reader_t, writer_t) -> bool:
+    """Avro schema-resolution subset: exact match, int->long promotion
+    (reader long reads writer int), optionality on either side with
+    compatible inners, and field-wise resolution for nested records."""
+    r, w = _inner(reader_t), _inner(writer_t)
+    if isinstance(r, dict) and isinstance(w, dict):
+        rf, wf = dict(r["record"]), dict(w["record"])
+        for name, rt in rf.items():
+            if name in wf:
+                if not _reader_accepts(rt, wf[name]):
+                    return False
+            elif not _is_optional(rt):
+                return False
+        return True
+    if r == w:
+        return True
+    return r == "long" and w == "int"
+
+
+def _readable(reader_fields, writer_fields) -> list[str]:
+    """Why reader can NOT read writer data (empty = compatible)."""
+    issues = []
+    wf = dict(writer_fields)
+    for name, rt in reader_fields:
+        if name in wf:
+            if not _reader_accepts(rt, wf[name]):
+                issues.append(f"type mismatch on '{name}': {rt!r} cannot read {wf[name]!r}")
+        elif not _is_optional(rt):
+            issues.append(f"new required field '{name}' has no default (not optional)")
+    return issues
+
+
+def check_compatibility(old_fields, new_fields) -> dict:
+    """Confluent-style compatibility verdict between two registered
+    schema versions (public Schema Registry semantics; the reference
+    deploys the registry at helm-charts/cdc-system/values.yaml:63-69).
+
+    BACKWARD: consumers on the NEW schema can read data written with
+    the OLD one (the default mode — upgrade consumers first).
+    FORWARD: consumers still on the OLD schema can read NEW data
+    (upgrade producers first). FULL: both.
+    """
+    backward_issues = _readable(new_fields, old_fields)
+    forward_issues = _readable(old_fields, new_fields)
+    return {
+        "backward": not backward_issues,
+        "forward": not forward_issues,
+        "full": not backward_issues and not forward_issues,
+        "backward_issues": backward_issues,
+        "forward_issues": forward_issues,
+    }

@@ -505,3 +505,49 @@ def test_outbox_routed_stream_hits_per_aggregate_topics(spark, sf_dir, tmp_path)
     # key bytes carry the aggregate id (ordering key per aggregate)
     for _, k in out[:50]:
         assert "user_id" in json.loads(k)
+
+
+def test_schema_compatibility_verdicts():
+    """Confluent compatibility semantics over the Avro field-spec
+    subset: optional adds are BACKWARD, optional removes are FORWARD,
+    both are FULL, required adds break BACKWARD, type changes break
+    both, int->long is a one-way promotion, nested records resolve
+    field-wise."""
+    from cdc_debezium_spark.sources.avro_wire import check_compatibility
+
+    v1 = [("id", "long"), ("name", "string")]
+    # optional add: BACKWARD (new reader defaults missing field to null)
+    add_opt = v1 + [("email", ("null", "string"))]
+    r = check_compatibility(v1, add_opt)
+    # forward also holds: the OLD reader skips the extra writer field
+    # during resolution, so an optional add is FULL-compatible
+    assert r["backward"] and r["forward"] and r["full"]
+
+    # required add: breaks BACKWARD
+    add_req = v1 + [("email", "string")]
+    r = check_compatibility(v1, add_req)
+    assert not r["backward"] and "no default" in r["backward_issues"][0]
+
+    # remove a required field: new reader fine (BACKWARD), old reader
+    # missing a required field (breaks FORWARD)
+    rm = [("id", "long")]
+    r = check_compatibility(v1, rm)
+    assert r["backward"] and not r["forward"]
+
+    # type change string -> long breaks both
+    chg = [("id", "long"), ("name", "long")]
+    r = check_compatibility(v1, chg)
+    assert not r["backward"] and not r["forward"] and not r["full"]
+
+    # int -> long promotion: new reader (long) reads old int = BACKWARD;
+    # old reader (int) cannot read new long = not FORWARD
+    iv1 = [("n", "int")]
+    iv2 = [("n", "long")]
+    r = check_compatibility(iv1, iv2)
+    assert r["backward"] and not r["forward"]
+
+    # nested record: optional add inside nested payload stays FULL
+    n1 = [("id", "long"), ("payload", {"record": [("k", "int")]})]
+    n2 = [("id", "long"), ("payload", {"record": [("k", "int"), ("x", ("null", "string"))]})]
+    r = check_compatibility(n1, n2)
+    assert r["full"]
