@@ -860,3 +860,46 @@ def cdc_order_audit(spark, sf_dir):
             .alias("max_regression_us"),
         )
     )
+
+
+@query(
+    "cdc_dlq_split",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN props IS NULL OR (props->>'k') IS NULL
+                THEN 'missing_key'
+                WHEN CAST(props->>'k' AS INT) > 75 THEN 'out_of_range'
+                ELSE 'ok' END AS verdict,
+           (CASE WHEN props IS NULL OR (props->>'k') IS NULL
+                 THEN 'missing_key'
+                 WHEN CAST(props->>'k' AS INT) > 75 THEN 'out_of_range'
+                 ELSE 'ok' END) <> 'ok' AS to_dlq
+    FROM events
+    """,
+)
+def cdc_dlq_split(spark, sf_dir):
+    """A-extension: dead-letter routing — Kafka Connect's
+    errors.tolerance=all + errors.deadletterqueue.topic.name (public
+    Connect semantics): records failing validation are diverted to a
+    DLQ topic WITH a reason header instead of killing the pipeline.
+    Validation here: the payload must carry key 'k' within [0, 75];
+    violators get a verdict and the to_dlq flag (in production the
+    flag keys a partitioned write / per-record topic via
+    to_kafka_wire's Column topic).
+
+    Shape: narrow codegen pass — the split is a projection, both
+    branches share one scan, zero exchanges.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    verdict = (
+        F.when(F.col("props").isNull() | k.isNull(), F.lit("missing_key"))
+        .when(k > 75, F.lit("out_of_range"))
+        .otherwise(F.lit("ok"))
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        verdict.alias("verdict"),
+        (verdict != "ok").alias("to_dlq"),
+    )

@@ -2559,3 +2559,30 @@ def ext_dedup_exact_normalized(spark, sf_dir):
             F.countDistinct(F.md5("text")).alias("n_raw_variants"),
         )
     )
+
+
+@query(
+    "ext_sample_topk_hash",
+    oracle="""
+    SELECT doc_id, h FROM (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h
+      FROM documents
+    )
+    ORDER BY h, doc_id LIMIT 200
+    """,
+)
+def ext_sample_topk_hash(spark, sf_dir):
+    """Exact-size uniform sample: rank every document by a content
+    hash and keep the first k — hash order is corpus-stable (adding
+    documents only displaces the boundary), and Spark compiles the
+    selection to TakeOrderedAndProject (per-partition top-k + k-row
+    merge), so drawing an exact-k sample from 100 TB never sorts the
+    corpus. Complements ext_sample_hash's rate-based thresholding
+    when the contract is "exactly k rows"."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text")))
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(200)
+    )

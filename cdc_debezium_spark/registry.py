@@ -42,6 +42,8 @@ _PRIORITY = [
     "tpch_q8",
     "tpch_q9",
     # new r4 keys with no driver row yet
+    "ext_sample_topk_hash",
+    "cdc_dlq_split",
     "join_shuffle_hash",
     "agg_percentiles_exact",
     "ext_dedup_exact_normalized",
