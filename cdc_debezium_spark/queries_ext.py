@@ -560,7 +560,13 @@ def _duck_dot(u: str, w: str) -> str:
     """,
 )
 def ext_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (float64, bit-identical fold)."""
+    """Embedding-cosine near-dup pairs (float64, bit-identical fold).
+
+    EXACT all-pairs baseline — the oracle/audit lane that defines
+    ground truth for the scale paths; run `ext_dedup_embedding_blocked`
+    (block-partitioned) or `ext_dedup_embedding_ann` (IVF candidates)
+    on a real corpus. All-pairs is O(n²) by construction and priced
+    accordingly even at sf0.1."""
     return dedup.embedding_near_dupes(load_table(spark, sf_dir, "embeddings"), 0.4)
 
 
