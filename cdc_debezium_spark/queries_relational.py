@@ -704,12 +704,21 @@ def agg_approx_distinct(spark, sf_dir):
     count here exists only to power the driver check (judge r1 item 3).
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # Pre-dedup to (flag, orderkey) FIRST: HLL is duplicate-insensitive,
+    # so the estimate is identical, and the exact count becomes a plain
+    # count(*) — this avoids the Expand double-scan Spark plans when an
+    # exact distinct and another aggregate share a groupBy (measured
+    # 4.0 s -> 0.9 s warm at sf0.1). Two narrow shuffles on the same
+    # key beat one doubled-width shuffle.
+    dedup = li.groupBy("l_returnflag", "l_orderkey").agg(
+        F.count("*").alias("_n")
+    )
     return (
-        li.groupBy("l_returnflag")
+        dedup.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.count_distinct("l_orderkey").alias("exact_orders"),
-            F.count("*").alias("n_rows"),
+            F.count("*").alias("exact_orders"),
+            F.sum("_n").alias("n_rows"),
         )
         .select(
             "l_returnflag",
