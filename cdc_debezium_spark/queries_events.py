@@ -698,3 +698,121 @@ def events_transition_matrix(spark, sf_dir):
             / 10000.0
         ).alias("p"),
     )
+
+
+@query(
+    "events_series_similarity",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             count(*) AS n
+      FROM events GROUP BY user_id, day
+    ),
+    grid AS (
+      SELECT u.user_id, g.day, COALESCE(d.n, 0) AS n
+      FROM (SELECT DISTINCT user_id FROM d) u
+      CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS day) g
+      LEFT JOIN d ON d.user_id = u.user_id AND d.day = g.day
+    ),
+    vec AS (
+      SELECT user_id, list(n ORDER BY day) AS v,
+             CAST(list_reduce(list_transform(list(n ORDER BY day),
+                  x -> CAST(x AS BIGINT) * x), (a, b) -> a + b) AS BIGINT) AS ss
+      FROM grid GROUP BY user_id
+    ),
+    scored AS (
+      SELECT q.user_id AS query_id, c.user_id AS neighbor_id,
+             CAST(list_reduce(list_transform(generate_series(1, 30),
+                    i -> CAST(q.v[i] AS BIGINT) * c.v[i]), (a, b) -> a + b)
+                  AS DOUBLE) / (sqrt(CAST(q.ss AS DOUBLE)) * sqrt(CAST(c.ss AS DOUBLE)))
+               AS cos
+      FROM vec q JOIN vec c ON c.user_id != q.user_id
+      WHERE q.user_id < 10 AND q.ss > 0 AND c.ss > 0
+    )
+    SELECT query_id, rank, neighbor_id,
+           floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def events_series_similarity(spark, sf_dir):
+    """Time-series similarity search over the event stream (the
+    streaming-similarity workload of the EDBT'19 paper in PAPERS.md):
+    each user's January activity becomes a 30-day count vector
+    (zero-filled grid) and the first 10 users retrieve their cosine
+    top-5 most-similar users — behavioral cohort discovery.
+
+    Determinism: vectors are INTEGER counts on a fixed day grid, so
+    dot products and squared norms accumulate exactly in int64 (no
+    float-order concern anywhere before the final division); sqrt is
+    correctly rounded; 4dp floor on the quotient. Shape at 100 TB: one
+    (user, day) aggregate, per-user vector assembly from a bounded
+    30-element map, broadcast 10-row query set against the streamed
+    corpus scan (the ext_similarity_topk shape) — the pairwise stage
+    is |queries| x corpus, never corpus x corpus; for all-pairs cohort
+    mining swap in the IVF machinery over these same vectors.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.withColumn(
+            "day", F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    m = d.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("day", "n")))
+        ).alias("m")
+    )
+    v = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda day: F.coalesce(F.element_at("m", day), F.lit(0)),
+    )
+    vec = m.select(
+        "user_id",
+        v.alias("v"),
+    ).withColumn(
+        "ss",
+        F.aggregate(
+            "v", F.lit(0).cast("long"), lambda a, x: a + x.cast("long") * x
+        ),
+    )
+    q = (
+        vec.filter((F.col("user_id") < 10) & (F.col("ss") > 0))
+        .select(
+            F.col("user_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("ss").alias("qss"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a.cast("long") * b),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = (
+        vec.filter(F.col("ss") > 0)
+        .join(F.broadcast(q), F.col("user_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            dot.cast("double")
+            / (F.sqrt(F.col("qss").cast("double")) * F.sqrt(F.col("ss").cast("double"))),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("user_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "rank",
+            F.col("user_id").alias("neighbor_id"),
+            (F.floor(F.col("cos") * 10000.0 + F.lit(0.5)) / 10000.0).alias("cosine"),
+        )
+    )
