@@ -816,3 +816,164 @@ def events_series_similarity(spark, sf_dir):
             (F.floor(F.col("cos") * 10000.0 + F.lit(0.5)) / 10000.0).alias("cosine"),
         )
     )
+
+
+@query(
+    "events_series_sax",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             count(*) AS n
+      FROM events GROUP BY user_id, day
+    ),
+    paa AS (
+      SELECT user_id, CAST(day // 5 AS INTEGER) AS w, CAST(sum(n) AS BIGINT) AS s
+      FROM d WHERE day BETWEEN 0 AND 29 GROUP BY user_id, w
+    ),
+    tot AS (SELECT user_id, CAST(sum(s) AS BIGINT) AS t FROM paa GROUP BY user_id),
+    sym AS (
+      SELECT p.user_id, p.w,
+             CASE WHEN 6 * p.s < t.t THEN 'a'
+                  WHEN 6 * p.s < 2 * t.t THEN 'b'
+                  ELSE 'c' END AS c
+      FROM paa p JOIN tot t ON p.user_id = t.user_id
+    ),
+    words AS (
+      SELECT user_id, string_agg(c, '' ORDER BY w) AS sax_word
+      FROM sym GROUP BY user_id
+    )
+    SELECT sax_word, count(*) AS n_users, min(user_id) AS example_user
+    FROM words GROUP BY sax_word
+    """,
+)
+def events_series_sax(spark, sf_dir):
+    """SAX-style symbolic discretization of the per-user activity
+    series (the EDBT'19 pipeline's index step): 30 days -> 6 PAA
+    windows of 5 days -> 3-symbol alphabet by each user's OWN share
+    thresholds (window sum vs 1/6 and 2/6 of the user total — integer
+    cross-multiplication, no floats anywhere), then bucket users by
+    SAX word. Equal words = candidate behavioral cohort; the
+    similarity lane verifies candidates, mirroring every other
+    candidates-then-verify design in this engine.
+
+    Shape: two keyed aggregates + a per-user 6-symbol assembly; the
+    word buckets aggregate is over |users| rows. All-integer rules ->
+    engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.withColumn(
+            "day", F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        )
+        .filter(F.col("day").between(0, 29))
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    paa = (
+        d.withColumn("w", F.expr("day div 5").cast("int"))
+        .groupBy("user_id", "w")
+        .agg(F.sum("n").alias("s"))
+    )
+    tot = paa.groupBy("user_id").agg(F.sum("s").alias("t"))
+    sym = paa.join(tot, "user_id").withColumn(
+        "c",
+        F.when(6 * F.col("s") < F.col("t"), F.lit("a"))
+        .when(6 * F.col("s") < 2 * F.col("t"), F.lit("b"))
+        .otherwise(F.lit("c")),
+    )
+    words = sym.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("w", "c"))),
+                lambda s: s["c"],
+            ),
+        ).alias("sax_word")
+    )
+    return words.groupBy("sax_word").agg(
+        F.count("*").alias("n_users"), F.min("user_id").alias("example_user")
+    )
+
+
+@query(
+    "events_distribution_drift",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(least(floor(value / 50.0), 9) AS INTEGER) AS bucket,
+             CASE WHEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15
+                  THEN 1 ELSE 0 END AS fh
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, bucket,
+             CAST(sum(fh) AS BIGINT) AS a,
+             CAST(sum(1 - fh) AS BIGINT) AS bb
+      FROM b GROUP BY event_type, bucket
+    ),
+    g AS (
+      SELECT event_type,
+             list({'bucket': bucket, 'a': a, 'bb': bb} ORDER BY bucket) AS cs,
+             CAST(sum(a) AS BIGINT) AS ta, CAST(sum(bb) AS BIGINT) AS tb
+      FROM c GROUP BY event_type
+    ),
+    f AS (
+      SELECT event_type, ta, tb,
+             list_reduce(list_transform(cs, s ->
+                 ((CAST(s.a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE))
+                  - (CAST(s.bb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))
+                 * ln((CAST(s.a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE))
+                      / (CAST(s.bb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))),
+               (x, y) -> x + y) AS psi
+      FROM g
+    )
+    SELECT event_type, ta AS n_first, tb AS n_second,
+           floor(psi * 10000.0 + 0.5) / 10000.0 AS psi,
+           (floor(psi * 10000.0 + 0.5) / 10000.0 > 0.1) AS drifted
+    FROM f
+    """,
+)
+def events_distribution_drift(spark, sf_dir):
+    """Population-stability-index drift check per event type: the
+    value distribution of the first half of the month vs the second,
+    over 10 fixed-width buckets with +1 Laplace smoothing — the
+    standard training-data / feature-drift monitor (PSI > 0.1 = shift
+    worth investigating; > 0.25 = retrain territory).
+
+    Determinism: bucket counts are integers, the PSI fold runs over
+    the SORTED bucket list (≤10 structs per group), and the drifted
+    flag compares the ROUNDED psi. Shape: one (type, bucket) aggregate
+    with both halves counted in the SAME pass (conditional sums — the
+    log is scanned once), then a ≤10-element per-type fold.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int").alias("bucket"),
+        F.when(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) < 15, 1
+        )
+        .otherwise(0)
+        .alias("fh"),
+    )
+    c = b.groupBy("event_type", "bucket").agg(
+        F.sum("fh").alias("a"), F.sum(1 - F.col("fh")).alias("bb")
+    )
+    g = c.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "a", "bb"))).alias("cs"),
+        F.sum("a").alias("ta"),
+        F.sum("bb").alias("tb"),
+    )
+    p = lambda s: (s["a"] + 1).cast("double") / (F.col("ta") + 10).cast("double")  # noqa: E731
+    q = lambda s: (s["bb"] + 1).cast("double") / (F.col("tb") + 10).cast("double")  # noqa: E731
+    psi = F.aggregate(
+        "cs", F.lit(0.0), lambda a, s: a + (p(s) - q(s)) * F.log(p(s) / q(s))
+    )
+    psi4 = F.floor(psi * 10000.0 + F.lit(0.5)) / 10000.0
+    return g.select(
+        "event_type",
+        F.col("ta").alias("n_first"),
+        F.col("tb").alias("n_second"),
+        psi4.alias("psi"),
+        (psi4 > 0.1).alias("drifted"),
+    )

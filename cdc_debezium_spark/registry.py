@@ -42,6 +42,8 @@ _PRIORITY = [
     "tpch_q8",
     "tpch_q9",
     # new r4 keys with no driver row yet
+    "events_series_sax",
+    "events_distribution_drift",
     "events_series_similarity",
     "ext_sample_topk_hash",
     "cdc_dlq_split",
