@@ -789,3 +789,65 @@ def retrieval_fusion(docs: DataFrame, emb: DataFrame, k: int = 50) -> DataFrame:
         "vec_rank",
         (F.floor(rrf * 10000.0 + F.lit(0.5)) / 10000.0).alias("rrf"),
     )
+
+
+def collocations(docs: DataFrame, min_count: int = 5, top_k: int = 20) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the
+    phrase-mining statistic behind tokenizer merge rules and
+    word2vec-style phrase detection (public: Mikolov et al. phrases).
+
+    PMI(w1,w2) = ln( c12 · N / (left(w1) · right(w2)) ) over adjacent
+    token pairs, with a min-count floor to kill noise pairs.
+
+    Determinism: ranking uses the ROUNDED 4dp PMI with the bigram as
+    tie-break, so cross-engine ulp skew cannot reorder the list; the
+    selection is orderBy().limit() → TakeOrderedAndProject. Shape: the
+    same narrow bigram build + count tables as bigram_logprob; the
+    left/right marginals roll up from the count table, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(tokens_col(), lambda t: t != F.lit(""))
+    base = docs.select(toks.alias("ts")).filter(F.size("ts") >= 2)
+    heads = F.slice("ts", 1, F.size("ts") - 1)
+    tails = F.slice("ts", 2, F.size("ts") - 1)
+    bgs = F.zip_with(heads, tails, lambda a, b: F.concat_ws(" ", a, b))
+    cnt = (
+        base.select(F.explode(bgs).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c12"))
+    )
+    left = (
+        cnt.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("cl"))
+    )
+    right = (
+        cnt.withColumn("w2", F.substring_index("bg", " ", -1))
+        .groupBy("w2")
+        .agg(F.sum("c12").alias("cr"))
+    )
+    tot = cnt.agg(F.sum("c12").alias("n_total"))
+    j = (
+        cnt.filter(F.col("c12") >= min_count)
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .withColumn("w2", F.substring_index("bg", " ", -1))
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.log(
+        F.col("c12").cast("double")
+        * F.col("n_total").cast("double")
+        / (F.col("cl").cast("double") * F.col("cr").cast("double"))
+    )
+    scored = j.select(
+        "bg",
+        "c12",
+        (F.floor(pmi * 10000.0 + F.lit(0.5)) / 10000.0).alias("pmi"),
+    )
+    top = scored.orderBy(F.desc("pmi"), F.asc("bg")).limit(top_k)
+    w = Window.orderBy(F.desc("pmi"), F.asc("bg"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "bg", "c12", "pmi"
+    )

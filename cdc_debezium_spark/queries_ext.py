@@ -2592,3 +2592,46 @@ def ext_sample_topk_hash(spark, sf_dir):
         .orderBy("h", "doc_id")
         .limit(200)
     )
+
+
+@query(
+    "ext_text_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, ' '), t -> t <> '') AS ts
+      FROM documents
+    ),
+    bgs AS (
+      SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      FROM toks WHERE len(ts) >= 2
+    ),
+    cnt AS (SELECT bg, count(*) AS c12 FROM bgs GROUP BY bg),
+    l AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS cl
+          FROM cnt GROUP BY w1),
+    r AS (SELECT split_part(bg, ' ', -1) AS w2, CAST(sum(c12) AS BIGINT) AS cr
+          FROM cnt GROUP BY w2),
+    tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_total FROM cnt),
+    scored AS (
+      SELECT c.bg, c.c12,
+             floor(ln(CAST(c.c12 AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+                      / (CAST(l.cl AS DOUBLE) * CAST(r.cr AS DOUBLE)))
+                   * 10000.0 + 0.5) / 10000.0 AS pmi
+      FROM cnt c
+      JOIN l ON split_part(c.bg, ' ', 1) = l.w1
+      JOIN r ON split_part(c.bg, ' ', -1) = r.w2
+      CROSS JOIN tot t
+      WHERE c.c12 >= 5
+    )
+    SELECT CAST(row_number() OVER (ORDER BY pmi DESC, bg) AS INTEGER) AS rank,
+           bg, c12, pmi
+    FROM scored
+    QUALIFY rank <= 20
+    """,
+)
+def ext_text_collocations(spark, sf_dir):
+    """Top-20 PMI collocations over adjacent token pairs (min count 5)
+    — phrase-mining for tokenizer merge rules; rounded-PMI ranking
+    keeps the list engine-exact, TakeOrdered selection."""
+    return text.collocations(load_table(spark, sf_dir, "documents"), 5, 20)

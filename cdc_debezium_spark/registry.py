@@ -42,6 +42,7 @@ _PRIORITY = [
     "tpch_q8",
     "tpch_q9",
     # new r4 keys with no driver row yet
+    "ext_text_collocations",
     "events_series_sax",
     "events_distribution_drift",
     "events_series_similarity",
