@@ -2635,3 +2635,94 @@ def ext_text_collocations(spark, sf_dir):
     — phrase-mining for tokenizer merge rules; rounded-PMI ranking
     keeps the list engine-exact, TakeOrdered selection."""
     return text.collocations(load_table(spark, sf_dir, "documents"), 5, 20)
+
+
+@query(
+    "ext_dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {SHINGLE_CTE},
+    {NGRAM_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    lab AS (SELECT u AS doc_id, min(v) AS canonical_id FROM reach GROUP BY u),
+    cl AS (SELECT canonical_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+    SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+    FROM cl GROUP BY cluster_size
+    """,
+)
+def ext_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram — the dedup IMPACT report: for
+    each cluster size, how many clusters, how many documents they
+    hold, and how many a keep-one-per-cluster pass removes. This is
+    the number a curation run quotes ("dedup dropped X% of the
+    corpus") and the skew check on the pair graph (one huge cluster =
+    template spam). Shape: the component labels' two tiny rollups —
+    all cost is in the clustering itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    labels = dedup.near_dup_clusters(dedup.ngram_jaccard_pairs(docs, 0.5))
+    cl = labels.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return cl.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("long").alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count("*"))
+        .cast("long")
+        .alias("n_removable"),
+    )
+
+
+@query(
+    "ext_pack_length_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tok,
+             CAST(least(n_tok // 64, 7) AS INTEGER) AS bucket
+      FROM t
+    )
+    SELECT bucket, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(max(n_tok) AS BIGINT) AS max_len,
+           CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_in_bucket
+    FROM b GROUP BY bucket
+    """,
+)
+def ext_pack_length_buckets(spark, sf_dir):
+    """Length-bucketed batching plan: assign documents to 64-token
+    length bands and report per-band token mass and the padding a
+    pad-to-band-max batcher would add — the standard alternative to
+    sequence packing when sample boundaries must be preserved
+    (dynamic batching by length). The pad_in_bucket column IS the
+    justification: compare against padding to the global max.
+
+    Shape: the bucket id is a narrow projection; ONE 8-row hash
+    aggregate. All integers — engine-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    b = docs.select(
+        n_tok.alias("n_tok"),
+        F.least(F.expr("n_tok div 64"), F.lit(7)).cast("int").alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.max("n_tok").alias("max_len"),
+        (F.count("*") * F.max("n_tok") - F.sum("n_tok"))
+        .cast("long")
+        .alias("pad_in_bucket"),
+    )
