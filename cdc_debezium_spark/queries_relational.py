@@ -1119,3 +1119,64 @@ def agg_percentiles_exact(spark, sf_dir):
         r4(F.expr("percentile(value, 0.75)")).alias("p75"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_weighted",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_w,
+           round(sum(CAST(props->>'k' AS INT) * value), 2) AS weighted_sum,
+           round(sum(CAST(props->>'k' AS INT) * value)
+                 / sum(CAST(props->>'k' AS INT)), 4) AS weighted_avg
+    FROM events
+    WHERE CAST(props->>'k' AS INT) > 0
+    GROUP BY event_type
+    """,
+)
+def agg_weighted(spark, sf_dir):
+    """C14 sibling: weighted aggregation — weight extracted from the
+    JSON payload (sum_w integer-exact; the weighted mean rounds a
+    well-conditioned double quotient). One hash aggregate with
+    map-side combine; the JSON extraction is a narrow codegen pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("w", w)
+        .filter(F.col("w") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.sum("w").cast("long").alias("sum_w"),
+            F.round(F.sum(F.col("w") * F.col("value")), 2).alias("weighted_sum"),
+            F.round(
+                F.sum(F.col("w") * F.col("value")) / F.sum("w"), 4
+            ).alias("weighted_avg"),
+        )
+    )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+             AS quartile
+    FROM orders
+    """,
+)
+def window_ntile(spark, sf_dir):
+    """C15 sibling: ntile bucketing — equi-depth quartiles per status
+    over a TOTAL order (price, key), so tile assignment is integer-
+    exact cross-engine. The windowed form of the histogram/percentile
+    family: banding rows, not values."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+    )
