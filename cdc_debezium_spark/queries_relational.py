@@ -1180,3 +1180,43 @@ def window_ntile(spark, sf_dir):
         "o_orderstatus",
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@query("tpch_q1", oracle=TPCH_Q1ISH)
+def tpch_q1(spark, sf_dir):
+    """TPC-H Q1 (pricing summary) under its canonical key — the same
+    one-string-two-engines SQL as sql_pricing_summary; registered so
+    the TPC-H namespace is complete as q1..q22."""
+    return sql_pricing_summary(spark, sf_dir)
+
+
+@query(
+    "agg_argminmax",
+    oracle="""
+    SELECT event_type,
+           min_by(value, event_id) AS first_val,
+           max_by(value, event_id) AS last_val,
+           min(event_id) AS first_ord,
+           max(event_id) AS last_ord,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_argminmax(spark, sf_dir):
+    """C14 sibling: argmin/argmax aggregates — the value at the
+    earliest/latest LOG position per group via min_by/max_by on the
+    unique log ordinal (so the result is deterministic without any
+    window). This is the aggregate-only form of first/last-value: one
+    hash aggregate with map-side combine, no sort, no window exchange
+    — at 100 TB it replaces a full rank-window when only the endpoint
+    values are needed (cdc_latest_state needs the whole row; this lane
+    needs one column and skips the window entirely).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.min_by("value", F.col("event_id")).alias("first_val"),
+        F.max_by("value", F.col("event_id")).alias("last_val"),
+        F.min("event_id").alias("first_ord"),
+        F.max("event_id").alias("last_ord"),
+        F.count("*").alias("n"),
+    )

@@ -42,6 +42,8 @@ _PRIORITY = [
     "tpch_q8",
     "tpch_q9",
     # new r4 keys with no driver row yet
+    "tpch_q1",
+    "agg_argminmax",
     "agg_weighted",
     "window_ntile",
     "ext_dedup_cluster_sizes",
