@@ -977,3 +977,38 @@ def events_distribution_drift(spark, sf_dir):
         psi4.alias("psi"),
         (psi4 > 0.1).alias("drifted"),
     )
+
+
+@query(
+    "events_user_lifetime",
+    oracle="""
+    SELECT user_id,
+           min(epoch_us(ts)) AS first_seen_us,
+           max(epoch_us(ts)) AS last_seen_us,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+           CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+                + 1 AS BIGINT) AS span_days,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def events_user_lifetime(spark, sf_dir):
+    """Per-user lifetime report: first/last seen, distinct active
+    days, calendar span, event count — the user-level retention
+    denominator every cohort metric divides by. ONE user_id hash
+    aggregate (the keyed-ingest co-partitioning again); the distinct
+    day count expands only within each user's group. All integers —
+    engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("first_seen_us"),
+        F.max("ts_us").alias("last_seen_us"),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+        (
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1
+        )
+        .cast("long")
+        .alias("span_days"),
+        F.count("*").alias("n_events"),
+    )

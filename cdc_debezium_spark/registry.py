@@ -42,6 +42,7 @@ _PRIORITY = [
     "tpch_q8",
     "tpch_q9",
     # new r4 keys with no driver row yet
+    "events_user_lifetime",
     "tpch_q1",
     "agg_argminmax",
     "agg_weighted",
