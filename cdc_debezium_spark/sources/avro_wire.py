@@ -281,8 +281,14 @@ def _inner(typ):
 
 def _reader_accepts(reader_t, writer_t) -> bool:
     """Avro schema-resolution subset: exact match, int->long promotion
-    (reader long reads writer int), optionality on either side with
-    compatible inners, and field-wise resolution for nested records."""
+    (reader long reads writer int), and field-wise resolution for
+    nested records. Optionality is asymmetric, as in real Avro union
+    resolution: a reader union [null, T] reads a writer T (the datum
+    matches the T branch), but a non-union reader CANNOT read a writer
+    [null, T] — old records carrying null have no branch to land in,
+    so optional->required is a breaking evolution."""
+    if _is_optional(writer_t) and not _is_optional(reader_t):
+        return False
     r, w = _inner(reader_t), _inner(writer_t)
     if isinstance(r, dict) and isinstance(w, dict):
         rf, wf = dict(r["record"]), dict(w["record"])

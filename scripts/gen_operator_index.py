@@ -30,6 +30,7 @@ def main() -> None:
         fn = registry.QUERIES[key]
         doc = (fn.__doc__ or "").strip().split("\n\n")[0]
         doc = " ".join(x.strip() for x in doc.splitlines())
+        doc = doc.replace("|", "\\|")  # keep markdown table cells intact
         if len(doc) > 220:
             doc = doc[:217] + "..."
         mod = fn.__module__.replace("cdc_debezium_spark.", "")

@@ -551,3 +551,25 @@ def test_schema_compatibility_verdicts():
     n2 = [("id", "long"), ("payload", {"record": [("k", "int"), ("x", ("null", "string"))]})]
     r = check_compatibility(n1, n2)
     assert r["full"]
+
+    # optional -> required: old records may carry null, which a
+    # non-union reader has no branch for — breaks BACKWARD. FORWARD
+    # holds: the old optional reader reads the new required writer via
+    # its T branch. (Real Avro union resolution is asymmetric.)
+    ov1 = [("id", "long"), ("email", ("null", "string"))]
+    ov2 = [("id", "long"), ("email", "string")]
+    r = check_compatibility(ov1, ov2)
+    assert not r["backward"] and r["forward"] and not r["full"]
+    assert "email" in r["backward_issues"][0]
+
+    # required -> optional: new reader's null branch absorbs old data
+    # (BACKWARD), but the old required reader can't take the nulls new
+    # writers may emit (breaks FORWARD)
+    r = check_compatibility(ov2, ov1)
+    assert r["backward"] and not r["forward"]
+
+    # the same asymmetry inside a nested record
+    m1 = [("payload", {"record": [("k", ("null", "int"))]})]
+    m2 = [("payload", {"record": [("k", "int")]})]
+    r = check_compatibility(m1, m2)
+    assert not r["backward"] and r["forward"]
