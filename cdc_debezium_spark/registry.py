@@ -30,92 +30,109 @@ def query(key: str, oracle: str | None = None):
     return deco
 
 
-# Must-check-first order for a count-budgeted driver sample. Round-4
-# layout (per the r3 verdict's "Next round" #1): tpch_q7/q8/q9 are the
-# ONLY keys with no driver row in any round — they lead, followed by
-# any new r4 keys, then keys whose plans changed this round and so need
-# a fresh external sample; the long-green keys from r1-r3 follow via
-# load_all()'s ordering.
+# Must-check-first order for a count-budgeted driver sample. Round-5
+# layout (per the r4 verdict's "Next round" #2): every key's latest
+# driver row is green, so staleness is the axis — 91 keys were last
+# driver-sampled in r1/r2. New r5 keys (never externally sampled)
+# lead, then the 47 keys whose last driver row is round 1 (flagship
+# CDC kernels first), then the 44 round-2-stale keys; r3/r4-fresh keys
+# follow via load_all()'s ordering.
 _PRIORITY = [
-    # never driver-sampled in r1-r3 (locally oracle-green) — sample first
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    # new r4 keys with no driver row yet
-    "events_user_lifetime",
-    "tpch_q1",
-    "agg_argminmax",
-    "agg_weighted",
-    "window_ntile",
-    "ext_dedup_cluster_sizes",
-    "ext_pack_length_buckets",
-    "ext_text_collocations",
-    "events_series_sax",
-    "events_distribution_drift",
-    "events_series_similarity",
-    "ext_sample_topk_hash",
-    "cdc_dlq_split",
-    "join_shuffle_hash",
-    "agg_percentiles_exact",
-    "ext_dedup_exact_normalized",
-    "scalar_bitwise",
-    "cdc_order_audit",
-    "ext_mixture_token_budget",
-    "agg_histogram",
-    "ext_retrieval_fusion",
-    "ext_retrieval_bm25",
-    "ext_source_quality_prior",
-    "cdc_incremental_snapshot",
-    "cdc_transaction_metadata",
-    "cdc_outbox_router",
-    "cdc_mask_columns",
-    "ext_text_bigram_logprob",
-    "ext_quality_classifier",
-    "ext_multimodal_real_header",
-    "avro_roundtrip",
-    "ext_text_oov_rate",
-    "events_metric_correlation",
-    "events_transition_matrix",
-    "join_skew_salted",
-    "ext_multimodal_resize",
-    "ext_multimodal_audio_stats",
-    "ext_multimodal_video_frames",
-    "layout_zorder",
-    # plans changed in r4 (skew-guard single-pass rework) — resample
-    "ext_dedup_embedding_ann",
-    # r3 keys whose latest row is green but only sampled once
-    "ext_pack_sequences",
-    "ext_pack_sequences_sharded",
-    "ext_multimodal_scan",
-    "ext_multimodal_features",
-    "ext_similarity_ivf_prod",
-    "ext_text_unigram_logprob",
-    "ext_dedup_levenshtein",
-    "events_cohort_retention",
-    "events_funnel",
-    "agg_approx_quantile",
-    "agg_approx_topk",
-    "agg_theta_sketch_distinct",
-    "cdc_agg_view",
-    "cdc_schema_drift_stats",
-    "cdc_snapshot_diff",
-    "events_rate_anomaly",
-    "ext_embedding_pq",
-    "ext_similarity_ivfpq",
-    "ext_text_bpe_pairs",
-    "ext_dedup_containment",
-    "ext_sample_importance",
-    "udaf_grouped_agg",
-    "ext_corpus_pipeline",
-    "ext_text_dedup_report",
-    "ext_multimodal_shards",
-    "events_rolling_active_users",
-    "agg_grouping_sets",
-    "ext_text_chunk_dedup",
-    "cdc_compaction_stats",
-    "events_ohlc_downsample",
-    "events_active_sessions_sweep",
-    "events_gapfill_locf",
+    # new r5 keys — never driver-sampled
+    # (appended by round-5 work as keys land)
+    # last driver row: round 1 — flagship kernels first
+    "cdc_latest_state",
+    "cdc_unwrap",
+    "cdc_delete_rewrite",
+    "cdc_scd2_history",
+    "cdc_as_of_snapshot",
+    "dedup_exact",
+    "agg_groupby",
+    "agg_rollup",
+    "join_inner",
+    "join_broadcast",
+    "join_large",
+    "join_as_of",
+    "window_rank",
+    "window_running",
+    "topk_per_group",
+    "udf_grouped_processor",
+    "scan_events",
+    "snapshot_union_stream",
+    "route_regex",
+    "json_roundtrip",
+    "filter_table_include",
+    "agg_sliding_window",
+    "agg_tumbling_window",
+    "agg_session_window",
+    "agg_distinct",
+    "agg_stats",
+    "explode_array",
+    "filter_predicates",
+    "join_outer",
+    "join_range",
+    "join_semi_anti",
+    "pivot_status",
+    "project_basic",
+    "scalar_array_map",
+    "scalar_conditional",
+    "scalar_datetime",
+    "scalar_hash",
+    "scalar_json",
+    "scalar_math",
+    "scalar_string",
+    "set_intersect_except",
+    "set_union",
+    "sort_orderby",
+    "sql_pricing_summary",
+    "udf_cogroup_processor",
+    "udtf_tokenize",
+    "window_lag_lead",
+    # last driver row: round 2
+    "agg_approx_distinct",
+    "agg_cube",
+    "cdc_pipeline_metrics",
+    "doc_nested_roundtrip",
+    "ext_cluster_profile",
+    "ext_corpus_clean",
+    "ext_decontaminate",
+    "ext_dedup_canonical",
+    "ext_dedup_clusters",
+    "ext_dedup_embedding",
+    "ext_dedup_embedding_blocked",
+    "ext_dedup_exact",
+    "ext_dedup_minhash",
+    "ext_dedup_minhash_incremental",
+    "ext_dedup_ngram",
+    "ext_dedup_simhash",
+    "ext_dedup_simhash_pairs",
+    "ext_dedup_spans",
+    "ext_embedding_quantize",
+    "ext_multimodal_frames",
+    "ext_multimodal_patches",
+    "ext_sample_cluster_balanced",
+    "ext_sample_hash",
+    "ext_sample_mixture",
+    "ext_sample_stratified",
+    "ext_similarity_ivf",
+    "ext_similarity_ivf_trained",
+    "ext_similarity_range",
+    "ext_similarity_topk",
+    "ext_text_bpe_tokens",
+    "ext_text_charngrams",
+    "ext_text_chunks",
+    "ext_text_entropy",
+    "ext_text_fingerprint",
+    "ext_text_langid",
+    "ext_text_quality_rules",
+    "ext_text_repetition",
+    "ext_text_scrub",
+    "ext_text_stats",
+    "ext_text_tfidf",
+    "ext_text_vocab",
+    "json_map_explode",
+    "type_coercion",
+    "window_distribution",
 ]
 
 
