@@ -906,3 +906,178 @@ def cdc_dlq_split(spark, sf_dir):
         verdict.alias("verdict"),
         (verdict != "ok").alias("to_dlq"),
     )
+
+
+@query(
+    "cdc_mysql_envelope",
+    oracle="""
+    WITH m AS (
+      SELECT event_type AS tbl, user_id,
+             CASE event_type WHEN 'signup' THEN 'c'
+                             WHEN 'error'  THEN 'd' ELSE 'u' END AS op,
+             (event_id // 2500) * 4294967296
+               + (event_id % 2500) * 16 + 4 AS ordinal
+      FROM events)
+    SELECT tbl AS table_name,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+           max(ordinal) AS max_ordinal,
+           CAST(COALESCE(sum(CASE WHEN op <> 'd' THEN user_id END), 0) AS BIGINT)
+             AS sum_live_ids,
+           count(DISTINCT user_id) AS n_keys
+    FROM m GROUP BY tbl
+    """,
+)
+def cdc_mysql_envelope(spark, sf_dir):
+    """A2: MySQL-connector lane end-to-end — events re-serialized as
+    verbatim MySQL wire envelopes (binlog file/pos/row/server_id in the
+    `source` block, dotted server.db.table topic), parsed back through
+    the typed MYSQL_SOURCE_SCHEMA, RegexRouter-routed, unwrapped with
+    the delete rewrite, and ordered by the derived binlog ordinal
+    (file index * 2^32 + pos — MySQL's lsn analog). The oracle computes
+    the same per-table report relationally, so a hash match proves the
+    whole encode→parse→route→unwrap→order chain is lossless.
+    Conformance vs the public docs payloads: tests/test_wire.py.
+    Reference configures this connector at
+    k8s-manifests/connectors/postgresql-connector.yaml:88-101.
+
+    Shape: the wire roundtrip is one narrow codegen projection (encode
+    + from_json + route per row, zero exchanges); the report is one
+    hash aggregate on the routed table. At 100 TB the JSON codec cost
+    is the scan stage; nothing shuffles but the k-row-per-table report.
+    """
+    from .sources.debezium import (
+        MYSQL_SOURCE_SCHEMA,
+        mysql_binlog_ordinal,
+        parse_envelope,
+        unwrap,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    row = F.struct(F.col("user_id").alias("id"))
+    wire = ev.select(
+        F.concat(F.lit("mysql-server-1.inventory."), "event_type").alias("topic"),
+        F.to_json(
+            F.struct(
+                F.when(op == "d", row).alias("before"),
+                F.when(op != "d", row).alias("after"),
+                F.struct(
+                    F.lit("inventory").alias("db"),
+                    F.col("event_type").alias("table"),
+                    F.lit(223344).cast("long").alias("server_id"),
+                    F.concat(
+                        F.lit("mysql-bin."),
+                        F.lpad((F.col("event_id") / 2500).cast("long").cast("string"), 6, "0"),
+                    ).alias("file"),
+                    ((F.col("event_id") % 2500) * 16 + 4).alias("pos"),
+                    F.lit(0).cast("long").alias("row"),
+                    (F.col("ts_us") / 1000).cast("long").alias("ts_ms"),
+                    F.lit("false").alias("snapshot"),
+                ).alias("source"),
+                op.alias("op"),
+                (F.col("ts_us") / 1000).cast("long").alias("ts_ms"),
+            ),
+            {"ignoreNullFields": "false"},
+        ).alias("value"),
+    )
+    row_schema = StructType([StructField("id", LongType())])
+    parsed = parse_envelope(wire, row_schema, source_schema=MYSQL_SOURCE_SCHEMA)
+    flat = unwrap(
+        parsed.withColumn("ordinal", mysql_binlog_ordinal()),
+        extra_cols=["op", "table_name", "ordinal"],
+    )
+    return flat.groupBy(F.col("table_name")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("__deleted"), 1).otherwise(0)).alias("n_deletes"),
+        F.max("ordinal").alias("max_ordinal"),
+        F.coalesce(
+            F.sum(F.when(~F.col("__deleted"), F.col("id"))), F.lit(0).cast("long")
+        ).alias("sum_live_ids"),
+        F.countDistinct("id").alias("n_keys"),
+    )
+
+
+@query(
+    "cdc_mongo_envelope",
+    oracle="""
+    WITH m AS (
+      SELECT event_type AS coll, user_id,
+             CAST(props->>'k' AS BIGINT) AS k,
+             CASE event_type WHEN 'signup' THEN 'c'
+                             WHEN 'error'  THEN 'd' ELSE 'u' END AS op,
+             event_id % 1000 AS ord
+      FROM events)
+    SELECT coll AS collection, op,
+           count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_id,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           max(ord) AS max_ord
+    FROM m GROUP BY coll, op
+    """,
+)
+def cdc_mongo_envelope(spark, sf_dir):
+    """A3: MongoDB-connector document lane end-to-end — events
+    re-serialized as Mongo wire envelopes (the document as an
+    extended-JSON STRING in `after` — `before` for deletes — with the
+    oplog {rs, collection, ord} source block), parsed through
+    MONGO_ENVELOPE_SCHEMA, and shredded back to typed columns by
+    unwrap_mongo (ExtractNewDocumentState analog). Oracle computes the
+    same per-collection/op report relationally — a hash match proves
+    the double-encoded document roundtrip. Conformance vs the public
+    docs payloads (incl. $numberLong and updateDescription):
+    tests/test_wire.py. Reference declares the connector at
+    values.yaml:60-61.
+
+    Shape: narrow codegen wire roundtrip (nested to_json/from_json +
+    get_json_object shred), one hash aggregate. The document shred is
+    JSON-path extraction in whole-stage codegen — no Python.
+    """
+    from .sources.debezium import parse_mongo_envelope, unwrap_mongo
+
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    doc = F.to_json(
+        F.struct(
+            F.col("user_id").alias("_id"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+    wire = ev.select(
+        F.concat(F.lit("fulfillment.analytics."), "event_type").alias("topic"),
+        F.to_json(
+            F.struct(
+                F.when(op == "d", doc).alias("before"),
+                F.when(op != "d", doc).alias("after"),
+                F.struct(
+                    F.lit("analytics").alias("db"),
+                    F.lit("rs0").alias("rs"),
+                    F.col("event_type").alias("collection"),
+                    (F.col("event_id") % 1000).alias("ord"),
+                    (F.col("ts_us") / 1000).cast("long").alias("ts_ms"),
+                ).alias("source"),
+                op.alias("op"),
+                (F.col("ts_us") / 1000).cast("long").alias("ts_ms"),
+            ),
+            {"ignoreNullFields": "false"},
+        ).alias("value"),
+    )
+    parsed = parse_mongo_envelope(wire)
+    flat = unwrap_mongo(parsed, {"_id": "long", "k": "long"})
+    return flat.groupBy(
+        F.col("table_name").alias("collection"), "op"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("_id").alias("sum_id"),
+        F.sum("k").alias("sum_k"),
+        F.max("ord").alias("max_ord"),
+    )

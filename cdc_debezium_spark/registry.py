@@ -39,7 +39,8 @@ def query(key: str, oracle: str | None = None):
 # follow via load_all()'s ordering.
 _PRIORITY = [
     # new r5 keys — never driver-sampled
-    # (appended by round-5 work as keys land)
+    "cdc_mysql_envelope",
+    "cdc_mongo_envelope",
     # last driver row: round 1 — flagship kernels first
     "cdc_latest_state",
     "cdc_unwrap",

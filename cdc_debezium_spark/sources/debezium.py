@@ -18,6 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -40,18 +41,77 @@ SOURCE_SCHEMA = StructType(
     ]
 )
 
+# MySQL-connector `source` block (public Debezium MySQL docs; the
+# reference configures the connector at
+# k8s-manifests/connectors/postgresql-connector.yaml:88-101). The
+# ordering coordinate is (binlog file, position) — there is no LSN —
+# plus the optional GTID; `server_id`/`thread`/`query` are
+# MySQL-specific provenance fields.
+MYSQL_SOURCE_SCHEMA = StructType(
+    [
+        StructField("db", StringType()),
+        StructField("table", StringType()),
+        StructField("server_id", LongType()),
+        StructField("gtid", StringType()),
+        StructField("file", StringType()),
+        StructField("pos", LongType()),
+        StructField("row", LongType()),
+        StructField("thread", LongType()),
+        StructField("query", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("snapshot", StringType()),
+    ]
+)
 
-def envelope_schema(row_schema: StructType) -> StructType:
-    """Debezium envelope for a given source-row schema."""
+# MongoDB-connector `source` block (public Debezium MongoDB docs; the
+# reference declares the connector at values.yaml:60-61). The ordering
+# coordinate is the oplog position (`ord` within the `ts_ms` second on
+# replica set `rs`); rows live in `collection`, not schema.table.
+MONGO_SOURCE_SCHEMA = StructType(
+    [
+        StructField("db", StringType()),
+        StructField("rs", StringType()),
+        StructField("collection", StringType()),
+        StructField("ord", LongType()),
+        StructField("h", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("snapshot", StringType()),
+    ]
+)
+
+
+def envelope_schema(
+    row_schema: StructType, source_schema: StructType = SOURCE_SCHEMA
+) -> StructType:
+    """Debezium envelope for a given source-row schema. The envelope
+    shape {before, after, source, op, ts_ms} is connector-agnostic;
+    pass MYSQL_SOURCE_SCHEMA / MONGO_SOURCE_SCHEMA to type the
+    connector-specific `source` block."""
     return StructType(
         [
             StructField("before", row_schema),
             StructField("after", row_schema),
-            StructField("source", SOURCE_SCHEMA),
+            StructField("source", source_schema),
             StructField("op", StringType()),
             StructField("ts_ms", LongType()),
         ]
     )
+
+
+def mysql_binlog_ordinal(
+    file_col: Column | str = "source.file", pos_col: Column | str = "source.pos"
+) -> Column:
+    """Total order for MySQL events: (binlog file index, position) as
+    one long. Binlog files are named ``<basename>.NNNNNN`` with a
+    monotonically increasing numeric suffix; positions are bounded by
+    max_binlog_size (≤1 GiB), so ``idx * 2^32 + pos`` never collides.
+    This is the MySQL analog of the PostgreSQL envelope's ``lsn`` —
+    every CDC kernel (latest-state, SCD2, as-of) takes it as its
+    ``order`` column unchanged."""
+    f = F.col(file_col) if isinstance(file_col, str) else file_col
+    p = F.col(pos_col) if isinstance(pos_col, str) else pos_col
+    idx = F.regexp_extract(f, r"\.(\d+)$", 1).cast("long")
+    return idx * F.lit(4294967296).cast("long") + p
 
 
 def parse_envelope(
@@ -59,14 +119,20 @@ def parse_envelope(
     row_schema: StructType,
     value_col: str = "value",
     topic_col: str = "topic",
+    source_schema: StructType = SOURCE_SCHEMA,
 ) -> DataFrame:
     """Deserialize JSON change events (Kafka `value`) into the envelope.
 
     PERMISSIVE mode + ``_corrupt_record`` keeps schema drift visible
     without failing the stream (reference emits DDL to a schema-change
     topic rather than breaking: postgresql-connector.yaml:44-46).
+    `source_schema` selects the connector-specific `source` block
+    (PostgreSQL default; MYSQL_SOURCE_SCHEMA / MONGO_SOURCE_SCHEMA for
+    the reference's other declared connectors).
     """
-    schema = envelope_schema(row_schema).add("_corrupt_record", StringType())
+    schema = envelope_schema(row_schema, source_schema).add(
+        "_corrupt_record", StringType()
+    )
     parsed = raw.withColumn(
         "_event",
         F.from_json(
@@ -79,6 +145,88 @@ def parse_envelope(
     if topic_col in raw.columns:
         cols.insert(0, route_topic(F.col(topic_col)).alias("table_name"))
     return parsed.select(*cols)
+
+
+# MongoDB change events carry the document as EXTENDED-JSON STRINGS
+# (`after`/`before` are strings, not structs — the document store has
+# no fixed row schema), plus the change-stream `updateDescription`
+# block (public Debezium MongoDB docs; capture.mode
+# change_streams_update_full populates `after` on updates).
+MONGO_ENVELOPE_SCHEMA = StructType(
+    [
+        StructField("before", StringType()),
+        StructField("after", StringType()),
+        StructField(
+            "updateDescription",
+            StructType(
+                [
+                    StructField("removedFields", ArrayType(StringType())),
+                    StructField("updatedFields", StringType()),
+                    StructField(
+                        "truncatedArrays",
+                        ArrayType(
+                            StructType(
+                                [
+                                    StructField("field", StringType()),
+                                    StructField("size", LongType()),
+                                ]
+                            )
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        StructField("source", MONGO_SOURCE_SCHEMA),
+        StructField("op", StringType()),
+        StructField("ts_ms", LongType()),
+    ]
+)
+
+
+def parse_mongo_envelope(
+    raw: DataFrame, value_col: str = "value", topic_col: str = "topic"
+) -> DataFrame:
+    """Deserialize MongoDB-connector change events. Same permissive
+    drift lane as parse_envelope; the document payload stays a JSON
+    string column for unwrap_mongo to shred."""
+    schema = MONGO_ENVELOPE_SCHEMA.add("_corrupt_record", StringType())
+    parsed = raw.withColumn(
+        "_event",
+        F.from_json(
+            F.col(value_col).cast("string"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    cols = [F.col(f"_event.{f.name}").alias(f.name) for f in schema.fields]
+    if topic_col in raw.columns:
+        cols.insert(0, route_topic(F.col(topic_col)).alias("table_name"))
+    return parsed.select(*cols)
+
+
+def unwrap_mongo(parsed: DataFrame, fields: dict[str, str]) -> DataFrame:
+    """ExtractNewDocumentState analog: shred the document JSON string
+    into typed top-level columns. `fields` maps field name -> Spark
+    type DDL (e.g. {"_id": "long", "email": "string"}). Deletes take
+    the `before` image (when the capture mode provides one) and carry
+    ``__deleted=true``; the oplog coordinate (ts_ms, source.ord) is
+    the per-key order, mirroring the lsn/binlog lanes. All JSON-path
+    extraction is JVM-side codegen — one narrow projection, zero
+    exchanges."""
+    doc = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    cols = [
+        F.get_json_object(doc, f"$.{name}").cast(ddl).alias(name)
+        for name, ddl in fields.items()
+    ]
+    if "table_name" in parsed.columns:
+        cols.insert(0, F.col("table_name"))
+    return parsed.select(
+        *cols,
+        "op",
+        "ts_ms",
+        F.col("source.ord").alias("ord"),
+        (F.col("op") == "d").alias("__deleted"),
+    )
 
 
 def kafka_cdc_stream(
