@@ -745,3 +745,39 @@ def stateful_latest_value(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def backup_state(paths: Sequence[str], backup_dir: str) -> None:
+    """DR backup analog of the reference's backup.sh (appendix at
+    setup-infrastructure.sh:386-441, which archives connector configs,
+    topic lists and k8s resources): snapshot the state dir(s) AND the
+    streaming checkpoint together, because restore-time consistency
+    needs the pair — state restored without its checkpoint would
+    double-apply the tail, a checkpoint without its state would skip
+    it. Heals any in-flight bucket swap first so the backup never
+    captures a mid-swap state."""
+    import os
+    import shutil
+
+    os.makedirs(backup_dir, exist_ok=True)
+    for p in paths:
+        if os.path.isdir(p):
+            recover_swap(p)
+        shutil.copytree(p, os.path.join(backup_dir, os.path.basename(p)))
+
+
+def restore_state(paths: Sequence[str], backup_dir: str) -> None:
+    """DR restore analog of the reference's scripts/rollback.sh: drop
+    whatever is left of the live dirs (corrupt or partial) and bring
+    back the backed-up pair. After restore, restarting the stream on
+    the restored checkpoint replays exactly the log tail the backup
+    had not yet seen — the sink's idempotence absorbs any overlap."""
+    import os
+    import shutil
+
+    for p in paths:
+        if os.path.exists(p):
+            shutil.rmtree(p)
+        src = os.path.join(backup_dir, os.path.basename(p))
+        if os.path.isdir(src):
+            shutil.copytree(src, p)
