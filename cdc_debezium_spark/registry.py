@@ -41,6 +41,8 @@ _PRIORITY = [
     # new r5 keys — never driver-sampled
     "cdc_mysql_envelope",
     "cdc_mongo_envelope",
+    "agg_theta_sketch_prod",
+    "agg_approx_quantile_prod",
     # last driver row: round 1 — flagship kernels first
     "cdc_latest_state",
     "cdc_unwrap",

@@ -614,3 +614,20 @@ def test_shuffle_hash_hint_is_honored(spark, sf_dir):
     plan = _physical(df)
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_prod_sketch_lanes_have_no_exact_companions(spark, sf_dir):
+    """The _prod sketch keys must be sketch-only plans: no Expand (the
+    countDistinct rewrite), no exact percentile, no sort anywhere —
+    the exact companions in the oracled originals are driver
+    scaffolding, and these are the plans production runs at 100 TB."""
+    theta = _physical(registry.QUERIES["agg_theta_sketch_prod"](spark, sf_dir))
+    assert "Expand" not in theta
+    assert "count(distinct" not in theta.lower()
+    assert "theta_sketch_agg" in theta
+
+    pq = _physical(registry.QUERIES["agg_approx_quantile_prod"](spark, sf_dir))
+    assert "Expand" not in pq
+    assert "Sort" not in pq  # no per-group sort: the GK summary only
+    assert "approx_percentile" in pq
+    assert " percentile(" not in pq  # exact percentile absent
