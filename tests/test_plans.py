@@ -631,3 +631,13 @@ def test_prod_sketch_lanes_have_no_exact_companions(spark, sf_dir):
     assert "Sort" not in pq  # no per-group sort: the GK summary only
     assert "approx_percentile" in pq
     assert " percentile(" not in pq  # exact percentile absent
+
+
+def test_sliding_window_has_no_corpus_expand(spark, sf_dir):
+    """agg_sliding_window must stay hop-bucketed: the native sliding
+    window() lowers to an Expand duplicating every corpus row
+    duration/slide times before the partial aggregate; the two-phase
+    rewrite aggregates per hop first, so no Expand appears anywhere
+    and the only Generate (the hop explode) runs on O(days) rows."""
+    plan = _physical(registry.QUERIES["agg_sliding_window"](spark, sf_dir))
+    assert "Expand" not in plan
