@@ -147,8 +147,9 @@ def agg_approx_quantile(spark, sf_dir):
     the oracle asserts TRUE per group.
 
     ORACLE SCAFFOLDING: the exact percentile(0.49/0.51) columns exist
-    only to power the driver check — production runs approx_percentile
-    alone (the exact lanes are the per-group sort the sketch avoids).
+    only to power the driver check — production runs
+    `agg_approx_quantile_prod` (one GK sketch per group, no exact
+    percentile, no per-group sort; plan-pinned).
     """
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -225,10 +226,10 @@ def agg_theta_sketch_distinct(spark, sf_dir):
     the exact counts.
 
     ORACLE SCAFFOLDING: every countDistinct in this query exists only
-    to power the driver's error-bound check. Production runs the
-    sketch columns alone — at 100 TB, keep theta_sketch_agg /
-    theta_union_agg and DROP the exact countDistinct companions (they
-    are the full shuffle the sketch exists to avoid)."""
+    to power the driver's error-bound check. Production runs
+    `agg_theta_sketch_prod` — the sketch-only plan with zero
+    countDistinct companions (plan-pinned: no Expand) — the exact
+    lanes here are the full shuffle the sketch exists to avoid."""
     ev = load_table(spark, sf_dir, "events")
     per = ev.groupBy("event_type").agg(
         F.expr("theta_sketch_estimate(theta_sketch_agg(user_id))").alias("est"),
