@@ -309,6 +309,7 @@ def assign_cells(
     centroid_stride: int = 100,
     nassign: int = 1,
     cents: DataFrame | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """IVF cell assignment with deterministic centroids.
 
@@ -322,10 +323,61 @@ def assign_cells(
     boundary still co-occur in some cell, at nassign× storage.
     ``cents`` overrides the placeholder centroids (e.g. with
     kmeans_centroids output).
+
+    ``vectorized=True`` (default) scores through an Arrow-batched
+    kernel instead of the packed-array expression: Catalyst's
+    higher-order functions (transform/aggregate folds) evaluate
+    INTERPRETED, and the r5 scale-decade rehearsal measured the n×k
+    fold at ~6µs per 64-dim dot — 23 of the ANN lane's 26 seconds at
+    sf1. The kernel is BIT-EXACT with the fold (and so with every
+    DuckDB oracle): it accumulates one dimension at a time across the
+    whole batch (``acc += a_d * c_d`` — the same left-to-right IEEE
+    sequence per pair, vectorized across pairs), reproduces
+    norm/cosine op-for-op, and picks nassign cells with a stable
+    argsort over cell-ascending centroids = the fold path's
+    array_sort((nc, cell)). Centroids collect to the driver (k rows,
+    the Lloyd-training bound) and ship in the closure. The expression
+    path stays available (``vectorized=False``) as the
+    reference/differential lane.
     """
     v = _with_unit(emb)
     if cents is None:
         cents = _strided_cents(v, centroid_stride)
+    if vectorized:
+        import numpy as np
+        import pandas as pd
+
+        crows = sorted(cents.collect(), key=lambda r: r["cell"])
+        if crows:
+            C = np.array([r["cv"] for r in crows], dtype=np.float64)
+            cn = np.array([r["cnorm"] for r in crows], dtype=np.float64)
+            cell_ids = np.array([r["cell"] for r in crows], dtype=np.int64)
+            na = min(nassign, len(crows))
+
+            def run(batches):
+                for pdf in batches:
+                    b = len(pdf)
+                    if b == 0:
+                        continue
+                    A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                    acc = np.zeros((b, C.shape[0]), dtype=np.float64)
+                    for d in range(C.shape[1]):
+                        acc = acc + A[:, d][:, None] * C[:, d][None, :]
+                    norms = pdf["norm"].to_numpy()
+                    nc = -(acc / (cn[None, :] * norms[:, None]))
+                    top = np.argsort(nc, axis=1, kind="stable")[:, :na]
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": np.repeat(pdf["vec_id"].to_numpy(), na),
+                            "v": [vv for vv in pdf["v"] for _ in range(na)],
+                            "norm": np.repeat(norms, na),
+                            "cell": cell_ids[top].reshape(-1),
+                        }
+                    )
+
+            return v.mapInPandas(
+                run, "vec_id long, v array<double>, norm double, cell long"
+            )
     # Pack the centroid set into ONE broadcast row; per-vector cell
     # choice is then a NARROW array_sort over (-cos, cell) structs —
     # the same (cos desc, cell asc) order the old per-vector window

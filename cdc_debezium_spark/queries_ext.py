@@ -2726,3 +2726,74 @@ def ext_pack_length_buckets(spark, sf_dir):
         .cast("long")
         .alias("pad_in_bucket"),
     )
+
+
+@query(
+    "ext_eval_overlap_report",
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    post AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+    ev AS (SELECT doc_id FROM documents
+           WHERE ({duck_word_hash('text')}) % 100 < 10),
+    tr_sh AS (
+      SELECT DISTINCT sg FROM post
+      WHERE doc_id NOT IN (SELECT doc_id FROM ev)
+    ),
+    es AS (
+      SELECT p.doc_id, (t.sg IS NOT NULL) AS hit
+      FROM post p JOIN ev USING (doc_id)
+      LEFT JOIN tr_sh t USING (sg)
+    )
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           floor(sum(CASE WHEN hit THEN 1 ELSE 0 END) * 10000.0
+                 / count(*) + 0.5) / 10000.0 AS overlap_ratio,
+           (sum(CASE WHEN hit THEN 1 ELSE 0 END) * 2 >= count(*))
+             AS contaminated
+    FROM es GROUP BY doc_id
+    """,
+)
+def ext_eval_overlap_report(spark, sf_dir):
+    """Eval-contamination OVERLAP REPORT — the published n-gram
+    overlap appendix every big pretraining run ships (GPT-3/PaLM
+    style): for each held-out eval document, what fraction of its
+    word n-grams appears anywhere in the training split. Complements
+    ext_decontaminate (which drops flagged TRAIN docs): this is the
+    measurement view over the EVAL side that decides whether an eval
+    score is trustworthy. Membership is the deterministic hash split
+    (ext_sample_hash's 10%), so train/eval is stable across engines
+    and corpus growth.
+
+    Shape at 100 TB: one token shuffle builds shingle rows
+    (doc_id-partitioned lead() windows); the train shingle set is a
+    shingle-keyed DISTINCT (linear shuffle); the hit test is a
+    shingle-keyed left join with NO broadcast assumption — the train
+    shingle table is corpus-scale, exactly like the bigram count
+    tables. Per-eval-doc rollup is one doc_id aggregate. Integer
+    counters; the only float is the final integer-ratio, identical
+    IEEE754 ops on both engines, 4dp floor.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ev_ids = sampling.hash_sample(docs, 10).select("doc_id")
+    sh = dedup._shingle_hash_rows(docs, n=3, distinct=True)
+    ev_sh = sh.join(ev_ids, "doc_id", "left_semi")
+    tr_sh = (
+        sh.join(ev_ids, "doc_id", "left_anti")
+        .select("shash")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    n_hit = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        ev_sh.join(tr_sh, "shash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            n_hit.alias("n_overlap"),
+            (
+                F.floor(n_hit * 10000.0 / F.count("*") + 0.5) / 10000.0
+            ).alias("overlap_ratio"),
+            (n_hit * 2 >= F.count("*")).alias("contaminated"),
+        )
+    )

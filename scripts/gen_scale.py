@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Generate a scale-decade fixture (sf1 = 10x sf0.1) for the scaling
+rehearsal (judge r4 item 1): /root/testdata is read-only and the
+driver only ships sf<=0.1, so the decade fixture is derived here, into
+the repo-local (gitignored) scale/ dir.
+
+Upsampling must preserve workload SELF-SIMILARITY, or the rehearsal
+measures data artifacts instead of plan scaling:
+
+- relational tables: 10 key-shifted copies (every foreign key shifted
+  by the same per-domain stride), so join fan-outs, group
+  cardinalities per key, and selectivities are exactly those of sf0.1
+  with 10x the keys. Tiny dims (region/nation) stay fixed — they are
+  broadcast dims at every scale.
+- documents: copy i prefixes every whitespace token with the copy tag
+  (`7the 7quick ...`). In-copy shingle/Jaccard structure is EXACTLY
+  preserved (a common per-token bijection), cross-copy shingle overlap
+  is zero — so near-dup pair counts scale ~10x, not the ~45x/doc an
+  exact duplication would inject. Vocabulary grows ~10x with the
+  corpus, which is the intended stress for the no-broadcast count
+  tables (SURVEY: "bigram vocab is corpus-scale at 100 TB").
+- embeddings: copy i cyclically rolls the 64 dims by 7*i. Cosine is
+  invariant under a common permutation (in-copy ANN structure exactly
+  preserved); a vector vs its rolled copy is decorrelated, so
+  cross-copy cosines sit near 0 and pair counts scale ~10x.
+
+Deterministic (pure arithmetic on the sf0.1 rows, no RNG).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _read(t):
+    return pq.read_table(f"{SRC}/{t}.parquet").to_pandas()
+
+
+def _stride(df, col):
+    return int(df[col].max()) + 1
+
+
+def generate(out_dir: str, copies: int = 10) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+
+    for t in ("region", "nation"):  # broadcast dims: fixed at every scale
+        pq.write_table(pa.Table.from_pandas(_read(t), preserve_index=False),
+                       f"{out_dir}/{t}.parquet")
+
+    cust = _read("customer")
+    supp = _read("supplier")
+    part = _read("part")
+    orders = _read("orders")
+    li = _read("lineitem")
+    ev = _read("events")
+    docs = _read("documents")
+    emb = _read("embeddings")
+
+    kc, ks, kp = _stride(cust, "c_custkey"), _stride(supp, "s_suppkey"), _stride(part, "p_partkey")
+    ko, ke, ku = _stride(orders, "o_orderkey"), _stride(ev, "event_id"), _stride(ev, "user_id")
+    kd, kv = _stride(docs, "doc_id"), _stride(emb, "vec_id")
+
+    plans = {
+        "customer": (cust, {"c_custkey": kc}),
+        "supplier": (supp, {"s_suppkey": ks}),
+        "part": (part, {"p_partkey": kp}),
+        "orders": (orders, {"o_orderkey": ko, "o_custkey": kc}),
+        "lineitem": (li, {"l_orderkey": ko, "l_partkey": kp, "l_suppkey": ks}),
+        "events": (ev, {"event_id": ke, "user_id": ku}),
+    }
+    for name, (df, shifts) in plans.items():
+        out = []
+        for i in range(copies):
+            c = df.copy()
+            for col, stride in shifts.items():
+                c[col] = c[col] + i * stride
+            out.append(c)
+        import pandas as pd
+
+        pq.write_table(
+            pa.Table.from_pandas(pd.concat(out, ignore_index=True), preserve_index=False),
+            f"{out_dir}/{name}.parquet",
+        )
+        print(f"{name}: {len(df)} -> {len(df) * copies}", file=sys.stderr)
+
+    import pandas as pd
+
+    doc_copies = []
+    for i in range(copies):
+        c = docs.copy()
+        c["doc_id"] = c["doc_id"] + i * kd
+        if i > 0:
+            tag = str(i)
+            c["text"] = c["text"].map(
+                lambda s: " ".join(tag + w for w in s.split(" "))
+            )
+        c["n_chars"] = c["text"].str.len().astype("int64")
+        doc_copies.append(c)
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(doc_copies, ignore_index=True), preserve_index=False),
+        f"{out_dir}/documents.parquet",
+    )
+    print(f"documents: {len(docs)} -> {len(docs) * copies}", file=sys.stderr)
+
+    mat = np.array(list(emb["embedding"]), dtype=np.float64)
+    emb_copies = []
+    for i in range(copies):
+        c = emb.copy()
+        c["vec_id"] = c["vec_id"] + i * kv
+        rolled = np.roll(mat, 7 * i, axis=1)
+        c["embedding"] = [row.tolist() for row in rolled]
+        emb_copies.append(c)
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(emb_copies, ignore_index=True), preserve_index=False),
+        f"{out_dir}/embeddings.parquet",
+    )
+    print(f"embeddings: {len(emb)} -> {len(emb) * copies}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "scale", "sf1")
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    generate(out, copies)
+    print(f"wrote {out}")
