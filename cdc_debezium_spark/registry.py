@@ -43,6 +43,7 @@ _PRIORITY = [
     "cdc_mongo_envelope",
     "agg_theta_sketch_prod",
     "agg_approx_quantile_prod",
+    "ext_eval_overlap_report",
     # last driver row: round 1 — flagship kernels first
     "cdc_latest_state",
     "cdc_unwrap",
