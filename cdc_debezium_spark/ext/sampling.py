@@ -238,3 +238,81 @@ def mixture_token_budget(
         F.floor(desired).cast("long").alias("desired_tokens"),
         r4(rate).alias("sample_rate"),
     )
+
+
+def dsir_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169 — public): score
+    every document by how much more likely its tokens are under a
+    TARGET distribution (here: the `target_lang` slice's unigram LM,
+    add-one smoothed) than under the RAW corpus distribution; keep
+    documents whose mean log ratio is non-negative. This is the
+    published importance-resampling recipe for steering a pretraining
+    mix toward a target domain using only n-gram statistics.
+
+      log_ratio(d) = (Σ_t tf·(log2(cnt_t(t)+1) − log2(cnt_raw(t)))) / |d|
+                     + log2(n_raw) − log2(n_target + V)
+
+    Shape at 100 TB: one (doc_id, token) tf shuffle; the raw and
+    target count tables both derive from that SAME tf frame and join
+    back by token with NO broadcast assumption (vocabulary is
+    corpus-scale); the two scalar totals broadcast as 1-row
+    aggregates. Per-doc scoring is a SORTED left-to-right fold over
+    the doc's distinct tokens — engine-exact floats, 4dp floor.
+    """
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(tokens_col(), lambda t: t != F.lit(""))).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("tf"),
+        F.max((F.col("lang") == target_lang).cast("int")).alias("is_t"),
+    )
+    raw = tf.groupBy("tok").agg(F.sum("tf").alias("cnt_raw"))
+    tgt = (
+        tf.where(F.col("is_t") == 1)
+        .groupBy("tok")
+        .agg(F.sum("tf").alias("cnt_t"))
+    )
+    counts = raw.join(tgt, "tok", "left").select(
+        "tok", "cnt_raw", F.coalesce("cnt_t", F.lit(0)).alias("cnt_t")
+    )
+    totals = counts.agg(
+        F.sum("cnt_raw").alias("n_raw"),
+        F.sum("cnt_t").alias("n_t"),
+        F.count("*").alias("vocab"),
+    )
+    per_doc = (
+        tf.join(counts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("tok", "tf", "cnt_t", "cnt_raw"))
+            ).alias("ts")
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    n_tok = F.aggregate("ts", F.lit(0).cast("long"), lambda a, s: a + s["tf"])
+    fold = F.aggregate(
+        "ts",
+        F.lit(0.0),
+        lambda a, s: a
+        + s["tf"].cast("double")
+        * (
+            F.log2(s["cnt_t"].cast("double") + 1.0)
+            - F.log2(s["cnt_raw"].cast("double"))
+        ),
+    )
+    ratio = (
+        fold / n_tok.cast("double")
+        + F.log2(F.col("n_raw").cast("double"))
+        - F.log2(F.col("n_t").cast("double") + F.col("vocab").cast("double"))
+    )
+    r = F.floor(ratio * 10000.0 + 0.5) / 10000.0
+    return per_doc.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        r.alias("log_ratio"),
+        (r >= 0.0).alias("keep"),
+    )

@@ -2797,3 +2797,68 @@ def ext_eval_overlap_report(spark, sf_dir):
             (n_hit * 2 >= F.count("*")).alias("contaminated"),
         )
     )
+
+
+@query(
+    "ext_sample_dsir",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(regexp_split_to_array(text, ' '),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf,
+             max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS is_t
+      FROM toks GROUP BY doc_id, tok
+    ),
+    raw AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt_raw FROM tf GROUP BY tok),
+    tgt AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt_t
+            FROM tf WHERE is_t = 1 GROUP BY tok),
+    counts AS (
+      SELECT r.tok, r.cnt_raw, COALESCE(t.cnt_t, 0) AS cnt_t
+      FROM raw r LEFT JOIN tgt t ON r.tok = t.tok
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt_raw) AS BIGINT) AS n_raw,
+             CAST(sum(cnt_t) AS BIGINT) AS n_t,
+             count(*) AS vocab
+      FROM counts
+    ),
+    per_doc AS (
+      SELECT f.doc_id,
+             list({'tok': f.tok, 'tf': f.tf, 'cnt_t': c.cnt_t,
+                   'cnt_raw': c.cnt_raw} ORDER BY f.tok) AS ts
+      FROM tf f JOIN counts c ON f.tok = c.tok GROUP BY f.doc_id
+    ),
+    folded AS (
+      SELECT doc_id,
+             CAST(list_reduce(list_transform(ts, s -> s.tf),
+                              (a, x) -> a + x) AS BIGINT) AS n_tokens,
+             list_reduce(list_transform(ts,
+                 s -> CAST(s.tf AS DOUBLE)
+                      * (log2(CAST(s.cnt_t AS DOUBLE) + 1.0)
+                         - log2(CAST(s.cnt_raw AS DOUBLE)))),
+                 (a, x) -> a + x) AS fold
+      FROM per_doc
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens,
+             floor((fold / CAST(n_tokens AS DOUBLE)
+                    + log2(CAST((SELECT n_raw FROM tot) AS DOUBLE))
+                    - log2(CAST((SELECT n_t FROM tot) AS DOUBLE)
+                           + CAST((SELECT vocab FROM tot) AS DOUBLE)))
+                   * 10000.0 + 0.5) / 10000.0 AS log_ratio
+      FROM folded
+    )
+    SELECT doc_id, n_tokens, log_ratio, (log_ratio >= 0.0) AS keep
+    FROM scored
+    """,
+)
+def ext_sample_dsir(spark, sf_dir):
+    """DSIR importance weights toward the English slice — the
+    published importance-resampling data-selection recipe (Xie et al.
+    2023) realized over the same tf frame the LM-score lanes share;
+    see sampling.dsir_weights for the 100 TB shape."""
+    return sampling.dsir_weights(load_table(spark, sf_dir, "documents"), "en")

@@ -44,6 +44,8 @@ _PRIORITY = [
     "agg_theta_sketch_prod",
     "agg_approx_quantile_prod",
     "ext_eval_overlap_report",
+    "ext_sample_dsir",
+    "agg_hll_partial_merge",
     # last driver row: round 1 — flagship kernels first
     "cdc_latest_state",
     "cdc_unwrap",
