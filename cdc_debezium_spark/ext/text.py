@@ -853,3 +853,83 @@ def collocations(docs: DataFrame, min_count: int = 5, top_k: int = 20) -> DataFr
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "bg", "c12", "pmi"
     )
+
+
+def kn_bigram_logprob(docs: DataFrame, discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score per document — the
+    standard smoothed n-gram LM (Kneser & Ney 1995; the KenLM
+    default) one step up from the unsmoothed bigram lane:
+
+      p(w2|w1) = (c(w1w2) − D)/ctx(w1)
+                 + (D·N1+(w1,·)/ctx(w1)) · (N1+(·,w2)/B)
+
+    with discount D, N1+(w1,·) = distinct continuations of w1,
+    N1+(·,w2) = distinct left-contexts of w2 (the continuation
+    probability — the part that makes KN rank "Francisco" low even
+    though "San Francisco" is frequent), and B = distinct bigram
+    types. Every in-corpus bigram has c ≥ 1 > D, so the discounted
+    term stays positive and the score is well-defined.
+
+    Shape at 100 TB: identical to bigram_logprob plus two more
+    aggregates DERIVED FROM THE COUNT TABLE (not the corpus): the
+    forward/backward type counts group the bigram-count rows by
+    head/tail token. Everything joins by bigram/token hash keys with
+    no broadcast assumption; B is a broadcast 1-row aggregate; the
+    per-doc fold is sorted and engine-exact, 4dp floor.
+    """
+    toks = F.filter(tokens_col(), lambda t: t != F.lit(""))
+    base = docs.select("doc_id", toks.alias("ts")).filter(F.size("ts") >= 2)
+    heads = F.slice("ts", 1, F.size("ts") - 1)
+    tails = F.slice("ts", 2, F.size("ts") - 1)
+    bgs = F.zip_with(heads, tails, lambda a, b: F.concat_ws(" ", a, b))
+    bg = base.select("doc_id", F.explode(bgs).alias("bg"))
+    tf = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("tf"))
+    cnt = tf.groupBy("bg").agg(F.sum("tf").alias("cnt"))
+    ctx = (
+        cnt.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("cnt").alias("ctx"), F.count("*").alias("n1f"))
+    )
+    bwd = (
+        cnt.withColumn("w2", F.substring_index("bg", " ", -1))
+        .groupBy("w2")
+        .agg(F.count("*").alias("n1b"))
+    )
+    btypes = cnt.agg(F.count("*").alias("b_types"))
+    per_doc = (
+        tf.join(cnt, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .withColumn("w2", F.substring_index("bg", " ", -1))
+        .join(ctx, "w1")
+        .join(bwd, "w2")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("bg", "tf", "cnt", "ctx", "n1f", "n1b")
+                )
+            ).alias("bs")
+        )
+        .crossJoin(F.broadcast(btypes))
+    )
+    d = F.lit(discount)
+    b_tot = F.col("b_types").cast("double")
+
+    def p_kn(s):
+        return (s["cnt"].cast("double") - d) / s["ctx"].cast("double") + (
+            (d * s["n1f"].cast("double")) / s["ctx"].cast("double")
+        ) * (s["n1b"].cast("double") / b_tot)
+
+    n_bg = F.aggregate("bs", F.lit(0).cast("long"), lambda a, s: a + s["tf"])
+    logsum = F.aggregate(
+        "bs",
+        F.lit(0.0),
+        lambda a, s: a + s["tf"].cast("double") * (-F.log2(p_kn(s))),
+    )
+    return per_doc.select(
+        "doc_id",
+        n_bg.alias("n_bigrams"),
+        (F.floor(logsum / n_bg.cast("double") * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+            "neg_log2p_kn"
+        ),
+    )

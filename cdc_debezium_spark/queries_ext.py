@@ -2862,3 +2862,69 @@ def ext_sample_dsir(spark, sf_dir):
     2023) realized over the same tf frame the LM-score lanes share;
     see sampling.dsir_weights for the 100 TB shape."""
     return sampling.dsir_weights(load_table(spark, sf_dir, "documents"), "en")
+
+
+@query(
+    "ext_text_kn_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, ' '), t -> t <> '') AS ts
+      FROM documents
+    ),
+    bgs AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ts) - 1),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      FROM toks WHERE len(ts) >= 2
+    ),
+    tf AS (SELECT doc_id, bg, count(*) AS tf FROM bgs GROUP BY doc_id, bg),
+    cnt AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY bg),
+    ctx AS (
+      SELECT split_part(bg, ' ', 1) AS w1,
+             CAST(sum(cnt) AS BIGINT) AS ctx,
+             CAST(count(*) AS BIGINT) AS n1f
+      FROM cnt GROUP BY w1
+    ),
+    bwd AS (
+      SELECT split_part(bg, ' ', -1) AS w2,
+             CAST(count(*) AS BIGINT) AS n1b
+      FROM cnt GROUP BY w2
+    ),
+    btypes AS (SELECT CAST(count(*) AS DOUBLE) AS b_tot FROM cnt),
+    per_doc AS (
+      SELECT t.doc_id,
+             list({'bg': t.bg, 'tf': t.tf, 'cnt': c.cnt, 'ctx': x.ctx,
+                   'n1f': x.n1f, 'n1b': w.n1b} ORDER BY t.bg) AS bs
+      FROM tf t
+      JOIN cnt c ON t.bg = c.bg
+      JOIN ctx x ON split_part(t.bg, ' ', 1) = x.w1
+      JOIN bwd w ON split_part(t.bg, ' ', -1) = w.w2
+      GROUP BY t.doc_id
+    ),
+    folded AS (
+      SELECT doc_id,
+             CAST(list_reduce(list_transform(bs, s -> s.tf),
+                              (a, x) -> a + x) AS BIGINT) AS n_bigrams,
+             list_reduce(list_transform(bs,
+                 s -> CAST(s.tf AS DOUBLE)
+                      * (-log2((CAST(s.cnt AS DOUBLE) - 0.75)
+                               / CAST(s.ctx AS DOUBLE)
+                               + ((0.75 * CAST(s.n1f AS DOUBLE))
+                                  / CAST(s.ctx AS DOUBLE))
+                                 * (CAST(s.n1b AS DOUBLE) / b_tot)))),
+                 (a, x) -> a + x) AS logsum
+      FROM per_doc CROSS JOIN btypes
+    )
+    SELECT doc_id, n_bigrams,
+           floor(logsum / CAST(n_bigrams AS DOUBLE) * 10000.0 + 0.5)
+             / 10000.0 AS neg_log2p_kn
+    FROM folded
+    """,
+)
+def ext_text_kn_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM score (D=0.75) — the smoothed
+    perplexity proxy; see text.kn_bigram_logprob for the 100 TB shape
+    (two extra type-count aggregates over the count table, no extra
+    corpus pass)."""
+    return text.kn_bigram_logprob(load_table(spark, sf_dir, "documents"))

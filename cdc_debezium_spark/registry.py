@@ -46,6 +46,7 @@ _PRIORITY = [
     "ext_eval_overlap_report",
     "ext_sample_dsir",
     "agg_hll_partial_merge",
+    "ext_text_kn_logprob",
     # last driver row: round 1 — flagship kernels first
     "cdc_latest_state",
     "cdc_unwrap",
