@@ -189,7 +189,11 @@ def parse_mongo_envelope(
     """Deserialize MongoDB-connector change events. Same permissive
     drift lane as parse_envelope; the document payload stays a JSON
     string column for unwrap_mongo to shred."""
-    schema = MONGO_ENVELOPE_SCHEMA.add("_corrupt_record", StringType())
+    # StructType.add mutates in place — build a fresh copy so repeated
+    # calls never stack _corrupt_record fields onto the module schema
+    schema = StructType(
+        MONGO_ENVELOPE_SCHEMA.fields + [StructField("_corrupt_record", StringType())]
+    )
     parsed = raw.withColumn(
         "_event",
         F.from_json(
