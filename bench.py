@@ -55,6 +55,10 @@ HEADLINE = [
     "ext_text_bigram_logprob",  # §2.G bigram-LM perplexity proxy (r4)
     "ext_retrieval_bm25",    # §2.G lexical retrieval scoring (r4)
     "ext_multimodal_real_header",  # §2.G real PNG/WAV header decode (r4)
+    "cdc_mysql_envelope",    # A2  full MySQL wire roundtrip (r5)
+    "agg_approx_quantile_prod",  # sketch-only quantile plan (r5)
+    "ext_text_kn_logprob",   # §2.G Kneser-Ney smoothed LM scoring (r5)
+    "ext_eval_overlap_report",  # §2.G train/eval n-gram overlap (r5)
     "tpch_q5",               # flagship 6-table snowflake join
     "tpch_q6",               # flagship scan-filter-agg (I/O-bound shape)
     "tpch_q18",              # flagship HAVING semi-join
