@@ -921,3 +921,66 @@ def embedding_near_dupes_blocked(
             )
 
     return grid.mapInPandas(scan, "vec_a long, vec_b long, cosine double")
+
+
+def pagerank(pairs: DataFrame, iters: int = 5) -> DataFrame:
+    """PageRank centrality over the (undirected) near-dup pair graph —
+    the iterative-dataflow workload class (power iteration), used here
+    as a canonical-selection signal: inside a dup cluster the most
+    central document is the best survivor (it shares material with the
+    most neighbors), a step up from keep-longest/keep-min-id.
+
+    Fixed `iters` power iterations with damping 0.85:
+      pr(v) ← 0.15/N + 0.85 · Σ_{u→v} pr(u)/deg(u)
+    Undirected edges mean every node has in-edges (no dangling mass).
+
+    Shape at 100 TB: each iteration is ONE node-keyed hash join
+    (edges ⋈ ranks, co-partitioned on the same key every round — AQE
+    reuses the layout) plus ONE node-keyed aggregate; per-node work is
+    bounded by degree, and dup-graph degrees are bounded upstream by
+    the max_df stop-shingle cap. The contribution sum is a SORTED
+    left-to-right fold over (neighbor, contribution) structs, so five
+    iterations of float accumulation stay bit-identical cross-engine —
+    the same determinism pattern as the LM lanes, which is what makes
+    an ITERATIVE float algorithm fully oracle-checkable.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    nn = deg.agg(F.count("*").cast("double").alias("n"))
+    r = (
+        deg.select(F.col("u").alias("node"))
+        .crossJoin(F.broadcast(nn))
+        .select("node", (F.lit(1.0) / F.col("n")).alias("pr"))
+    )
+    for _ in range(iters):
+        c = (
+            edges.join(r.withColumnRenamed("node", "u"), "u")
+            .join(deg, "u")
+            .select(
+                "v", "u", (F.col("pr") / F.col("deg").cast("double")).alias("c")
+            )
+        )
+        r = (
+            c.groupBy("v")
+            .agg(F.sort_array(F.collect_list(F.struct("u", "c"))).alias("cs"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("v").alias("node"),
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85)
+                    * F.aggregate("cs", F.lit(0.0), lambda a, s: a + s["c"])
+                ).alias("pr"),
+            )
+        )
+    return r.join(deg.withColumnRenamed("u", "node"), "node").select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").alias("degree"),
+        (F.floor(F.col("pr") * 10000000.0 + F.lit(0.5)) / 10000000.0).alias(
+            "pagerank"
+        ),
+    )

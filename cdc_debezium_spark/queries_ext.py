@@ -2928,3 +2928,109 @@ def ext_text_kn_logprob(spark, sf_dir):
     (two extra type-count aggregates over the count table, no extra
     corpus pass)."""
     return text.kn_bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ext_graph_pagerank",
+    oracle=f"""
+    WITH {TOK_CTE},
+    hwt AS (
+      SELECT doc_id, w,
+             list_transform(w, t -> {duck_word_hash('t')}) AS hwl
+      FROM tok
+    ),
+    shh AS (
+      SELECT doc_id, {duck_shingle_hashes('w')} AS s FROM hwt
+    ),
+    post AS (SELECT doc_id, unnest(s) AS h FROM shh),
+    sig AS (SELECT doc_id, {_duck_sig_cols()} FROM post GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id AND ({_duck_band_cond()})
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM cand
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM cand
+    ),
+    deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT u AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+    r1 AS (
+      SELECT e.v AS node,
+             0.15 / (SELECT n FROM nn)
+             + 0.85 * list_reduce(list_transform(
+                   list({{'u': e.u, 'c': r.pr / CAST(d.deg AS DOUBLE)}}
+                        ORDER BY e.u),
+                   s -> s.c), (a, x) -> a + x) AS pr
+      FROM edges e
+      JOIN r0 r ON r.node = e.u
+      JOIN deg d ON d.u = e.u
+      GROUP BY e.v
+    ),
+    r2 AS (
+      SELECT e.v AS node,
+             0.15 / (SELECT n FROM nn)
+             + 0.85 * list_reduce(list_transform(
+                   list({{'u': e.u, 'c': r.pr / CAST(d.deg AS DOUBLE)}}
+                        ORDER BY e.u),
+                   s -> s.c), (a, x) -> a + x) AS pr
+      FROM edges e
+      JOIN r1 r ON r.node = e.u
+      JOIN deg d ON d.u = e.u
+      GROUP BY e.v
+    ),
+    r3 AS (
+      SELECT e.v AS node,
+             0.15 / (SELECT n FROM nn)
+             + 0.85 * list_reduce(list_transform(
+                   list({{'u': e.u, 'c': r.pr / CAST(d.deg AS DOUBLE)}}
+                        ORDER BY e.u),
+                   s -> s.c), (a, x) -> a + x) AS pr
+      FROM edges e
+      JOIN r2 r ON r.node = e.u
+      JOIN deg d ON d.u = e.u
+      GROUP BY e.v
+    ),
+    r4 AS (
+      SELECT e.v AS node,
+             0.15 / (SELECT n FROM nn)
+             + 0.85 * list_reduce(list_transform(
+                   list({{'u': e.u, 'c': r.pr / CAST(d.deg AS DOUBLE)}}
+                        ORDER BY e.u),
+                   s -> s.c), (a, x) -> a + x) AS pr
+      FROM edges e
+      JOIN r3 r ON r.node = e.u
+      JOIN deg d ON d.u = e.u
+      GROUP BY e.v
+    ),
+    r5 AS (
+      SELECT e.v AS node,
+             0.15 / (SELECT n FROM nn)
+             + 0.85 * list_reduce(list_transform(
+                   list({{'u': e.u, 'c': r.pr / CAST(d.deg AS DOUBLE)}}
+                        ORDER BY e.u),
+                   s -> s.c), (a, x) -> a + x) AS pr
+      FROM edges e
+      JOIN r4 r ON r.node = e.u
+      JOIN deg d ON d.u = e.u
+      GROUP BY e.v
+    )
+    SELECT r5.node AS doc_id,
+           CAST(d.deg AS BIGINT) AS degree,
+           floor(r5.pr * 10000000.0 + 0.5) / 10000000.0 AS pagerank
+    FROM r5 JOIN deg d ON d.u = r5.node
+    """,
+)
+def ext_graph_pagerank(spark, sf_dir):
+    """PageRank centrality over the MinHash near-dup candidate graph
+    (5 power iterations, damping 0.85) — iterative dataflow made
+    fully oracle-checkable via per-node sorted contribution folds;
+    see dedup.pagerank for the per-iteration join/aggregate shape.
+    The oracle unrolls all five iterations over the emulated banding
+    candidate set, so the ENTIRE iterative pipeline is differentially
+    verified, not just the fixed point."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(dedup.minhash_signatures(docs))
+    return dedup.pagerank(pairs, iters=5)

@@ -47,6 +47,7 @@ _PRIORITY = [
     "ext_sample_dsir",
     "agg_hll_partial_merge",
     "ext_text_kn_logprob",
+    "ext_graph_pagerank",
     # last driver row: round 1 — flagship kernels first
     "cdc_latest_state",
     "cdc_unwrap",
