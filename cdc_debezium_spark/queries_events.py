@@ -1141,3 +1141,75 @@ def agg_hll_partial_merge(spark, sf_dir):
         F.countDistinct("d").alias("n_days"),
     ).select(F.lit("__all__").alias("event_type"), "distinct_users", "n_days")
     return per.unionByName(allrow)
+
+
+WINDOW_7D_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (SELECT user_id, min(us) AS t FROM ev
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.us) AS t
+           FROM ev e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click'
+             AND e.us > s1.t AND e.us <= s1.t + {7*24*3600*1_000_000}
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.us) AS t
+           FROM ev e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase'
+             AND e.us > s2.t AND e.us <= s2.t + {7*24*3600*1_000_000}
+           GROUP BY e.user_id)
+    SELECT 1 AS step, 'signup' AS stage, count(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2 AS step, 'click_7d' AS stage, count(*) AS n_users FROM s2
+    UNION ALL
+    SELECT 3 AS step, 'purchase_7d' AS stage, count(*) AS n_users FROM s3
+    """,
+)
+def events_funnel_windowed(spark, sf_dir):
+    """Conversion funnel WITH per-step deadlines — the product-
+    analytics variant the plain ordered funnel can't answer: a user
+    converts at step k only if the step-k event lands within 7 days of
+    their step-(k-1) completion (signup → click ≤7d → purchase ≤7d).
+    Deadlines change the semantics materially: late conversions that
+    the ordered funnel counts are excluded here, which is what a
+    retention/activation report needs.
+
+    Shape: identical to events_funnel — a chain of conditional-min
+    aggregates, each hop a user_id-co-partitioned join against the
+    previous stage's (user, t) frame with the deadline folded into the
+    join predicate; never a self-join of the full log. All comparisons
+    integer µs — engine-exact; three 1-row aggregates union at the end.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts_us").alias("us")
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t"))
+    )
+    stages = [("signup", s1)]
+    for step_name, etype in (("click_7d", "click"), ("purchase_7d", "purchase")):
+        prev = stages[-1][1].select("user_id", F.col("t").alias("pt"))
+        nxt = (
+            ev.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(
+                (F.col("us") > F.col("pt"))
+                & (F.col("us") <= F.col("pt") + F.lit(WINDOW_7D_US))
+            )
+            .groupBy("user_id")
+            .agg(F.min("us").alias("t"))
+        )
+        stages.append((step_name, nxt))
+    out = None
+    for i, (name, s) in enumerate(stages, start=1):
+        row = s.agg(F.count("*").alias("n_users")).select(
+            F.lit(i).alias("step"), F.lit(name).alias("stage"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

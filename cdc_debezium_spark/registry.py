@@ -48,6 +48,7 @@ _PRIORITY = [
     "agg_hll_partial_merge",
     "ext_text_kn_logprob",
     "ext_graph_pagerank",
+    "events_funnel_windowed",
     # last driver row: round 1 — flagship kernels first
     "cdc_latest_state",
     "cdc_unwrap",

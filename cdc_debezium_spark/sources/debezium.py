@@ -327,3 +327,82 @@ def parse_schema_change(raw: DataFrame, value_col: str = "value") -> DataFrame:
             F.col(value_col).cast("string"), SCHEMA_CHANGE_SCHEMA
         ).alias("_e")
     ).select("_e.*")
+
+
+# Schema evolution (A7 consumer side) ---------------------------------------
+
+_DDL_TYPES = {
+    "varchar": StringType(),
+    "text": StringType(),
+    "char": StringType(),
+    "bigint": LongType(),
+    "int": LongType(),
+    "integer": LongType(),
+    "smallint": LongType(),
+}
+
+
+def apply_ddl(schema: StructType, ddl: str) -> StructType:
+    """Evolve a table StructType from a schema-change-topic DDL string
+    — the consumer half of include.schema.changes: the reference emits
+    DDL events instead of breaking the stream (postgresql-connector
+    .yaml:44-46), and the downstream engine must fold them into its
+    schema catalog so the permissive from_json lane starts typing the
+    new shape instead of routing rows to the drift lane.
+
+    Supported (the forms Debezium's relational connectors emit for the
+    common migrations): ADD COLUMN, DROP COLUMN, RENAME COLUMN x TO y,
+    ALTER/MODIFY COLUMN type change. Unknown SQL types land as
+    StringType (the safe wire type — decimal.handling.mode=string is
+    precedent); unrecognized DDL returns the schema unchanged (a drift
+    row, not a crash). Everything here is driver-side metadata — no
+    data movement; the NEXT batch/restart parses with the new schema
+    (batch = rescan, streaming = restart — SURVEY §7.3.3 documents
+    this as explicit, not hidden).
+    """
+    import re
+
+    def parse_type(t: str):
+        base = re.match(r"[a-z]+", t.strip().lower())
+        return _DDL_TYPES.get(base.group(0) if base else "", StringType())
+
+    fields = list(schema.fields)
+    m = re.search(
+        r"add\s+column\s+(?:if\s+not\s+exists\s+)?\"?(\w+)\"?\s+([\w()]+)",
+        ddl,
+        re.I,
+    )
+    if m:
+        name, typ = m.group(1), parse_type(m.group(2))
+        if all(f.name != name for f in fields):
+            fields.append(StructField(name, typ))
+        return StructType(fields)
+    m = re.search(r"drop\s+column\s+(?:if\s+exists\s+)?\"?(\w+)\"?", ddl, re.I)
+    if m:
+        return StructType([f for f in fields if f.name != m.group(1)])
+    m = re.search(r"rename\s+column\s+\"?(\w+)\"?\s+to\s+\"?(\w+)\"?", ddl, re.I)
+    if m:
+        return StructType(
+            [
+                StructField(m.group(2), f.dataType, f.nullable)
+                if f.name == m.group(1)
+                else f
+                for f in fields
+            ]
+        )
+    m = re.search(
+        r"(?:alter|modify)\s+column\s+\"?(\w+)\"?\s+(?:set\s+data\s+)?"
+        r"(?:type\s+)?([\w()]+)",
+        ddl,
+        re.I,
+    )
+    if m:
+        return StructType(
+            [
+                StructField(f.name, parse_type(m.group(2)), f.nullable)
+                if f.name == m.group(1)
+                else f
+                for f in fields
+            ]
+        )
+    return StructType(fields)  # unrecognized DDL: no-op, stay permissive

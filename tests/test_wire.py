@@ -940,3 +940,46 @@ def test_kafka_cdc_stream_against_real_broker(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "out"))
     assert got.count() >= 100
     assert got.where(F.col("_corrupt_record").isNotNull()).count() == 0
+
+
+def test_schema_evolution_apply_ddl_then_reparse(spark):
+    """A7 consumer loop closed end-to-end: a DDL message from the
+    schema-change topic evolves the catalog StructType, and the SAME
+    wire bytes that previously routed the new field nowhere now parse
+    it typed — add, rename, type-change, drop, and the unknown-DDL
+    no-op lane."""
+    from cdc_debezium_spark.sources.debezium import (
+        apply_ddl,
+        parse_schema_change,
+    )
+
+    # the docs-shaped DDL message carries the ALTER string
+    raw = _wire_df(spark, [("PostgreSQL_server", json.dumps(DOCS_DDL))])
+    ddl = parse_schema_change(raw).collect()[0]["ddl"]
+    assert "ADD COLUMN middle_name" in ddl
+
+    evolved = apply_ddl(CUSTOMERS_SCHEMA, ddl)
+    assert evolved.fieldNames()[-1] == "middle_name"
+    assert isinstance(evolved["middle_name"].dataType, StringType)
+
+    # wire bytes carrying the new field: OLD schema ignores it, the
+    # EVOLVED schema types it — same bytes, no drift row either way
+    payload = dict(DOCS_READ)
+    payload["after"] = {**DOCS_READ["after"], "middle_name": "Q"}
+    rows = [(TOPIC, json.dumps(payload))]
+    old = parse_envelope(_wire_df(spark, rows), CUSTOMERS_SCHEMA).collect()[0]
+    assert old["_corrupt_record"] is None and "middle_name" not in old["after"]
+    new = parse_envelope(_wire_df(spark, rows), evolved).collect()[0]
+    assert new["after"]["middle_name"] == "Q"
+
+    # the other migration verbs
+    s = apply_ddl(evolved, "ALTER TABLE customers RENAME COLUMN middle_name TO mn")
+    assert "mn" in s.fieldNames() and "middle_name" not in s.fieldNames()
+    s = apply_ddl(s, "ALTER TABLE customers ALTER COLUMN mn TYPE bigint")
+    from pyspark.sql.types import LongType as _LT
+
+    assert isinstance(s["mn"].dataType, _LT)
+    s = apply_ddl(s, "ALTER TABLE customers DROP COLUMN mn")
+    assert "mn" not in s.fieldNames()
+    # unrecognized DDL is a no-op, not an exception
+    assert apply_ddl(s, "CREATE INDEX foo ON customers (id)").fieldNames() == s.fieldNames()
