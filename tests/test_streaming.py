@@ -1125,3 +1125,75 @@ def test_streaming_embedding_ann_matches_batch(spark, sf_dir, tmp_path):
     }
     assert len(got) == len(set(got))  # exactly-once pair emission
     assert set(got) == want and want  # non-degenerate parity
+
+
+def test_txtable_acid_time_travel_and_conflicts(spark, sf_dir, tmp_path):
+    """The native transaction-log table format (Delta/Iceberg seam
+    realized): atomic versioned commits over immutable parquet,
+    snapshot isolation (an open snapshot survives a later overwrite),
+    time travel, optimistic-concurrency conflicts, transactional CDC
+    upsert parity with the batch kernel, and vacuum of crash orphans
+    plus dropped-version files."""
+    import os
+
+    from cdc_debezium_spark.streaming.txlog import CommitConflict, TxTable
+
+    t = TxTable(spark, str(tmp_path / "tx"))
+
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "pk long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "pk long, v string")
+    assert t.append(df1) == 0
+    assert t.append(df2) == 1
+    assert {(r.pk, r.v) for r in t.snapshot().collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+
+    # snapshot isolation: grab v1, overwrite to v2 — the old snapshot
+    # still reads the old rows (immutable files, atomic log entry)
+    snap1 = t.snapshot(1)
+    assert t.overwrite(
+        spark.createDataFrame([(9, "z")], "pk long, v string"), read_version=1
+    ) == 2
+    assert {(r.pk, r.v) for r in t.snapshot().collect()} == {(9, "z")}
+    assert {(r.pk, r.v) for r in snap1.collect()} == {(1, "a"), (2, "b"), (3, "c")}
+    # time travel re-resolves any retained version
+    assert {(r.pk, r.v) for r in t.snapshot(0).collect()} == {(1, "a"), (2, "b")}
+
+    # optimistic concurrency: a transaction that read v1 cannot
+    # overwrite a table now at v2
+    import pytest as _pt
+
+    with _pt.raises(CommitConflict):
+        t.overwrite(df1, read_version=1)
+    # blind appends rebase instead of conflicting
+    assert t.append(df2) == 3
+
+    # crash orphan: staged files with no commit are invisible to reads
+    # and removed by vacuum together with dropped-version files
+    orphans = t._stage(df1)
+    n_before = {(r.pk, r.v) for r in t.snapshot().collect()}
+    assert n_before == {(9, "z"), (3, "c")}
+    deleted = t.vacuum(retain_versions=1)
+    assert set(orphans) <= set(deleted)
+    assert {(r.pk, r.v) for r in t.snapshot().collect()} == n_before
+    with _pt.raises(Exception):  # vacuumed versions are gone
+        t.snapshot(0).collect()
+
+    # transactional CDC upsert == the batch latest-state kernel
+    t2 = TxTable(spark, str(tmp_path / "tx2"))
+    ce = cdc.cdc_events(spark, sf_dir).select("pk", "ord2", "ts_us", "op", "val")
+    # chunks must respect log order (the per-key ordering contract a
+    # keyed topic gives every consumer): an out-of-order apply with
+    # dropped tombstones would resurrect deleted keys
+    hi = ce.agg(F.max("ord2")).first()[0] + 1
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    chunks = [
+        ce.where((F.col("ord2") >= cuts[i]) & (F.col("ord2") < cuts[i + 1]))
+        for i in range(3)
+    ]
+    for ch in chunks:
+        t2.upsert(ch, keys=["pk"], order=["ts_us", "ord2"])
+    got = _rows(t2.snapshot(), ["pk", "ts_us", "val"])
+    want = _rows(cdc.latest_state(ce), ["pk", "ts_us", "val"])
+    assert got == want
+    assert len(t2.history()) == 3  # one ACID commit per chunk
