@@ -227,3 +227,41 @@ class TxTable:
             with open(self._entry_path(v)) as f:
                 out.append(json.load(f))
         return out
+
+
+class TxUpsertSink:
+    """foreachBatch target maintaining latest-state in a TxTable —
+    the E7 stateful-upsert contract (ParquetUpsertSink) with an ACID
+    backend: each micro-batch is ONE atomic commit, concurrent readers
+    see a consistent version, and redelivered batches are absorbed
+    because the latest-state fold is idempotent (E10). The streaming
+    analog of a Delta `foreachBatch MERGE` sink, with no dependency.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        keys: Sequence[str] = ("pk",),
+        order: Sequence[str] = ("ts_us", "ord2"),
+        op_col: str = "op",
+        drop_deleted: bool = True,
+    ) -> None:
+        self.path = path
+        self.keys = list(keys)
+        self.order = list(order)
+        self.op_col = op_col
+        self.drop_deleted = drop_deleted
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        TxTable(batch.sparkSession, self.path).upsert(
+            batch,
+            keys=self.keys,
+            order=self.order,
+            op_col=self.op_col,
+            drop_deleted=self.drop_deleted,
+        )
+
+    def read_live(self, spark: SparkSession) -> DataFrame:
+        return TxTable(spark, self.path).snapshot()

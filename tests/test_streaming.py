@@ -1197,3 +1197,40 @@ def test_txtable_acid_time_travel_and_conflicts(spark, sf_dir, tmp_path):
     want = _rows(cdc.latest_state(ce), ["pk", "ts_us", "val"])
     assert got == want
     assert len(t2.history()) == 3  # one ACID commit per chunk
+
+
+def test_tx_upsert_sink_stream_parity_and_versions(spark, sf_dir, tmp_path):
+    """E7 over the ACID table: chunked replay through TxUpsertSink
+    lands exactly the batch latest-state, one atomic commit per
+    non-empty micro-batch, and a full redelivery of the stream leaves
+    the state unchanged (idempotent fold = E10)."""
+    from cdc_debezium_spark.streaming.txlog import TxTable, TxUpsertSink
+
+    chunk_dir = str(tmp_path / "chunks_tx")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+
+    stream = cdc.to_cdc(read_event_stream(spark, chunk_dir))
+    sink = TxUpsertSink(str(tmp_path / "txstate"))
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp_tx"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = _rows(cdc.latest_state(cdc.cdc_events(spark, sf_dir)), ["pk", "ts_us", "val"])
+    assert _rows(sink.read_live(spark), ["pk", "ts_us", "val"]) == want
+    t = TxTable(spark, str(tmp_path / "txstate"))
+    assert len(t.history()) >= 1  # one commit per processed batch
+
+    # redeliver the whole stream on a FRESH checkpoint: every batch
+    # re-applies, state must not change
+    q2 = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp_tx2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert _rows(sink.read_live(spark), ["pk", "ts_us", "val"]) == want
