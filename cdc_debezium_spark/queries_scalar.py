@@ -352,3 +352,85 @@ def scalar_bitwise(spark, sf_dir):
         F.expr("shiftright(event_id, 3)").alias("shr"),
         F.expr("bit_count(event_id)").alias("popcnt"),
     )
+
+
+@query(
+    "scalar_url",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/corpus/' || lang AS path,
+           'doc=' || CAST(doc_id AS VARCHAR) || '&lang=' || lang AS query,
+           CAST(doc_id AS VARCHAR) AS doc_param,
+           'https' AS protocol
+    FROM documents
+    """,
+)
+def scalar_url(spark, sf_dir):
+    """URL scalar family — parse_url over constructed document URLs
+    (the provenance-URL handling every web-corpus pipeline needs:
+    host for source-level quality priors, path/query for routing and
+    dedup keys). The URL is BUILT from row data then PARSED back with
+    Spark's parse_url (HOST/PATH/QUERY/param/PROTOCOL); the oracle
+    computes the expected parts relationally, so a hash match proves
+    the whole construct→parse chain. Narrow codegen pass — JVM
+    builtins, zero exchanges.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/corpus/"),
+        F.col("lang"),
+        F.lit("?doc="),
+        F.col("doc_id").cast("string"),
+        F.lit("&lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("doc")).alias("doc_param"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+    )
+
+
+@query(
+    "scalar_interval",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS od
+               FROM orders)
+    -- day arithmetic uses DATE + int, not INTERVAL n DAY: DuckDB 1.0
+    -- miscomputes INTERVAL-day addition on the parquet-scan timestamp
+    -- (returns the +3-month value); date+int is correct and matches
+    -- Spark's date_add exactly
+    SELECT o_orderkey,
+           CAST(CAST(od + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS due,
+           CAST(CAST(last_day(od) AS DATE) AS VARCHAR) AS month_end,
+           CAST(quarter(od) AS INTEGER) AS qtr,
+           CAST(week(od) AS INTEGER) AS iso_week,
+           CAST(dayofweek(od) + 1 AS INTEGER) AS dow,
+           CAST(CAST(od AS DATE) + 90 AS VARCHAR) AS plus_90d
+    FROM o
+    """,
+)
+def scalar_interval(spark, sf_dir):
+    """Calendar/interval scalar family — month-end billing dates,
+    quarter/ISO-week rollup keys, weekday buckets, and day/month
+    interval arithmetic (the DW date dimension computed on the fly).
+    Engine-exact: calendar arithmetic is integer; Spark dayofweek is
+    1=Sunday, DuckDB 0=Sunday — the oracle aligns (+1). Narrow
+    codegen pass, zero exchanges."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).cast("string").alias("due"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.quarter(d).alias("qtr"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofweek(d).alias("dow"),
+        F.date_add(d, 90).cast("string").alias("plus_90d"),
+    )

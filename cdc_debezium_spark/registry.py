@@ -49,6 +49,8 @@ _PRIORITY = [
     "ext_text_kn_logprob",
     "ext_graph_pagerank",
     "events_funnel_windowed",
+    "scalar_url",
+    "scalar_interval",
     # last driver row: round 1 — flagship kernels first
     "cdc_latest_state",
     "cdc_unwrap",
