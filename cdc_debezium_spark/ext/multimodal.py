@@ -699,3 +699,59 @@ def video_frame_stats(docs: DataFrame, stride: int = 2) -> DataFrame:
             )
 
     return m.mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("b0", LongType()),
+        StructField("b1", LongType()),
+        StructField("b2", LongType()),
+        StructField("b3", LongType()),
+    ]
+)
+
+
+def dhash_signatures(docs: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded pixels —
+    image near-dup detection, the visual analog of SimHash: inflate +
+    unfilter the PNG, nearest-resize to 9×8, integer grayscale, and
+    set bit (y*8+x) when the right neighbor is brighter. Emitted as
+    four 16-bit bands, which are simultaneously the signature AND the
+    Hamming-blocking keys: images within Hamming distance 3 share at
+    least one intact band (pigeonhole — the simhash lane's lossless
+    blocking argument, reused for pixels), so the candidate join is
+    band-keyed, never all-pairs.
+
+    Every arithmetic step (floor resize mapping, integer gray, the
+    comparison) is integer-exact over the generator's closed-form
+    pixels, so the full decode→resize→hash pipeline carries a value
+    oracle. Arrow-batched mapInPandas; scan prunes to doc_id.
+    """
+    m = real_media_table(docs).where(F.col("doc_id") % 3 == 0)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_png_pixels(bytes(p))
+                small = resize_nearest(w, h, px, 9, 8)
+                gray = [
+                    (small[3 * j] + small[3 * j + 1] + small[3 * j + 2]) // 3
+                    for j in range(72)
+                ]
+                bands = [0, 0, 0, 0]
+                for y in range(8):
+                    for x in range(8):
+                        if gray[y * 9 + x + 1] > gray[y * 9 + x]:
+                            i = y * 8 + x
+                            bands[i // 16] |= 1 << (i % 16)
+                rows.append((int(d), w, h, *bands))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "b0", "b1", "b2", "b3"],
+            )
+
+    return m.mapInPandas(run, DHASH_SCHEMA)

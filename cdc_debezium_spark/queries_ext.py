@@ -3034,3 +3034,48 @@ def ext_graph_pagerank(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_candidate_pairs(dedup.minhash_signatures(docs))
     return dedup.pagerank(pairs, iters=5)
+
+
+@query(
+    "ext_multimodal_dhash",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, 2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    g AS (
+      SELECT doc_id, w, h, x, y,
+             (((doc_id + ((x * w) // 9) * 3 + 0 + ((y * h) // 8) * 7) % 256)
+              + ((doc_id + ((x * w) // 9) * 3 + 1 + ((y * h) // 8) * 7) % 256)
+              + ((doc_id + ((x * w) // 9) * 3 + 2 + ((y * h) // 8) * 7) % 256))
+             // 3 AS gray
+      FROM img, range(9) xs(x), range(8) ys(y)
+    ),
+    bits AS (
+      SELECT a.doc_id, a.y * 8 + a.x AS i,
+             CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+      FROM g a
+      JOIN g b ON a.doc_id = b.doc_id AND b.y = a.y AND b.x = a.x + 1
+      WHERE a.x < 8
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN i // 16 = 0 THEN bit * (1 << (i % 16)) ELSE 0 END) AS BIGINT) AS b0,
+             CAST(sum(CASE WHEN i // 16 = 1 THEN bit * (1 << (i % 16)) ELSE 0 END) AS BIGINT) AS b1,
+             CAST(sum(CASE WHEN i // 16 = 2 THEN bit * (1 << (i % 16)) ELSE 0 END) AS BIGINT) AS b2,
+             CAST(sum(CASE WHEN i // 16 = 3 THEN bit * (1 << (i % 16)) ELSE 0 END) AS BIGINT) AS b3
+      FROM bits GROUP BY doc_id
+    )
+    SELECT s.doc_id, CAST(i.w AS BIGINT) AS width, CAST(i.h AS BIGINT) AS height,
+           s.b0, s.b1, s.b2, s.b3
+    FROM sig s JOIN img i ON i.doc_id = s.doc_id
+    """,
+)
+def ext_multimodal_dhash(spark, sf_dir):
+    """Perceptual dHash signatures over real decoded PNG pixels — the
+    image-dedup signature with band-keyed Hamming blocking; see
+    multimodal.dhash_signatures. The oracle recomputes the entire
+    decode→resize→grayscale→hash pipeline from the generator's
+    closed-form pixels, so any byte-level decode, resample-index,
+    grayscale, or bit-packing bug breaks the match."""
+    return multimodal.dhash_signatures(load_table(spark, sf_dir, "documents"))

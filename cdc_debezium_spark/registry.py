@@ -51,6 +51,7 @@ _PRIORITY = [
     "events_funnel_windowed",
     "scalar_url",
     "scalar_interval",
+    "ext_multimodal_dhash",
     # last driver row: round 1 — flagship kernels first
     "cdc_latest_state",
     "cdc_unwrap",
