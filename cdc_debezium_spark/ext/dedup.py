@@ -57,49 +57,127 @@ def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     return docs.select("doc_id", shingles_col(n=n).alias("sh"))
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, n: int = 3, max_df: int = 1000
+def _capped_pair_counts(
+    docs: DataFrame, n: int, max_df: int, threshold: float, kind: str
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via a CAPPED inverted-index
-    join (two-phase, like minhash: cheap candidates, exact verify).
+    """(doc_a, doc_b, ni, na, nb) — EXACT counts for every df-capped
+    candidate pair that can possibly reach `threshold`; the shared
+    core of the n-gram Jaccard and containment detectors.
 
     Candidate generation explodes shingles and self-joins on the
     shingle — but only shingles whose document frequency is <= `max_df`
     participate. Without the cap one stop-phrase shingle shared by 1%
     of a 100 TB corpus makes the self-join quadratic in that 1% (judge
     r1 "What's wrong" #3); with it, per-shingle join work is bounded by
-    max_df². Verification then computes EXACT Jaccard over each
-    candidate pair's FULL shingle sets (`array_intersect`), so emitted
-    values are exact; the cap only affects recall, and only for pairs
-    whose every shared shingle is ultra-common — vacuously rare in the
+    max_df². The cap only affects recall, and only for pairs whose
+    every shared shingle is ultra-common — vacuously rare in the
     >= threshold regime (a qualifying pair shares at least
     threshold/(1+threshold) of its shingles).
+
+    The sf1 rehearsal exposed the verify as the real decade cost: the
+    candidate set is ~1M pairs per 60k docs while survivors are a few
+    hundred, so joining every candidate to full shingle payloads (the
+    r1–r4 array join, or a naive row expansion) does ~4000× the needed
+    work. This version never materializes the candidate list at all:
+
+    1. the self-join aggregates straight to per-pair ni_rare =
+       |A∩B restricted to sub-cap shingles| (groupBy replaces the old
+       DISTINCT — same shuffle, but the output is one counted row per
+       pair and no second pass over the pair list);
+    2. since every shingle of a pair is either sub-cap (counted in
+       ni_rare) or capped on both sides, ni <= ni_rare +
+       min(capped_a, capped_b). Both similarity measures are monotone
+       increasing in ni at fixed (na, nb), so this upper bound gives
+       an upper bound on the score; pairs whose BOUND is below the
+       threshold are provably below it and are pruned with no exact
+       work. Near-dup thresholds prune ~99.9% of candidates here.
+    3. survivors (a few hundred) verify EXACTLY on (doc_id, shingle)
+       ROWS semi-joined down to survivor docs — a join whose every
+       input is survivor-sized. Emitted ni/na/nb are exactly the
+       full-set values the DuckDB oracle computes over list_distinct
+       shingle arrays, so pruning is invisible in the output.
+
+    kind: 'jaccard' bounds ni/(na+nb-ni); 'containment' bounds
+    ni/min(na, nb). Callers still apply the exact-threshold filter to
+    the exact counts.
     """
-    sets = _shingle_sets(docs, n).cache()
-    posting = sets.select("doc_id", F.explode("sh").alias("s"))
-    rare = (
-        posting.groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= max_df)
-        .select("s")
-    )
-    capped = posting.join(rare, "s")
-    cands = (
+    rows = docs.select(
+        "doc_id", F.explode(shingles_col(n=n)).alias("s")
+    ).persist()
+    df_tab = rows.groupBy("s").agg(F.count("*").alias("df"))
+    capped = rows.join(df_tab.where(F.col("df") <= max_df).select("s"), "s")
+    ni_rare = (
         capped.alias("a")
         .join(capped.alias("b"), "s")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("ni_rare"))
+    )
+    sizes = rows.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    over_cap = (
+        rows.join(df_tab.where(F.col("df") > max_df).select("s"), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("cc"))
+    )
+    stats = sizes.join(over_cap, "doc_id", "left").select(
+        "doc_id", "nsh", F.coalesce("cc", F.lit(0)).alias("cc")
+    )
+    bounded = ni_rare.join(
+        stats.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("nsh").alias("na"),
+            F.col("cc").alias("ca"),
+        ),
+        "doc_a",
+    ).join(
+        stats.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("nsh").alias("nb"),
+            F.col("cc").alias("cb"),
+        ),
+        "doc_b",
+    )
+    ub = F.col("ni_rare") + F.least("ca", "cb")
+    if kind == "jaccard":
+        bound = ub / (F.col("na") + F.col("nb") - ub)
+    elif kind == "containment":
+        bound = ub / F.least("na", "nb")
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown kind: {kind}")
+    surv = bounded.where(bound >= threshold).persist()
+    surv_docs = (
+        surv.select(F.col("doc_a").alias("doc_id"))
+        .union(surv.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
-    n_int = F.size(F.array_intersect("sha", "shb"))
+    vrows = rows.join(surv_docs, "doc_id", "left_semi")
+    a_rows = vrows.select(F.col("doc_id").alias("doc_a"), "s")
+    b_rows = vrows.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        surv.select("doc_a", "doc_b")
+        .join(a_rows, "doc_a")
+        .join(b_rows, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    return inter.join(surv.select("doc_a", "doc_b", "na", "nb"), ["doc_a", "doc_b"])
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3, max_df: int = 1000
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a CAPPED inverted-index
+    join (two-phase, like minhash: cheap candidates, bound-pruned
+    exact verify — see _capped_pair_counts for the cap and scale
+    story).
+    """
+    counts = _capped_pair_counts(docs, n, max_df, threshold, "jaccard")
+    jac = F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))
     return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn("jaccard", n_int / (F.size("sha") + F.size("shb") - n_int))
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", round4(F.col("jaccard")).alias("jaccard"))
+        counts.where(jac >= threshold)
+        .select("doc_a", "doc_b", round4(jac).alias("jaccard"))
     )
 
 
@@ -114,39 +192,18 @@ def containment_pairs(
     structure).
 
     Same two-phase shape as ngram_jaccard_pairs: df-capped inverted-
-    index candidates, exact verify over the full shingle sets. Values
-    are integer-ratio doubles — engine-exact at 4dp.
+    index candidates, exact row-shaped verify (_capped_pair_counts).
+    Values are integer-ratio doubles — engine-exact at 4dp.
     """
-    sets = _shingle_sets(docs, n).cache()
-    posting = sets.select("doc_id", F.explode("sh").alias("s"))
-    rare = (
-        posting.groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= max_df)
-        .select("s")
-    )
-    capped = posting.join(rare, "s")
-    cands = (
-        capped.alias("a")
-        .join(capped.alias("b"), "s")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
-    n_int = F.size(F.array_intersect("sha", "shb"))
-    cont = n_int / F.least(F.size("sha"), F.size("shb"))
-    jac = n_int / (F.size("sha") + F.size("shb") - n_int)
+    counts = _capped_pair_counts(docs, n, max_df, threshold, "containment")
+    cont = F.col("ni") / F.least("na", "nb")
+    jac = F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))
     return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn("containment", cont)
-        .where(F.col("containment") >= threshold)
+        counts.where(cont >= threshold)
         .select(
             "doc_a",
             "doc_b",
-            round4(F.col("containment")).alias("containment"),
+            round4(cont).alias("containment"),
             round4(jac).alias("jaccard"),
         )
     )
