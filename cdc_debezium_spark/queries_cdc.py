@@ -433,6 +433,61 @@ def cdc_snapshot_diff(spark, sf_dir):
 
 
 @query(
+    "cdc_table_changes",
+    oracle=CDC_CTE
+    + f"""
+    , s1 AS (
+      SELECT pk, ts_us, val FROM (
+        SELECT * FROM cdc_events WHERE ts_us <= {cdc.AS_OF_2024_01_15_US}
+        QUALIFY row_number() OVER (PARTITION BY pk ORDER BY ts_us DESC, ord2 DESC) = 1
+      ) WHERE op <> 'd'
+    ),
+    s2 AS (
+      SELECT pk, ts_us, val FROM (
+        SELECT * FROM cdc_events
+        QUALIFY row_number() OVER (PARTITION BY pk ORDER BY ts_us DESC, ord2 DESC) = 1
+      ) WHERE op <> 'd'
+    ),
+    j AS (
+      SELECT coalesce(s1.pk, s2.pk) AS pk,
+             s1.ts_us AS o_ts, s1.val AS o_val,
+             s2.ts_us AS n_ts, s2.val AS n_val,
+             s1.pk IS NULL AS ins, s2.pk IS NULL AS del
+      FROM s1 FULL OUTER JOIN s2 ON s1.pk = s2.pk
+    )
+    SELECT pk, n_ts AS ts_us, n_val AS val, 'insert' AS change_type
+    FROM j WHERE ins
+    UNION ALL
+    SELECT pk, o_ts, o_val, 'delete' FROM j WHERE del
+    UNION ALL
+    SELECT pk, o_ts, o_val, 'update_preimage' FROM j
+    WHERE NOT ins AND NOT del
+      AND (o_ts IS DISTINCT FROM n_ts OR o_val IS DISTINCT FROM n_val)
+    UNION ALL
+    SELECT pk, n_ts, n_val, 'update_postimage' FROM j
+    WHERE NOT ins AND NOT del
+      AND (o_ts IS DISTINCT FROM n_ts OR o_val IS DISTINCT FROM n_val)
+    """,
+)
+def cdc_table_changes(spark, sf_dir):
+    """Row-level CHANGE DATA FEED between two table versions (the
+    Delta `table_changes` contract): diff the state as-of 2024-01-15
+    against the latest state into insert / delete / update_preimage /
+    update_postimage rows; unchanged keys emit nothing. Runs the same
+    txlog.snapshot_changes kernel TxTable.table_changes uses over real
+    commits (tests/test_streaming.py::test_txtable_change_data_feed) —
+    one full-outer join on pk plus an explode over changed rows only."""
+    from .streaming.txlog import snapshot_changes
+
+    ce = cdc.cdc_events(spark, sf_dir)
+    s1 = cdc.as_of_snapshot(ce, cdc.AS_OF_2024_01_15_US).select("pk", "ts_us", "val")
+    s2 = cdc.latest_state(ce).select("pk", "ts_us", "val")
+    return snapshot_changes(s1, s2, keys=["pk"]).withColumnRenamed(
+        "_change_type", "change_type"
+    )
+
+
+@query(
     "events_rate_anomaly",
     oracle="""
     WITH hc AS (

@@ -53,6 +53,50 @@ class CommitConflict(Exception):
     """The table advanced past the snapshot this transaction read."""
 
 
+def snapshot_changes(
+    old: DataFrame, new: DataFrame, keys: Sequence[str] = ("pk",)
+) -> DataFrame:
+    """Row-level change feed between two keyed snapshots — the Delta
+    CHANGE DATA FEED contract (`table_changes`) computed from state
+    rather than logged at write time: every output row is the old/new
+    snapshot row plus `_change_type` in {insert, delete,
+    update_preimage, update_postimage}; unchanged keys emit nothing.
+
+    One full-outer sort-merge join on the key columns, a null-safe
+    struct comparison over the value columns (so NULL -> value and
+    value -> NULL count as updates), then pre/post expansion via an
+    inline explode of a 2-array — changed keys only, no second join,
+    no extra shuffle. At 100 TB this is the standard snapshot-
+    reconciliation shape: both sides shuffle once on the key, and the
+    downstream explode touches only the (small) changed subset.
+    """
+    val_cols = [c for c in new.columns if c not in keys]
+    kcols = list(keys)
+    o = old.select(*kcols, F.struct(*val_cols).alias("_old"))
+    n = new.select(*kcols, F.struct(*val_cols).alias("_new"))
+    j = o.join(n, kcols, "full_outer")
+    ins = F.col("_old").isNull()
+    dele = F.col("_new").isNull()
+    upd = ~ins & ~dele & ~F.col("_old").eqNullSafe(F.col("_new"))
+    changed = j.where(ins | dele | upd)
+    img = F.when(
+        ins, F.array(F.struct(F.col("_new").alias("row"), F.lit("insert").alias("ct")))
+    ).when(
+        dele, F.array(F.struct(F.col("_old").alias("row"), F.lit("delete").alias("ct")))
+    ).otherwise(
+        F.array(
+            F.struct(F.col("_old").alias("row"), F.lit("update_preimage").alias("ct")),
+            F.struct(F.col("_new").alias("row"), F.lit("update_postimage").alias("ct")),
+        )
+    )
+    out = changed.select(*kcols, F.explode(img).alias("im"))
+    return out.select(
+        *kcols,
+        *[F.col(f"im.row.{c}").alias(c) for c in val_cols],
+        F.col("im.ct").alias("_change_type"),
+    )
+
+
 class TxTable:
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
@@ -219,6 +263,18 @@ class TxTable:
                 os.remove(os.path.join(self.file_dir, n))
                 deleted.append(n)
         return deleted
+
+    def table_changes(
+        self, v_from: int, v_to: int | None = None,
+        keys: Sequence[str] = ("pk",),
+    ) -> DataFrame:
+        """Row-level changes between two committed versions (the Delta
+        `table_changes` analog), derived by diffing the two immutable
+        snapshots — works for any pair of retained versions with no
+        write-path logging. See snapshot_changes for the join shape."""
+        return snapshot_changes(
+            self.snapshot(v_from), self.snapshot(v_to), keys=keys
+        )
 
     def history(self) -> list[dict]:
         """The commit log (the DESCRIBE HISTORY analog)."""

@@ -1234,3 +1234,31 @@ def test_tx_upsert_sink_stream_parity_and_versions(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert _rows(sink.read_live(spark), ["pk", "ts_us", "val"]) == want
+
+
+def test_txtable_change_data_feed(spark, tmp_path):
+    """table_changes between two committed versions emits exactly the
+    Delta-CDF row set: inserts, deletes, update pre/post image pairs,
+    nothing for unchanged keys, null-safe value comparison."""
+    from cdc_debezium_spark.streaming.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "cdf"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (5, None)], "pk long, v string"
+        )
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(2, "b"), (3, "C"), (4, "d"), (5, "e")], "pk long, v string"
+        )
+    )
+    got = {(r["pk"], r["v"], r["_change_type"]) for r in t.table_changes(0, 1).collect()}
+    assert got == {
+        (1, "a", "delete"),
+        (3, "c", "update_preimage"),
+        (3, "C", "update_postimage"),
+        (4, "d", "insert"),
+        (5, None, "update_preimage"),
+        (5, "e", "update_postimage"),
+    }
