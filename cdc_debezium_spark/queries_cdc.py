@@ -488,6 +488,59 @@ def cdc_table_changes(spark, sf_dir):
 
 
 @query(
+    "cdc_gdpr_erasure",
+    oracle=CDC_CTE
+    + """
+    , hist AS (
+      SELECT pk, ord2, op, val,
+             ts_us AS valid_from_us,
+             lead(ts_us) OVER (PARTITION BY pk ORDER BY ts_us, ord2) AS valid_to_us
+      FROM cdc_events
+    ),
+    erase AS (SELECT DISTINCT pk FROM cdc_events WHERE op = 'd')
+    SELECT h.pk, h.ord2, h.op,
+           CASE WHEN e.pk IS NULL THEN h.val END AS val,
+           h.valid_from_us, h.valid_to_us,
+           e.pk IS NOT NULL AS erased
+    FROM hist h LEFT JOIN erase e ON h.pk = e.pk
+    """,
+)
+def cdc_gdpr_erasure(spark, sf_dir):
+    """Right-to-be-forgotten propagation through retained history: any
+    key that ever received a delete is an erasure request, and every
+    history row for it keeps its audit skeleton (key, ordinal, op,
+    validity interval) but loses its payload — the "drop the payload,
+    keep the lineage" GDPR pattern for CDC logs, where physically
+    removing rows would break ordinal/interval audits downstream.
+
+    Note this is NOT latest-state drop_deleted: a delete followed by a
+    re-create survives compaction, but under erasure the re-created
+    rows are redacted too. Plan: the SCD2 window (one shuffle on pk)
+    plus a left join against the distinct erased-key set — an
+    aggregated frame orders of magnitude smaller than the log, which
+    AQE broadcasts at any realistic erasure-request rate."""
+    ce = cdc.cdc_events(spark, sf_dir)
+    hist = cdc.scd2(ce).select(
+        "pk", "ord2", "op", "val", "valid_from_us", "valid_to_us"
+    )
+    erase = (
+        ce.where(F.col("op") == "d")
+        .select("pk")
+        .distinct()
+        .withColumn("_erased", F.lit(True))
+    )
+    return hist.join(erase, "pk", "left").select(
+        "pk",
+        "ord2",
+        "op",
+        F.when(F.col("_erased").isNull(), F.col("val")).alias("val"),
+        "valid_from_us",
+        "valid_to_us",
+        F.coalesce("_erased", F.lit(False)).alias("erased"),
+    )
+
+
+@query(
     "events_rate_anomaly",
     oracle="""
     WITH hc AS (
