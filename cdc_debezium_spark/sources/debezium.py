@@ -120,6 +120,7 @@ def parse_envelope(
     value_col: str = "value",
     topic_col: str = "topic",
     source_schema: StructType = SOURCE_SCHEMA,
+    route=None,
 ) -> DataFrame:
     """Deserialize JSON change events (Kafka `value`) into the envelope.
 
@@ -143,7 +144,11 @@ def parse_envelope(
     )
     cols = [F.col(f"_event.{f.name}").alias(f.name) for f in schema.fields]
     if topic_col in raw.columns:
-        cols.insert(0, route_topic(F.col(topic_col)).alias("table_name"))
+        # `route` overrides the table-name derivation (default: the
+        # reference's RegexRouter shape). A caller whose topics are
+        # ALREADY routed passes ``route=lambda c: c``.
+        router = route_topic if route is None else route
+        cols.insert(0, router(F.col(topic_col)).alias("table_name"))
     return parsed.select(*cols)
 
 

@@ -1,0 +1,173 @@
+"""Config-driven assembly parity: the reference's own connector
+configs (k8s-manifests/connectors/postgresql-connector.yaml:29-58,
+mysql :78-100) compiled by sources.config must behave exactly like the
+hand-built operator chain the other tests drive."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from cdc_debezium_spark.sources.config import ConnectorPipeline, regex_router
+from cdc_debezium_spark.sources.debezium import parse_envelope, unwrap
+
+from test_wire import ROW_SCHEMA, _event, _wire_df
+
+# The reference's PostgreSQL connector properties that affect the data
+# plane (postgresql-connector.yaml:38-56; connection endpoints omitted
+# — the wire frame stands in for the Kafka topic).
+PG_CONFIG = {
+    "connector.class": "io.debezium.connector.postgresql.PostgresConnector",
+    "table.include.list": "public.users,public.orders,public.products,public.payments",
+    "topic.prefix": "prod.postgres",
+    "include.schema.changes": "true",
+    "snapshot.mode": "initial",
+    "transforms": "route,unwrap",
+    "transforms.route.type": "org.apache.kafka.connect.transforms.RegexRouter",
+    "transforms.route.regex": r"([^.]+)\.([^.]+)\.([^.]+)",
+    "transforms.route.replacement": "$3",
+    "transforms.unwrap.type": "io.debezium.transforms.ExtractNewRecordState",
+    "transforms.unwrap.drop.tombstones": "false",
+    "transforms.unwrap.delete.handling.mode": "rewrite",
+}
+
+
+def _pg_rows():
+    # an event from a table OUTSIDE table.include.list (the include
+    # filter matches the source block, Debezium's capture-side rule)
+    not_included = json.loads(_event("c", 9, "x", 1.0, lsn=4))
+    not_included["source"]["table"] = "events"
+    return [
+        ("prod.public.orders", _event("c", 1, "a", 10.0, lsn=1)),
+        ("prod.public.orders", _event("u", 1, "a2", 11.0, lsn=2)),
+        (
+            "prod.public.orders",
+            _event("d", 1, lsn=3, before={"id": 1, "name": "a2", "amount": 11.0}),
+        ),
+        ("prod.public.events", json.dumps(not_included)),
+        ("prod.public.orders", None),  # tombstone
+        ("prod.public.orders", "{not json"),  # drift
+    ]
+
+
+def test_config_pipeline_matches_hand_built_chain(spark):
+    """The compiled reference config == parse -> route -> filter ->
+    unwrap(rewrite) with tombstone and drift lanes, row for row."""
+    raw = _wire_df(spark, _pg_rows())
+    lanes = ConnectorPipeline.build(PG_CONFIG, ROW_SCHEMA).apply(raw)
+
+    # hand-built equivalent (the chain test_wire drives)
+    parsed = parse_envelope(raw, ROW_SCHEMA)
+    good = parsed.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    tomb = F.col("op").isNull() & F.col("before").isNull() & F.col("after").isNull()
+    included = good.where(
+        F.col("table_name").isin(["users", "orders", "products", "payments"])
+    )
+    want = unwrap(included.where(~tomb)).collect()
+
+    got = lanes["changes"].collect()
+    key = lambda r: (r["id"] is None, r["id"], r["op"], r["ts_ms"])
+    assert sorted(got, key=key) == sorted(want, key=key)
+    assert lanes["drift"].count() == 1
+    assert lanes["tombstones"].count() == 1
+    # delete-rewrite survived the config path
+    d = [r for r in got if r["op"] == "d"]
+    assert len(d) == 1 and d[0]["__deleted"] and d[0]["name"] == "a2"
+
+
+def test_config_pipeline_mysql_envelope_lane(spark):
+    """The reference MySQL job declares no transforms
+    (postgresql-connector.yaml:78-100): the output IS the envelope,
+    parsed with the MySQL source block."""
+    cfg = {
+        "connector.class": "io.debezium.connector.mysql.MySqlConnector",
+        "table.include.list": "inventory.products,customers.users,analytics.events",
+        "topic.prefix": "prod.mysql",
+        "include.schema.changes": "true",
+        "snapshot.mode": "initial",
+    }
+    ev = json.dumps(
+        {
+            "before": None,
+            "after": {"id": 5, "name": "n", "amount": 2.0},
+            "source": {
+                "db": "inventory",
+                "table": "products",
+                "ts_ms": 1000,
+                "file": "binlog.000002",
+                "pos": 154,
+                "row": 0,
+                "server_id": 1,
+                "snapshot": "false",
+            },
+            "op": "c",
+            "ts_ms": 1000,
+        }
+    )
+    raw = _wire_df(spark, [("prod.mysql.inventory.products", ev)])
+    lanes = ConnectorPipeline.build(cfg, ROW_SCHEMA).apply(raw)
+    rows = lanes["changes"].collect()
+    # envelope shape preserved (no unwrap configured), binlog source typed
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["op"] == "c" and r["after"]["id"] == 5
+    assert r["source"]["file"] == "binlog.000002" and r["source"]["pos"] == 154
+    assert "drift" in lanes
+
+
+def test_regex_router_full_match_semantics(spark):
+    """Kafka RegexRouter only rewrites topics the regex matches in
+    full; others pass through untouched."""
+    route = regex_router(r"([^.]+)\.([^.]+)\.([^.]+)", "$3")
+    df = spark.createDataFrame(
+        [("prod.public.orders",), ("just-a-topic",), ("a.b.c.d",)], "topic string"
+    )
+    got = {r.t for r in df.select(route(F.col("topic")).alias("t")).collect()}
+    assert got == {"orders", "just-a-topic", "a.b.c.d"}
+
+
+def test_mask_field_and_delete_modes(spark):
+    """MaskField$Value nulls the listed columns; delete.handling.mode
+    drop removes deletes, none keeps them with a nulled payload."""
+    base = {
+        "connector.class": "io.debezium.connector.postgresql.PostgresConnector",
+        "transforms": "unwrap,mask",
+        "transforms.unwrap.type": "io.debezium.transforms.ExtractNewRecordState",
+        "transforms.unwrap.drop.tombstones": "true",
+        "transforms.mask.type": "org.apache.kafka.connect.transforms.MaskField$Value",
+        "transforms.mask.fields": "name",
+    }
+    rows = [
+        ("prod.public.orders", _event("c", 1, "secret", 10.0, lsn=1)),
+        (
+            "prod.public.orders",
+            _event("d", 1, lsn=2, before={"id": 1, "name": "secret", "amount": 10.0}),
+        ),
+    ]
+    raw = _wire_df(spark, rows)
+
+    drop_cfg = dict(base, **{"transforms.unwrap.delete.handling.mode": "drop"})
+    got = ConnectorPipeline.build(drop_cfg, ROW_SCHEMA).apply(raw)["changes"].collect()
+    assert [r["op"] for r in got] == ["c"]
+    assert got[0]["name"] is None and got[0]["amount"] == 10.0  # masked, not dropped
+    assert "__deleted" not in got[0].asDict()
+
+    none_cfg = dict(base, **{"transforms.unwrap.delete.handling.mode": "none"})
+    got = ConnectorPipeline.build(none_cfg, ROW_SCHEMA).apply(raw)["changes"].collect()
+    by_op = {r["op"]: r for r in got}
+    assert by_op["d"]["id"] is None and by_op["d"]["amount"] is None
+    assert by_op["c"]["amount"] == 10.0
+
+
+def test_unknown_transform_fails_at_build(spark):
+    cfg = {
+        "connector.class": "io.debezium.connector.postgresql.PostgresConnector",
+        "transforms": "boom",
+        "transforms.boom.type": "org.example.NotATransform",
+    }
+    with pytest.raises(ValueError, match="unsupported transform"):
+        ConnectorPipeline.build(cfg, ROW_SCHEMA)
+    with pytest.raises(ValueError, match="connector.class"):
+        ConnectorPipeline.build({"connector.class": "x.Y"}, ROW_SCHEMA)
