@@ -933,3 +933,80 @@ def kn_bigram_logprob(docs: DataFrame, discount: float = 0.75) -> DataFrame:
             "neg_log2p_kn"
         ),
     )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 5) -> DataFrame:
+    """Train a BPE tokenizer: learn the `n_merges` highest-count merge
+    rules over the corpus (rank, left, right, n at merge time) — the
+    full iterative algorithm, not just one pair-count pass
+    (ext_text_bpe_pairs is iteration one's statistic).
+
+    Scale shape is the one every industrial BPE trainer uses: merges
+    act WITHIN words, so after one corpus-wide shuffle to the
+    word-frequency table every iteration runs over the vocab-sized
+    frame only — a pair-count aggregate (map-side combined, output
+    bounded by symbol-vocab²) plus a per-word merge projection.
+    Per-iteration driver traffic is ONE row (the winning pair), the
+    same bounded pattern as Lloyd centroids; lineage is truncated per
+    round with localCheckpoint like the pagerank loop.
+
+    Words are held as marker-wrapped symbol strings
+    (``\\x02sym\\x03`` concatenated), so applying a merge is a plain
+    left-to-right ``replace`` of ``\\x02l\\x03\\x02r\\x03`` with
+    ``\\x02lr\\x03`` — markers make cross-symbol false matches
+    impossible and the same replace runs verbatim in the DuckDB
+    oracle. Ties break on (count desc, left asc, right asc) so the
+    learned table is engine-exact. Greedy-left non-overlapping
+    replacement matches the reference BPE trainer's merge semantics
+    ("a a a" + (a,a) -> "aa a").
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("wc"))
+    )
+    wrap = F.expr(
+        "concat_ws('', transform(sequence(1, length(tok)), "
+        "i -> concat('\x02', substring(tok, i, 1), '\x03')))"
+    )
+    cur = words.select(wrap.alias("ws"), "wc").localCheckpoint()
+    syms = F.expr(
+        "split(substring(ws, 2, length(ws) - 2), '\x03\x02', -1)"
+    )
+    merges = []
+    for k in range(n_merges):
+        pairs = (
+            cur.select(F.col("wc"), syms.alias("s"))
+            .where(F.size("s") >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), "
+                        "i -> struct(s[i-1] AS l, s[i] AS r))"
+                    )
+                ).alias("p"),
+            )
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((k + 1, top["l"], top["r"], int(top["n"])))
+        pat = "\x02" + top["l"] + "\x03\x02" + top["r"] + "\x03"
+        rep = "\x02" + top["l"] + top["r"] + "\x03"
+        cur = cur.select(
+            F.replace(F.col("ws"), F.lit(pat), F.lit(rep)).alias("ws"), "wc"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, n bigint"
+    )

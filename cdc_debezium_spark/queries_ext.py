@@ -3079,3 +3079,67 @@ def ext_multimodal_dhash(spark, sf_dir):
     closed-form pixels, so any byte-level decode, resample-index,
     grayscale, or bit-packing bug breaks the match."""
     return multimodal.dhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Unroll the iterative BPE trainer into one CTE chain (the
+    pagerank-oracle technique): per merge round, pair counts over the
+    current word-symbol table, a LIMIT 1 winner with the same total
+    tie-order as the Spark loop, and a literal replace() of the
+    marker-wrapped pair. chr(2)/chr(3) symbol markers make cross-symbol
+    matches impossible, so replace() is exact in both engines."""
+    parts = [
+        """
+    WITH words AS (
+      SELECT tok, count(*) AS wc
+      FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(text, ' '),
+                                  t -> t <> '')) AS tok
+        FROM documents
+      ) GROUP BY tok
+    ),
+    w0 AS (
+      SELECT regexp_replace(tok, '(.)', chr(2) || '\\1' || chr(3), 'g') AS ws,
+             wc
+      FROM words
+    )"""
+    ]
+    for k in range(n_merges):
+        parts.append(f"""
+    , p{k} AS (
+      SELECT s[i] AS l, s[i + 1] AS r, wc
+      FROM (
+        SELECT wc, s, unnest(range(1, len(s))) AS i
+        FROM (
+          SELECT wc,
+                 string_split(ws[2:-2], chr(3) || chr(2)) AS s
+          FROM w{k}
+        )
+      )
+    ),
+    t{k} AS (
+      SELECT l, r, CAST(sum(wc) AS BIGINT) AS n FROM p{k} GROUP BY l, r
+      ORDER BY n DESC, l, r LIMIT 1
+    ),
+    w{k + 1} AS (
+      SELECT replace(ws, chr(2) || t.l || chr(3) || chr(2) || t.r || chr(3),
+                     chr(2) || t.l || t.r || chr(3)) AS ws,
+             wc
+      FROM w{k}, t{k} t
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT {k + 1} AS rank, l AS lhs, r AS rhs, n FROM t{k}"
+        for k in range(n_merges)
+    )
+    return "".join(parts) + "\n    " + finals
+
+
+@query("ext_text_bpe_train", oracle=_bpe_train_oracle(5))
+def ext_text_bpe_train(spark, sf_dir):
+    """Iterative BPE tokenizer TRAINING (5 merge rounds): the learned
+    merge table (rank, lhs, rhs, count at merge time). One corpus
+    shuffle to the word-frequency table, then every round is
+    vocab-sized work — see text.bpe_train for the scale story. The
+    oracle unrolls all five rounds as CTEs, so the whole training
+    loop is engine-exact, including tie-breaks."""
+    return text.bpe_train(load_table(spark, sf_dir, "documents"), n_merges=5)

@@ -859,3 +859,50 @@ def test_histogram_conserves_rows(spark, sf_dir):
         lo = r["bucket"] * 25.0
         hi = (r["bucket"] + 1) * 25.0 if r["bucket"] < 19 else float("inf")
         assert lo <= r["lo_val"] <= r["hi_val"] < hi + 0.005  # 2dp rounding slack
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    """The distributed trainer learns exactly the merges a classic
+    single-process BPE trainer (word-freq table, greedy-left merge,
+    (count desc, pair asc) tie-break) learns on the same corpus."""
+    from collections import Counter
+
+    from cdc_debezium_spark.ext.text import bpe_train
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "wider wide wide new",
+    ]
+
+    def reference(texts, n_merges):
+        words = Counter(t for s in texts for t in s.split(" ") if t)
+        vocab = {tuple(w): c for w, c in words.items()}
+        out = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for syms, c in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += c
+            if not pairs:
+                break
+            (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((l, r, n))
+            nv = {}
+            for syms, c in vocab.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        merged.append(l + r)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                nv[tuple(merged)] = nv.get(tuple(merged), 0) + c
+            vocab = nv
+        return out
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    got = [(r.lhs, r.rhs, r.n) for r in bpe_train(docs, n_merges=8).collect()]
+    assert got == reference(texts, 8)
