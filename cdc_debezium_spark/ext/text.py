@@ -1010,3 +1010,62 @@ def bpe_train(docs: DataFrame, n_merges: int = 5) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, n bigint"
     )
+
+
+def bpe_encode(docs: DataFrame, merges: DataFrame | None = None,
+               n_merges: int = 5) -> DataFrame:
+    """Apply a learned BPE merge table: per-document token counts
+    under the trained tokenizer (doc_id, n_words, n_bpe, chars_per_bpe)
+    — the statistic that decides packing/budgeting downstream.
+
+    Encoding never touches the corpus per merge: the merge chain is
+    applied to the WORD table (vocab-sized, same marker-wrapped
+    replaces as bpe_train, driver traffic = the n_merges learned pairs
+    — bounded like broadcast literals), giving each distinct word its
+    encoded length; documents then join word->length and aggregate.
+    The join is vocab-vs-corpus — AQE broadcasts the encoded vocab at
+    any realistic vocabulary size.
+    """
+    if merges is None:
+        merges = bpe_train(docs, n_merges=n_merges)
+    rules = [(r["lhs"], r["rhs"]) for r in merges.orderBy("rank").collect()]
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+            ).alias("tok")
+        )
+        .distinct()
+    )
+    ws = F.expr(
+        "concat_ws('', transform(sequence(1, length(tok)), "
+        "i -> concat('\x02', substring(tok, i, 1), '\x03')))"
+    )
+    for l, r in rules:
+        ws = F.replace(
+            ws,
+            F.lit("\x02" + l + "\x03\x02" + r + "\x03"),
+            F.lit("\x02" + l + r + "\x03"),
+        )
+    # encoded length = number of symbol markers left
+    enc = words.select(
+        "tok",
+        F.size(F.split(ws, "\x03\x02", -1)).alias("n_sym"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    return (
+        toks.join(enc, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_bpe"),
+            round4(
+                F.sum(F.length("tok")) / F.sum("n_sym")
+            ).alias("chars_per_bpe"),
+        )
+    )

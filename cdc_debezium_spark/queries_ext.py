@@ -3143,3 +3143,82 @@ def ext_text_bpe_train(spark, sf_dir):
     oracle unrolls all five rounds as CTEs, so the whole training
     loop is engine-exact, including tie-breaks."""
     return text.bpe_train(load_table(spark, sf_dir, "documents"), n_merges=5)
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """The train chain with `tok` carried through, then encoded word
+    lengths joined back to per-document tokens."""
+    parts = [
+        """
+    WITH words AS (
+      SELECT tok, count(*) AS wc
+      FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(text, ' '),
+                                  t -> t <> '')) AS tok
+        FROM documents
+      ) GROUP BY tok
+    ),
+    w0 AS (
+      SELECT tok,
+             regexp_replace(tok, '(.)', chr(2) || '\\1' || chr(3), 'g') AS ws,
+             wc
+      FROM words
+    )"""
+    ]
+    for k in range(n_merges):
+        parts.append(f"""
+    , p{k} AS (
+      SELECT s[i] AS l, s[i + 1] AS r, wc
+      FROM (
+        SELECT wc, s, unnest(range(1, len(s))) AS i
+        FROM (
+          SELECT wc,
+                 string_split(ws[2:-2], chr(3) || chr(2)) AS s
+          FROM w{k}
+        )
+      )
+    ),
+    t{k} AS (
+      SELECT l, r, CAST(sum(wc) AS BIGINT) AS n FROM p{k} GROUP BY l, r
+      ORDER BY n DESC, l, r LIMIT 1
+    ),
+    w{k + 1} AS (
+      SELECT tok,
+             replace(ws, chr(2) || t.l || chr(3) || chr(2) || t.r || chr(3),
+                     chr(2) || t.l || t.r || chr(3)) AS ws,
+             wc
+      FROM w{k}, t{k} t
+    )""")
+    return "".join(parts) + f"""
+    , enc AS (
+      SELECT tok,
+             len(string_split(ws[2:-2], chr(3) || chr(2))) AS n_sym
+      FROM w{n_merges}
+    ),
+    dtoks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, ' '),
+                                t -> t <> '')) AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           count(*) AS n_words,
+           CAST(sum(n_sym) AS BIGINT) AS n_bpe,
+           floor(sum(length(tok)) / sum(n_sym) * 10000.0 + 0.5) / 10000.0
+             AS chars_per_bpe
+    FROM dtoks JOIN enc USING (tok)
+    GROUP BY doc_id
+    """
+
+
+@query("ext_text_bpe_encode", oracle=_bpe_encode_oracle(5))
+def ext_text_bpe_encode(spark, sf_dir):
+    """Encode the corpus with the 5-merge trained tokenizer: per-doc
+    word and BPE-token counts plus chars-per-token compression — the
+    budgeting statistic for packing/mixture stages. Merges apply to
+    the WORD table only (vocab-sized replace chain); docs join the
+    encoded vocab (AQE-broadcastable) and aggregate. Oracle replays
+    the whole train+encode pipeline as one CTE chain."""
+    return text.bpe_encode(
+        load_table(spark, sf_dir, "documents"), n_merges=5
+    )
