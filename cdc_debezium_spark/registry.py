@@ -39,6 +39,10 @@ def query(key: str, oracle: str | None = None):
 # follow via load_all()'s ordering.
 _PRIORITY = [
     # new r5 keys — never driver-sampled
+    "cdc_table_changes",
+    "cdc_gdpr_erasure",
+    "ext_text_bpe_train",
+    "ext_text_bpe_encode",
     "cdc_mysql_envelope",
     "cdc_mongo_envelope",
     "agg_theta_sketch_prod",
