@@ -128,3 +128,106 @@ def zorder_repartition(df, x_col: str, y_col: str, n_files: int, bits: int = 16)
         .repartitionByRange(n_files, F.col("_z"))
         .sortWithinPartitions("_z")
     )
+
+
+def sessionize(
+    ev: DataFrame,
+    gap_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    ord_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap
+    from the previous event exceeds `gap_us`. One shuffle on the user
+    key; both windows share that partitioning. Returns
+    (user, session_id, s_start, s_end, n_events)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, ord_col)
+    new_s = F.when(
+        F.lag(ts_col).over(w).isNull()
+        | ((F.col(ts_col) - F.lag(ts_col).over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("_sid", F.sum(new_s).over(w))
+        .groupBy(user_col, "_sid")
+        .agg(
+            F.min(ts_col).alias("s_start"),
+            F.max(ts_col).alias("s_end"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumnRenamed("_sid", "session_id")
+    )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    on: str,
+    bucket_us: int,
+    a_start: str = "s_start",
+    a_end: str = "s_end",
+    b_start: str = "s_start",
+    b_end: str = "s_end",
+) -> DataFrame:
+    """Large×large interval OVERLAP join, keyed on `on` — the join
+    shape Spark has no native operator for (a raw inequality join on
+    two big sides is a per-key nested loop; a range-join hint needs
+    Databricks). Standard scale-out formulation:
+
+    1. explode each interval to the `bucket_us`-granularity buckets it
+       covers — output grows by interval_span/bucket, a constant
+       chosen to bound per-bucket population;
+    2. equi-join on (key, bucket) — a plain shuffled hash/SMJ that
+       AQE can split on skew, NOT a nested loop;
+    3. keep pairs that truly overlap, and keep each pair ONLY in the
+       bucket containing max(a.start, b.start) — every overlapping
+       pair is emitted exactly once with no DISTINCT (the dedup-free
+       assignment trick range-join implementations use).
+
+    Emits key, a_start/a_end, b_start/b_end, overlap_us.
+    """
+    av = a.select(
+        F.col(on),
+        F.col(a_start).alias("a_start"),
+        F.col(a_end).alias("a_end"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col(a_start) / bucket_us),
+                F.floor(F.col(a_end) / bucket_us),
+            )
+        ).alias("bucket"),
+    )
+    bv = b.select(
+        F.col(on),
+        F.col(b_start).alias("b_start"),
+        F.col(b_end).alias("b_end"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col(b_start) / bucket_us),
+                F.floor(F.col(b_end) / bucket_us),
+            )
+        ).alias("bucket"),
+    )
+    return (
+        av.join(bv, [on, "bucket"])
+        .where(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .where(
+            F.col("bucket")
+            == F.floor(F.greatest("a_start", "b_start") / bucket_us)
+        )
+        .select(
+            on,
+            "a_start",
+            "a_end",
+            "b_start",
+            "b_end",
+            (
+                F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+            ).alias("overlap_us"),
+        )
+    )

@@ -1220,3 +1220,84 @@ def agg_argminmax(spark, sf_dir):
         F.max("event_id").alias("last_ord"),
         F.count("*").alias("n"),
     )
+
+
+_SESSION_GAP_US = 86_400_000_000  # 1 day: activity episodes on the sparse fixture timeline
+_WEEK_US = 604_800_000_000
+
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events
+    ),
+    a_ev AS (SELECT * FROM base WHERE event_type IN ('click', 'view')),
+    b_ev AS (SELECT * FROM base WHERE event_type IN ('purchase', 'signup')),
+    a_s AS (
+      SELECT user_id, min(ts_us) AS a_start, max(ts_us) AS a_end
+      FROM (
+        SELECT user_id, ts_us,
+               sum(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS sid
+        FROM (
+          SELECT user_id, ts_us, event_id,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w > {_SESSION_GAP_US}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM a_ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        )
+      ) GROUP BY user_id, sid
+    ),
+    b_s AS (
+      SELECT user_id, min(ts_us) AS b_start, max(ts_us) AS b_end
+      FROM (
+        SELECT user_id, ts_us,
+               sum(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS sid
+        FROM (
+          SELECT user_id, ts_us, event_id,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w > {_SESSION_GAP_US}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM b_ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        )
+      ) GROUP BY user_id, sid
+    )
+    SELECT a_s.user_id, a_start, a_end, b_start, b_end,
+           least(a_end, b_end) - greatest(a_start, b_start) AS overlap_us
+    FROM a_s JOIN b_s ON a_s.user_id = b_s.user_id
+      AND a_start <= b_end AND b_start <= a_end
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Large×large interval OVERLAP join: browsing sessions
+    (click/view, 1-day gap) × conversion episodes (purchase/signup)
+    per user. Spark has no native interval join; a raw inequality join
+    is a per-key nested loop, so this runs the bucketed formulation —
+    explode intervals to covered weeks, equi-join on (user, week), keep
+    true overlaps exactly once in the max-start bucket (no DISTINCT).
+    The oracle is the direct inequality join, proving the bucketed
+    plan emits the identical pair set."""
+    from .operators.relational import interval_overlap_join, sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    a = sessionize(
+        ev.where(F.col("event_type").isin("click", "view")), _SESSION_GAP_US
+    )
+    b = sessionize(
+        ev.where(F.col("event_type").isin("purchase", "signup")),
+        _SESSION_GAP_US,
+    )
+    return interval_overlap_join(
+        a,
+        b,
+        on="user_id",
+        bucket_us=_WEEK_US,
+        b_start="s_start",
+        b_end="s_end",
+    )

@@ -641,3 +641,17 @@ def test_sliding_window_has_no_corpus_expand(spark, sf_dir):
     and the only Generate (the hop explode) runs on O(days) rows."""
     plan = _physical(registry.QUERIES["agg_sliding_window"](spark, sf_dir))
     assert "Expand" not in plan
+
+
+def test_interval_overlap_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketed interval-overlap join must compile to an
+    equi-join on (user, bucket) — no BroadcastNestedLoopJoin or
+    CartesianProduct anywhere, overlap predicates reduced to
+    post-join filters."""
+    from cdc_debezium_spark.registry import QUERIES
+
+    df = QUERIES["join_interval_overlap"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert df.count() > 0
