@@ -43,6 +43,7 @@ _PRIORITY = [
     "cdc_gdpr_erasure",
     "ext_text_bpe_train",
     "ext_text_bpe_encode",
+    "join_interval_overlap",
     "cdc_mysql_envelope",
     "cdc_mongo_envelope",
     "agg_theta_sketch_prod",
