@@ -1213,3 +1213,182 @@ def events_funnel_windowed(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# Count-min sketch geometry: D=4 pairwise-independent integer hash
+# rows over W=1024 buckets. Plain 64-bit polynomial hashes — exact in
+# both engines, so the oracle emulates the ENTIRE sketch bit-for-bit
+# (the minhash-oracle technique; no "exact-under-budget" carve-out
+# needed even when buckets collide).
+_CMS_W = 1024
+_CMS_P = 2147483647
+_CMS_A = (1000003, 1000033, 1000037, 1000039)
+_CMS_B = (17, 29, 41, 53)
+
+
+def _cms_oracle() -> str:
+    pair_arms = " UNION ALL ".join(
+        f"""SELECT event_type, CAST(ts AS DATE) AS d, user_id, {r} AS r,
+            ((user_id * {_CMS_A[r]} + {_CMS_B[r]}) % {_CMS_P}) % {_CMS_W} AS c
+            FROM events"""
+        for r in range(4)
+    )
+    probe_arms = " UNION ALL ".join(
+        f"""SELECT event_type, user_id, exact_n, {r} AS r,
+            ((user_id * {_CMS_A[r]} + {_CMS_B[r]}) % {_CMS_P}) % {_CMS_W} AS c
+            FROM top"""
+        for r in range(4)
+    )
+    return f"""
+    WITH pairs AS ({pair_arms}),
+    daily AS (
+      SELECT event_type, d, r, c, CAST(count(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY event_type, d, r, c
+    ),
+    merged AS (
+      SELECT event_type, r, c, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM daily GROUP BY event_type, r, c
+    ),
+    top AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY event_type, user_id
+      QUALIFY row_number() OVER (PARTITION BY event_type
+                                 ORDER BY exact_n DESC, user_id) <= 5
+    ),
+    probes AS ({probe_arms})
+    SELECT p.event_type, p.user_id, p.exact_n,
+           CAST(min(m.cnt) AS BIGINT) AS cms_n
+    FROM probes p
+    JOIN merged m ON m.event_type = p.event_type AND m.r = p.r AND m.c = p.c
+    GROUP BY p.event_type, p.user_id, p.exact_n
+    """
+
+
+@query("agg_cms_partial_merge", oracle=_cms_oracle())
+def agg_cms_partial_merge(spark, sf_dir):
+    """Re-aggregatable heavy-hitter counting via COUNT-MIN sketch
+    partials — the frequency analog of agg_hll_partial_merge: persist
+    one (day × event_type) sketch as sparse counter ROWS
+    (day, type, hash-row, bucket, count) while the raw log expires;
+    any coarser frequency question re-aggregates the partial layer
+    with a plain groupBy-sum (sketch merge IS vector addition — the
+    row layout makes it a sum, no UDAF). Point estimates = min over
+    the D hash rows of the merged counters; estimates never undercount
+    and collide toward overcounts as cardinality grows past W.
+
+    The probe set is the per-type top-5 users by exact count (oracle
+    recomputes the identical integer sketch end-to-end, so estimates
+    match bit-for-bit even where buckets collide). Plan: the D-fold
+    explode happens before a map-side-combined aggregate, so the
+    shuffle carries sketch-sized rows (bounded by days × types × D×W),
+    never D× the event log."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def h(r):
+        return ((F.col("user_id") * _CMS_A[r] + _CMS_B[r]) % _CMS_P) % _CMS_W
+
+    rc = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(r).alias("r"), h(r).alias("c"))
+                for r in range(4)
+            ]
+        )
+    ).alias("rc")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("d"), "user_id")
+        .select("event_type", "d", rc)
+        .groupBy("event_type", "d", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = daily.groupBy("event_type", "r", "c").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("exact_n"), F.asc("user_id")
+    )
+    top = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 5)
+        .drop("_rn")
+    )
+    probes = top.select("event_type", "user_id", "exact_n", rc).select(
+        "event_type",
+        "user_id",
+        "exact_n",
+        F.col("rc.r").alias("r"),
+        F.col("rc.c").alias("c"),
+    )
+    return (
+        probes.join(merged, ["event_type", "r", "c"])
+        .groupBy("event_type", "user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+
+
+@query(
+    "events_ewma",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hr
+    ),
+    ser AS (
+      SELECT event_type,
+             list(CAST(n AS DOUBLE) ORDER BY hr) AS l,
+             CAST(max(n) AS BIGINT) AS peak_n,
+             CAST(count(*) AS BIGINT) AS n_hours
+      FROM hc GROUP BY event_type
+    )
+    SELECT event_type, n_hours, peak_n,
+           floor(list_reduce(l, (acc, x) ->
+                 CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc)
+                 * 10000.0 + 0.5) / 10000.0 AS ewma
+    FROM ser
+    """,
+)
+def events_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average over each event type's
+    hourly rate series — the recursive smoother (s_t = αx_t +
+    (1-α)s_{t-1}) that windowed SQL cannot express directly, realized
+    as a per-group ordered left fold. Cross-engine bit-exact: both
+    engines fold the identical double sequence left-to-right
+    (F.aggregate ≡ DuckDB list_reduce with the first element as seed).
+
+    Scale shape: the hourly pre-aggregate shrinks the corpus to
+    (types × hours) rows map-side; the collected series per group is
+    time-bounded (one element per hour), not data-bounded, so the
+    fold's input stays small at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts_us") / 3_600_000_000).alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+    ser = hc.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("hr", "n"))),
+            lambda s: s["n"].cast("double"),
+        ).alias("l"),
+        F.max("n").alias("peak_n"),
+        F.count("*").alias("n_hours"),
+    )
+    fold = F.aggregate(
+        F.expr("slice(l, 2, greatest(size(l) - 1, 0))"),
+        F.element_at("l", 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return ser.select(
+        "event_type",
+        "n_hours",
+        "peak_n",
+        (F.floor(fold * 10000.0 + F.lit(0.5)) / 10000.0).alias("ewma"),
+    )

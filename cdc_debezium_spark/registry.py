@@ -44,6 +44,8 @@ _PRIORITY = [
     "ext_text_bpe_train",
     "ext_text_bpe_encode",
     "join_interval_overlap",
+    "agg_cms_partial_merge",
+    "events_ewma",
     "cdc_mysql_envelope",
     "cdc_mongo_envelope",
     "agg_theta_sketch_prod",
