@@ -1392,3 +1392,223 @@ def events_ewma(spark, sf_dir):
         "peak_n",
         (F.floor(fold * 10000.0 + F.lit(0.5)) / 10000.0).alias("ewma"),
     )
+
+
+@query(
+    "events_gapfill_interp",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) // {US_PER_DAY} AS day, value,
+             epoch_us(ts) AS us, event_id
+      FROM events
+    ),
+    daily AS (
+      SELECT user_id, day, value AS close FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, day
+                                     ORDER BY us DESC, event_id DESC) AS rd
+        FROM t) WHERE rd = 1
+    ),
+    bounds AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1
+      FROM daily GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.day, d.close,
+        last_value(d.close IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.day
+          ROWS UNBOUNDED PRECEDING) AS pv,
+        last_value(CASE WHEN d.close IS NOT NULL THEN g.day END IGNORE NULLS)
+          OVER (PARTITION BY g.user_id ORDER BY g.day
+                ROWS UNBOUNDED PRECEDING) AS pd,
+        first_value(d.close IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN d.close IS NOT NULL THEN g.day END IGNORE NULLS)
+          OVER (PARTITION BY g.user_id ORDER BY g.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    )
+    SELECT user_id, day,
+           floor((CASE WHEN nd = pd THEN pv
+                       ELSE pv + (nv - pv) * (day - pd) / (nd - pd)
+                  END) * 10000.0 + 0.5) / 10000.0 AS filled_close,
+           (close IS NOT NULL) AS is_observed
+    FROM j
+    """,
+)
+def events_gapfill_interp(spark, sf_dir):
+    """Gap filling by LINEAR INTERPOLATION between observations (the
+    numeric regularization LOCF is too crude for): silent days get
+    prev + (next-prev)·(elapsed/gap). Same embarrassingly-parallel
+    shape as events_gapfill_locf plus one backward-looking window on
+    the same (user, day) partitioning — Catalyst shares the exchange.
+    Grid edges are safe: the grid spans [first, last] observed days,
+    so both neighbors always exist."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"ts_us div {US_PER_DAY}").alias("day"),
+        "value",
+        "ts_us",
+        "event_id",
+    )
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    daily = (
+        ev.withColumn("rd", F.row_number().over(wd))
+        .where(F.col("rd") == 1)
+        .select("user_id", "day", F.col("value").alias("close"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("close").isNotNull(), F.col("day"))
+    pv = F.last("close", ignorenulls=True).over(wb)
+    pd_ = F.last(obs_day, ignorenulls=True).over(wb)
+    nv = F.first("close", ignorenulls=True).over(wf)
+    nd = F.first(obs_day, ignorenulls=True).over(wf)
+    interp = F.when(nd == pd_, pv).otherwise(
+        pv + (nv - pv) * (F.col("day") - pd_) / (nd - pd_)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        (F.floor(interp * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+            "filled_close"
+        ),
+        F.col("close").isNotNull().alias("is_observed"),
+    )
+
+
+@query(
+    "events_cusum",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hr
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_hours
+      FROM hc GROUP BY event_type
+    ),
+    pre AS (
+      SELECT hc.event_type, hr, total, n_hours,
+             sum(n_hours * n - total) OVER (
+               PARTITION BY hc.event_type ORDER BY hr
+               ROWS UNBOUNDED PRECEDING) AS prefix
+      FROM hc JOIN tot ON hc.event_type = tot.event_type
+    ),
+    cus AS (
+      SELECT event_type, hr, total, n_hours,
+             prefix - least(CAST(0 AS BIGINT),
+               coalesce(min(prefix) OVER (
+                 PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 CAST(0 AS BIGINT))) AS s
+      FROM pre
+    )
+    SELECT event_type,
+           CAST(max(n_hours) AS BIGINT) AS n_hours,
+           floor(CAST(max(total) AS DOUBLE) / max(n_hours)
+                 * 10000.0 + 0.5) / 10000.0 AS mu,
+           floor(CAST(max(s) AS DOUBLE) / max(n_hours)
+                 * 10000.0 + 0.5) / 10000.0 AS max_cusum,
+           CAST(min(CASE WHEN s = ms THEN hr END) AS BIGINT) AS peak_hr
+    FROM (SELECT *, max(s) OVER (PARTITION BY event_type) AS ms FROM cus)
+    GROUP BY event_type
+    """,
+)
+def events_cusum(spark, sf_dir):
+    """CUSUM changepoint statistic per event type: the one-sided
+    recursion s_t = max(0, s_{t-1} + x_t - μ) over the hourly rate
+    series, reporting the peak excursion and the first hour it peaked
+    — the sequential detector for sustained rate shifts that the
+    z-score lane (events_rate_anomaly) misses on slow drifts.
+
+    The recursion is rewritten through the prefix identity
+    s_t = prefix_t - min(0, min_{j<t} prefix_j), and the whole
+    computation is scaled by n_hours so every intermediate is EXACT
+    BIGINT arithmetic (d_i = n·x_i - total); the only doubles are the
+    two final divisions, so both engines agree bit-for-bit with no
+    fold-order caveats at all. Pure window functions over the hourly
+    pre-aggregate — no per-group collected arrays, embarrassingly
+    parallel across types, series length bounded by the time range."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts_us") / 3_600_000_000).alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = hc.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_hours")
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wm = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = hc.join(tot, "event_type").withColumn(
+        "prefix",
+        F.sum(F.col("n_hours") * F.col("n") - F.col("total")).over(wp),
+    )
+    cus = pre.withColumn(
+        "s",
+        F.col("prefix")
+        - F.least(
+            F.lit(0).cast("long"),
+            F.coalesce(F.min("prefix").over(wm), F.lit(0).cast("long")),
+        ),
+    )
+    wall = Window.partitionBy("event_type")
+    out = cus.withColumn("ms", F.max("s").over(wall))
+    return out.groupBy("event_type").agg(
+        F.max("n_hours").alias("n_hours"),
+        (
+            F.floor(
+                F.max("total").cast("double") / F.max("n_hours") * 10000.0
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("mu"),
+        (
+            F.floor(
+                F.max("s").cast("double") / F.max("n_hours") * 10000.0
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("max_cusum"),
+        F.min(F.when(F.col("s") == F.col("ms"), F.col("hr")))
+        .cast("long")
+        .alias("peak_hr"),
+    )

@@ -46,6 +46,8 @@ _PRIORITY = [
     "join_interval_overlap",
     "agg_cms_partial_merge",
     "events_ewma",
+    "events_cusum",
+    "events_gapfill_interp",
     "cdc_mysql_envelope",
     "cdc_mongo_envelope",
     "agg_theta_sketch_prod",
