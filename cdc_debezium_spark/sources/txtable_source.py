@@ -1,0 +1,167 @@
+"""PySpark-4 Python Data Source for the native transaction-log table:
+``spark.read.format("txtable")`` and an append-tail streaming source.
+
+The reference's consumers attach to a store by NAME + config, not by
+calling a library (connector configs, README.md:48-51); the Python
+Data Source API (SPARK-44076, public in Spark 4) is the idiomatic way
+to give TxTable the same property: after one ``register`` call any
+reader — SQL, DataFrame, streaming — opens the table by format name
+with options, no imports at the call site.
+
+Batch (`txtable`):
+- options: ``path`` (table root), optional ``version`` (time travel)
+- the LOG is resolved driver-side in Python (KBs of JSON); DATA moves
+  executor-side — one InputPartition per immutable parquet file, each
+  task yielding pyarrow RecordBatches (the Arrow fast path of the
+  DataSource API, no per-row Python loop)
+- snapshot isolation for free: the file list is fixed at plan time,
+  so concurrent commits cannot disturb a running read — identical to
+  TxTable.snapshot() semantics
+
+Streaming (`txtable` via readStream):
+- offsets ARE log versions — the natural exactly-once coordinate
+  (initialOffset = version before the stream starts; each batch reads
+  the files ADDED by versions (start, end])
+- valid for append-only tables (TxTable.append): every commit's delta
+  is exactly its added files, the same contract Delta's streaming
+  source enforces ("ignoreChanges" errors otherwise). Overwrite /
+  upsert commits REMOVE files; the reader raises rather than silently
+  replaying rewritten state — use table_changes for CDF semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+
+def _read_log(path: str) -> list[dict]:
+    log_dir = os.path.join(path, "_txlog")
+    entries = []
+    for name in sorted(os.listdir(log_dir)):
+        if name.endswith(".json"):
+            with open(os.path.join(log_dir, name)) as f:
+                entries.append(json.load(f))
+    return entries
+
+
+def _files_at(entries: list[dict], version: int) -> list[str]:
+    live: list[str] = []
+    for e in entries[: version + 1]:
+        removed = set(e.get("remove", []))
+        live = [f for f in live if f not in removed] + list(e.get("add", []))
+    return live
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file_path: str):
+        self.file_path = file_path
+
+
+class _TxTableBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        entries = _read_log(self.path)
+        v = int(options.get("version", len(entries) - 1))
+        self.files = [
+            os.path.join(self.path, "files", n) for n in _files_at(entries, v)
+        ]
+
+    def partitions(self):
+        return [_FilePartition(f) for f in self.files]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow.parquet as pq
+
+        for batch in pq.ParquetFile(partition.file_path).iter_batches():
+            yield batch
+
+
+class _TxTableStreamReader(SimpleDataSourceStreamReader):
+    """Offsets are log versions: {"version": N} means everything
+    through commit N has been delivered."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def initialOffset(self) -> dict:
+        # -1 = deliver from the first commit (version 0) onward
+        return {"version": -1}
+
+    def _added_between(self, start_v: int, end_v: int) -> list[str]:
+        entries = _read_log(self.path)
+        files: list[str] = []
+        for v in range(start_v + 1, min(end_v, len(entries) - 1) + 1):
+            e = entries[v]
+            if e.get("remove"):
+                raise ValueError(
+                    "txtable streaming requires an append-only table: "
+                    f"version {v} removes files (overwrite/upsert). "
+                    "Use TxTable.table_changes for CDF semantics."
+                )
+            files.extend(e.get("add", []))
+        return [os.path.join(self.path, "files", n) for n in files]
+
+    def read(self, start: dict):
+        entries = _read_log(self.path)
+        latest = len(entries) - 1
+        start_v = int(start["version"])
+        end = {"version": max(latest, start_v)}
+        rows = self._rows(self._added_between(start_v, latest))
+        return (rows, end)
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(
+            self._added_between(int(start["version"]), int(end["version"]))
+        )
+
+    def _rows(self, files: list[str]):
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in files:
+            for batch in pq.ParquetFile(f).iter_batches():
+                out.extend(tuple(r.values()) for r in batch.to_pylist())
+        return iter(out)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the checkpoint; the log is immutable
+
+
+class TxTableDataSource(DataSource):
+    """Register once per session:
+    ``spark.dataSource.register(TxTableDataSource)`` — then
+    ``spark.read.format("txtable").option("path", p).load()`` (add
+    ``.option("version", n)`` for time travel), or
+    ``spark.readStream.format("txtable")`` for the append tail."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txtable"
+
+    def schema(self) -> StructType:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        entries = _read_log(self.options["path"])
+        v = int(self.options.get("version", len(entries) - 1))
+        files = _files_at(entries, v)
+        if not files:
+            files = _files_at(entries, 0)
+        sample = os.path.join(self.options["path"], "files", files[0])
+        return from_arrow_schema(pq.ParquetFile(sample).schema_arrow)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _TxTableBatchReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return _TxTableStreamReader(self.options)
