@@ -1189,3 +1189,57 @@ def cdc_mongo_envelope(spark, sf_dir):
         F.sum("k").alias("sum_k"),
         F.max("ord").alias("max_ord"),
     )
+
+
+@query(
+    "cdc_referential_audit",
+    oracle=CDC_CTE
+    + f"""
+    , alive AS (
+      SELECT pk FROM (
+        SELECT * FROM cdc_events WHERE ts_us <= {cdc.AS_OF_2024_01_15_US}
+        QUALIFY row_number() OVER (PARTITION BY pk ORDER BY ts_us DESC, ord2 DESC) = 1
+      ) WHERE op <> 'd'
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN a.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans
+    FROM events e
+    LEFT JOIN alive a ON e.user_id = a.pk
+    WHERE epoch_us(e.ts) <= {cdc.AS_OF_2024_01_15_US}
+      AND e.event_type IN ('click', 'view', 'purchase')
+    GROUP BY e.event_type
+    """,
+)
+def cdc_referential_audit(spark, sf_dir):
+    """Cross-stream referential consistency at a snapshot instant —
+    the multi-table problem every CDC deployment has (the reference
+    captures 4 FK-linked tables, postgresql-connector.yaml:39): apply
+    the parent stream's latest-state as of T, then count child events
+    up to T whose parent key is not alive (deleted or never created
+    at T). Nonzero orphan counts quantify apply-order skew between
+    per-table consumers. One pk-window for the parent state plus a
+    left join of the child scan against the (aggregated, broadcastable)
+    alive-key set."""
+    ev = load_table(spark, sf_dir, "events")
+    ce = cdc.cdc_events(spark, sf_dir)
+    alive = (
+        cdc.as_of_snapshot(ce, cdc.AS_OF_2024_01_15_US)
+        .select("pk")
+        .withColumn("_alive", F.lit(True))
+    )
+    child = ev.where(
+        (F.col("ts_us") <= cdc.AS_OF_2024_01_15_US)
+        & F.col("event_type").isin("click", "view", "purchase")
+    )
+    return (
+        child.join(alive, child.user_id == alive.pk, "left")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("_alive").isNull(), 1).otherwise(0)
+            ).alias("n_orphans"),
+        )
+    )

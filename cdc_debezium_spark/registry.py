@@ -48,6 +48,7 @@ _PRIORITY = [
     "events_ewma",
     "events_cusum",
     "events_gapfill_interp",
+    "cdc_referential_audit",
     "cdc_mysql_envelope",
     "cdc_mongo_envelope",
     "agg_theta_sketch_prod",
