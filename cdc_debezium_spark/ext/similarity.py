@@ -618,3 +618,82 @@ def cluster_balanced_sample(
         .where(F.col("rn") <= per_cell)
         .select("vec_id", "cell")
     )
+
+
+def mrl_rerank(
+    emb: DataFrame,
+    prefix_dims: int = 16,
+    n_queries: int = 10,
+    shortlist: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka-style two-stage retrieval: shortlist by cosine over
+    the first `prefix_dims` dimensions, then exact-rerank the
+    shortlist with the full vector — the standard cost structure for
+    MRL-trained embeddings (the coarse pass touches dims/prefix_dims
+    less memory bandwidth; the exact pass touches only
+    queries × shortlist vectors, not the corpus).
+
+    Both stages deterministic (score desc, id asc); emits the exact
+    cosine AND the prefix cosine so recall loss of the coarse stage is
+    inspectable per result. Plan: the prefix scan is the same
+    broadcast-join shape as brute_force_topk; the rerank joins the
+    (tiny) shortlist back to full vectors by id — no second corpus
+    pass in the score stage.
+    """
+    v = _with_unit(emb)
+    p = v.withColumn("pv", F.slice("v", 1, prefix_dims)).withColumn(
+        "pnorm",
+        F.sqrt(F.aggregate("pv", F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    q = p.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("pv").alias("qpv"),
+        F.col("pnorm").alias("qpnorm"),
+    )
+    coarse = p.select("vec_id", "pv", "pnorm").join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).withColumn(
+        "prefix_cos",
+        _dot(F.col("qpv"), F.col("pv")) / (F.col("qpnorm") * F.col("pnorm")),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("prefix_cos"), F.asc("vec_id")
+    )
+    short = (
+        coarse.withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= shortlist)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "prefix_cos")
+    )
+    qf = v.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    nf = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nnorm"),
+    )
+    exact = (
+        short.join(F.broadcast(qf), "query_id")
+        .join(nf, "neighbor_id")
+        .withColumn(
+            "cos",
+            _dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm")),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            round4(F.col("cos")).alias("cosine"),
+            round4(F.col("prefix_cos")).alias("prefix_cosine"),
+        )
+    )

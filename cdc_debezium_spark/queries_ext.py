@@ -3222,3 +3222,55 @@ def ext_text_bpe_encode(spark, sf_dir):
     return text.bpe_encode(
         load_table(spark, sf_dir, "documents"), n_merges=5
     )
+
+
+@query(
+    "ext_similarity_mrl_rerank",
+    oracle=f"""
+    WITH {EMB_CTE},
+    p AS (
+      SELECT vec_id, v, nrm, v[1:16] AS pv,
+             sqrt(list_reduce(list_transform(v[1:16], x -> x * x),
+                              (a, b) -> a + b)) AS pnrm
+      FROM n
+    ),
+    coarse AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, 17),
+                         i -> a.pv[i] * b.pv[i]), (x, y) -> x + y)
+               / (a.pnrm * b.pnrm) AS pc
+      FROM p a JOIN p b ON b.vec_id != a.vec_id
+      WHERE a.vec_id < 10
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, pc FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY pc DESC, neighbor_id) AS pr
+        FROM coarse) WHERE pr <= 50
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id, s.pc,
+             list_reduce(list_transform(range(1, len(a.v) + 1),
+                         i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+               / (a.nrm * b.nrm) AS c
+      FROM short s
+      JOIN n a ON a.vec_id = s.query_id
+      JOIN n b ON b.vec_id = s.neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id,
+           floor(c * 10000.0 + 0.5) / 10000.0 AS cosine,
+           floor(pc * 10000.0 + 0.5) / 10000.0 AS prefix_cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY c DESC, neighbor_id) AS rank
+          FROM exact)
+    WHERE rank <= 10
+    """,
+)
+def ext_similarity_mrl_rerank(spark, sf_dir):
+    """Matryoshka two-stage retrieval: 16-dim prefix-cosine shortlist
+    (50 per query), exact full-vector rerank to top-10, both cosines
+    emitted so coarse-stage recall loss is inspectable. The oracle
+    replays both stages — shortlist membership included — so the
+    pipeline's recall characteristic is verified, not just the ideal
+    answer (the project-wide two-phase-oracle rule)."""
+    return similarity.mrl_rerank(load_table(spark, sf_dir, "embeddings"))

@@ -49,6 +49,7 @@ _PRIORITY = [
     "events_cusum",
     "events_gapfill_interp",
     "cdc_referential_audit",
+    "ext_similarity_mrl_rerank",
     "cdc_mysql_envelope",
     "cdc_mongo_envelope",
     "agg_theta_sketch_prod",
