@@ -1612,3 +1612,98 @@ def events_cusum(spark, sf_dir):
         .cast("long")
         .alias("peak_hr"),
     )
+
+
+@query(
+    "events_trend_ols",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hr
+    ),
+    base AS (SELECT min(hr) AS h0 FROM hc),
+    x AS (
+      SELECT event_type, hr - h0 AS t, n FROM hc, base
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(t) AS BIGINT) AS sx,
+             CAST(sum(n) AS BIGINT) AS sy,
+             CAST(sum(t * n) AS BIGINT) AS sxy,
+             CAST(sum(t * t) AS BIGINT) AS sxx,
+             CAST(max(t) AS BIGINT) AS tmax
+      FROM x GROUP BY event_type
+    )
+    SELECT event_type, cnt AS n_hours,
+           floor((CAST(cnt AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(cnt AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * 10000.0 + 0.5) / 10000.0 AS slope_per_hr,
+           floor((CAST(sy AS DOUBLE) / cnt
+                  - (CAST(cnt AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (CAST(cnt AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(sx AS DOUBLE) / cnt))
+                 * 10000.0 + 0.5) / 10000.0 AS intercept,
+           floor(((CAST(sy AS DOUBLE) / cnt
+                  - (CAST(cnt AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (CAST(cnt AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(sx AS DOUBLE) / cnt))
+                  + (CAST(cnt AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (CAST(cnt AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (tmax + 24))
+                 * 10000.0 + 0.5) / 10000.0 AS forecast_24h
+    FROM s
+    """,
+)
+def events_trend_ols(spark, sf_dir):
+    """Closed-form OLS trend per event type over the hourly rate
+    series, plus the 24-hours-ahead point forecast — the capacity-
+    planning primitive (is the 'error' stream growing?). All five
+    regression sums are EXACT BIGINT aggregates (t and n are
+    integers); slope/intercept/forecast are the only double ops and
+    follow the identical expression tree on both engines, so outputs
+    are bit-exact with no distributed-float-summation caveat. One
+    map-side-combined aggregate over the hourly pre-agg; nothing
+    scales with raw data volume but the first groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts_us") / 3_600_000_000).alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+    h0 = hc.agg(F.min("hr").alias("h0"))
+    x = hc.crossJoin(F.broadcast(h0)).select(
+        "event_type", (F.col("hr") - F.col("h0")).alias("t"), "n"
+    )
+    s = x.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("t").alias("sx"),
+        F.sum("n").alias("sy"),
+        F.sum(F.col("t") * F.col("n")).alias("sxy"),
+        F.sum(F.col("t") * F.col("t")).alias("sxx"),
+        F.max("t").alias("tmax"),
+    )
+    cntd = F.col("cnt").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (cntd * F.col("sxy") - sxd * F.col("sy")) / (
+        cntd * F.col("sxx") - sxd * F.col("sx")
+    )
+    intercept = F.col("sy").cast("double") / F.col("cnt") - slope * (
+        sxd / F.col("cnt")
+    )
+    fc = intercept + slope * (F.col("tmax") + 24)
+
+    def r4(c):
+        return F.floor(c * 10000.0 + F.lit(0.5)) / 10000.0
+
+    return s.select(
+        "event_type",
+        F.col("cnt").alias("n_hours"),
+        r4(slope).alias("slope_per_hr"),
+        r4(intercept).alias("intercept"),
+        r4(fc).alias("forecast_24h"),
+    )

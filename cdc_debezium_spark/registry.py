@@ -50,6 +50,7 @@ _PRIORITY = [
     "events_gapfill_interp",
     "cdc_referential_audit",
     "ext_similarity_mrl_rerank",
+    "events_trend_ols",
     "cdc_mysql_envelope",
     "cdc_mongo_envelope",
     "agg_theta_sketch_prod",
