@@ -1707,3 +1707,66 @@ def events_trend_ols(spark, sf_dir):
         r4(intercept).alias("intercept"),
         r4(fc).alias("forecast_24h"),
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH mu AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, user_id
+      QUALIFY row_number() OVER (PARTITION BY event_type
+                                 ORDER BY n DESC, user_id) = 1
+    ),
+    mh AS (
+      SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hod
+      QUALIFY row_number() OVER (PARTITION BY event_type
+                                 ORDER BY n DESC, hod) = 1
+    )
+    SELECT mu.event_type,
+           mu.user_id AS modal_user, mu.n AS modal_user_n,
+           CAST(mh.hod AS BIGINT) AS modal_hour, mh.n AS modal_hour_n
+    FROM mu JOIN mh ON mu.event_type = mh.event_type
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Deterministic MODE aggregation: the most frequent value per
+    group with an explicit tie-break — NOT F.mode()/DuckDB mode(),
+    whose tie behavior is engine-defined and would never hash-match.
+    Expressed as count + rank-1 window (the portable formulation that
+    also extends to top-k modes); two independent modes (heaviest user
+    and busiest hour-of-day per event type) joined on the group key.
+    Both aggregates are map-side combined; the windows run over
+    group-cardinality rows, never raw data."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def modal(col_expr, name):
+        w = Window.partitionBy("event_type").orderBy(
+            F.desc("n"), F.asc(name)
+        )
+        return (
+            ev.select("event_type", col_expr.alias(name))
+            .groupBy("event_type", name)
+            .agg(F.count("*").alias("n"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    mu = modal(F.col("user_id"), "user_id").select(
+        "event_type",
+        F.col("user_id").alias("modal_user"),
+        F.col("n").alias("modal_user_n"),
+    )
+    mh = modal(
+        (F.floor(F.col("ts_us") / 3_600_000_000) % 24), "hod"
+    ).select(
+        "event_type",
+        F.col("hod").cast("long").alias("modal_hour"),
+        F.col("n").alias("modal_hour_n"),
+    )
+    return mu.join(mh, "event_type")

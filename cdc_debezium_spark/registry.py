@@ -51,6 +51,7 @@ _PRIORITY = [
     "cdc_referential_audit",
     "ext_similarity_mrl_rerank",
     "events_trend_ols",
+    "agg_mode",
     "cdc_mysql_envelope",
     "cdc_mongo_envelope",
     "agg_theta_sketch_prod",
