@@ -1301,3 +1301,40 @@ def join_interval_overlap(spark, sf_dir):
         b_start="s_start",
         b_end="s_end",
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(count(*) OVER w AS BIGINT) AS n_24h,
+           round(max(value) OVER w, 2) AS max_val_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE-framed window: per user, how many events (and the max
+    value) landed in the TRAILING 24 HOURS of event time — the frame
+    mode ROWS cannot express (the frame width is a time interval, not
+    a row count; simultaneous timestamps share one frame). Aggregates
+    chosen to be order-insensitive (count, max) so values are
+    engine-exact regardless of each engine's sliding-frame algorithm.
+    One shuffle on user_id; the range frame scans each partition once
+    with two pointers — linear, not per-row rescans."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("n_24h"),
+        F.round(F.max("value").over(w), 2).alias("max_val_24h"),
+    )

@@ -52,6 +52,7 @@ _PRIORITY = [
     "ext_similarity_mrl_rerank",
     "events_trend_ols",
     "agg_mode",
+    "window_range_frame",
     "cdc_mysql_envelope",
     "cdc_mongo_envelope",
     "agg_theta_sketch_prod",
