@@ -3274,3 +3274,62 @@ def ext_similarity_mrl_rerank(spark, sf_dir):
     pipeline's recall characteristic is verified, not just the ideal
     answer (the project-wide two-phase-oracle rule)."""
     return similarity.mrl_rerank(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "ext_text_feature_hashing",
+    oracle=f"""
+    WITH {TOK_CTE},
+    buck AS (
+      SELECT doc_id, {duck_word_hash('tok')} % 64 AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT doc_id, unnest(w) AS tok FROM tok
+            WHERE len(list_filter(w, t -> t <> '')) > 0)
+      WHERE tok <> ''
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS nnz,
+           CAST(max(n) AS BIGINT) AS max_bucket_n,
+           CAST(min(CASE WHEN n = mx THEN b END) AS BIGINT) AS argmax_bucket
+    FROM (SELECT *, max(n) OVER (PARTITION BY doc_id) AS mx FROM buck)
+    GROUP BY doc_id
+    """,
+)
+def ext_text_feature_hashing(spark, sf_dir):
+    """Feature hashing (the hashing trick): tokens map to a fixed
+    64-bucket feature space via the portable md5-prefix hash — the
+    vocabulary-free featurization quality classifiers use at corpus
+    scale (no vocab broadcast, no fit pass; the feature space is fixed
+    before any data is seen). Emits per-doc sparsity (nnz), the
+    heaviest bucket's count, and its index (first on ties) — scalar
+    projections of the sparse vector, engine-exact. Narrow explode +
+    one map-side-combined aggregate; nothing is corpus-global."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    from .ext.hashing import word_hash
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    buck = (
+        toks.select("doc_id", (word_hash(F.col("tok")) % 64).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    wd = Window.partitionBy("doc_id")
+    return (
+        buck.withColumn("mx", F.max("n").over(wd))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("nnz"),
+            F.max("n").alias("max_bucket_n"),
+            F.min(F.when(F.col("n") == F.col("mx"), F.col("b")))
+            .cast("long")
+            .alias("argmax_bucket"),
+        )
+    )

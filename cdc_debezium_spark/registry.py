@@ -53,6 +53,7 @@ _PRIORITY = [
     "events_trend_ols",
     "agg_mode",
     "window_range_frame",
+    "ext_text_feature_hashing",
     "cdc_mysql_envelope",
     "cdc_mongo_envelope",
     "agg_theta_sketch_prod",
