@@ -1338,3 +1338,34 @@ def window_range_frame(spark, sf_dir):
         F.count("*").over(w).alias("n_24h"),
         F.round(F.max("value").over(w), 2).alias("max_val_24h"),
     )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT r.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG / string_agg — the DW
+    report aggregate): per region, the comma-joined alphabetical
+    nation list. Engine-portable ONLY with an explicit ORDER BY inside
+    the aggregate — collect_list order is partition-dependent, so the
+    Spark side sorts the collected array before joining (sort_array +
+    concat_ws), making the result deterministic at any parallelism."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("n_name"))
+            ).alias("nations"),
+        )
+    )

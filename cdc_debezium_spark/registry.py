@@ -54,6 +54,7 @@ _PRIORITY = [
     "agg_mode",
     "window_range_frame",
     "ext_text_feature_hashing",
+    "agg_string_agg",
     "cdc_mysql_envelope",
     "cdc_mongo_envelope",
     "agg_theta_sketch_prod",
