@@ -103,15 +103,42 @@ class ConnectorPipeline:
         drop_tombstones = False
         unwrapped = False
         mask_fields: list[str] = []
+        # apply() runs a fixed route -> unwrap -> mask shape. A config
+        # whose declared chain order differs (e.g. mask BEFORE unwrap,
+        # which on a Connect worker masks envelope fields, not row
+        # fields) would be silently reordered — reject it instead, and
+        # reject duplicate stages of one type (Connect runs both; we
+        # would silently last-win).
+        _STAGE_RANK = {"route": 0, "unwrap": 1, "mask": 2}
+        seen_stages: list[str] = []
+
+        def _stage(kind: str, name: str) -> None:
+            if kind in seen_stages:
+                raise ValueError(
+                    f"duplicate {kind} transform {name!r}: chains with "
+                    "repeated stages of one type are not supported"
+                )
+            if seen_stages and _STAGE_RANK[kind] < _STAGE_RANK[seen_stages[-1]]:
+                raise ValueError(
+                    f"unsupported transform order at {name!r}: this "
+                    "pipeline applies route -> unwrap -> mask; declare "
+                    "transforms in that order (a Connect worker honors "
+                    "the declared order, so reordering would change "
+                    "semantics)"
+                )
+            seen_stages.append(kind)
+
         for name in names:
             t_type = config.get(f"transforms.{name}.type", "")
             short = t_type.rsplit(".", 1)[-1]
             if short == "RegexRouter":
+                _stage("route", name)
                 topic_route = regex_router(
                     config[f"transforms.{name}.regex"],
                     config[f"transforms.{name}.replacement"],
                 )
             elif short == "ExtractNewRecordState":
+                _stage("unwrap", name)
                 unwrapped = True
                 drop_tombstones = (
                     config.get(f"transforms.{name}.drop.tombstones", "true")
@@ -123,6 +150,7 @@ class ConnectorPipeline:
                 if delete_mode not in ("rewrite", "drop", "none"):
                     raise ValueError(f"unknown delete.handling.mode: {delete_mode}")
             elif short in ("MaskField$Value", "MaskField"):
+                _stage("mask", name)
                 mask_fields = [
                     c.strip()
                     for c in config[f"transforms.{name}.fields"].split(",")
@@ -147,9 +175,11 @@ class ConnectorPipeline:
 
     def apply(self, raw: DataFrame) -> dict[str, DataFrame]:
         """Run the compiled chain. Returns lanes:
-        ``changes`` (the configured output shape), ``drift`` (only when
+        ``changes`` (the configured output shape); ``drift`` (when
         include.schema.changes=true, mirroring the reference's
-        schema-change topic), ``tombstones`` (only when
+        schema-change topic) or ``quarantine`` (when it is false —
+        malformed payloads are still diverted, never unwrapped into
+        the changes lane); ``tombstones`` (only when
         drop.tombstones=false and the chain unwraps)."""
         if self.topic_route is not None and "topic" in raw.columns:
             raw = raw.withColumn("topic", self.topic_route(F.col("topic")))
@@ -164,9 +194,16 @@ class ConnectorPipeline:
                 route=(lambda c: c) if self.topic_route is not None else None,
             )
         lanes: dict[str, DataFrame] = {}
-        if self.expose_drift:
-            parsed, drift = split_drift(parsed)
-            lanes["drift"] = drift
+        # Malformed payloads (_corrupt_record set, op/before/after all
+        # null) are ALWAYS split off before tombstone detection and
+        # unwrap — with include.schema.changes=false they would
+        # otherwise dodge the tombstone predicate and unwrap into
+        # all-null change rows (silent data pollution). When drift is
+        # exposed they are the reference's schema-change topic
+        # ("drift"); when it is not, they still leave the changes lane,
+        # as a quarantine side output.
+        parsed, drift = split_drift(parsed)
+        lanes["drift" if self.expose_drift else "quarantine"] = drift
         if self.include_tables is not None:
             # Debezium applies table.include.list at CAPTURE, against
             # the database object name — match the source block
@@ -189,8 +226,6 @@ class ConnectorPipeline:
             & F.col("before").isNull()
             & F.col("after").isNull()
         )
-        if "_corrupt_record" in parsed.columns:  # drift lane not split off
-            is_tombstone = is_tombstone & F.col("_corrupt_record").isNull()
         if self.delete_mode == "__envelope__":
             out = parsed if not self.drop_tombstones else parsed.where(~is_tombstone)
         else:

