@@ -30,71 +30,22 @@ def query(key: str, oracle: str | None = None):
     return deco
 
 
-# Must-check-first order for a count-budgeted driver sample. Round-5
-# layout (per the r4 verdict's "Next round" #2): every key's latest
-# driver row is green, so staleness is the axis — 91 keys were last
-# driver-sampled in r1/r2. New r5 keys (never externally sampled)
-# lead, then the 47 keys whose last driver row is round 1 (flagship
-# CDC kernels first), then the 44 round-2-stale keys; r3/r4-fresh keys
-# follow via load_all()'s ordering.
+# Must-check-first order for a count-budgeted driver sample. Round-6
+# layout (per the r5 verdict's "Next round" #5): staleness-ordered —
+# after r5, 26 keys' latest driver row is round 1 and 44 are round 2.
+# New r6 keys (never externally sampled) lead, then the r1 cohort,
+# then the r2 cohort, then the oldest r3 keys; fresher keys follow via
+# load_all()'s ordering. A 50-key driver budget covers every new key,
+# all of r1, and the head of r2.
 _PRIORITY = [
-    # new r5 keys — never driver-sampled
-    "cdc_table_changes",
-    "cdc_gdpr_erasure",
-    "ext_text_bpe_train",
-    "ext_text_bpe_encode",
-    "join_interval_overlap",
-    "agg_cms_partial_merge",
-    "events_ewma",
-    "events_cusum",
-    "events_gapfill_interp",
-    "cdc_referential_audit",
-    "ext_similarity_mrl_rerank",
-    "events_trend_ols",
-    "agg_mode",
-    "window_range_frame",
-    "ext_text_feature_hashing",
-    "agg_string_agg",
-    "cdc_mysql_envelope",
-    "cdc_mongo_envelope",
-    "agg_theta_sketch_prod",
-    "agg_approx_quantile_prod",
-    "ext_eval_overlap_report",
-    "ext_sample_dsir",
-    "agg_hll_partial_merge",
-    "ext_text_kn_logprob",
-    "ext_graph_pagerank",
-    "events_funnel_windowed",
-    "scalar_url",
-    "scalar_interval",
-    "ext_multimodal_dhash",
-    # last driver row: round 1 — flagship kernels first
-    "cdc_latest_state",
-    "cdc_unwrap",
-    "cdc_delete_rewrite",
-    "cdc_scd2_history",
-    "cdc_as_of_snapshot",
-    "dedup_exact",
-    "agg_groupby",
-    "agg_rollup",
-    "join_inner",
-    "join_broadcast",
-    "join_large",
-    "join_as_of",
-    "window_rank",
-    "window_running",
-    "topk_per_group",
-    "udf_grouped_processor",
-    "scan_events",
-    "snapshot_union_stream",
-    "route_regex",
-    "json_roundtrip",
-    "filter_table_include",
-    "agg_sliding_window",
-    "agg_tumbling_window",
-    "agg_session_window",
+    # new r6 keys — never driver-sampled (appended as implemented)
+    "__NEW_R6__",
+    # last driver row: round 1 (26 keys)
     "agg_distinct",
+    "agg_session_window",
+    "agg_sliding_window",
     "agg_stats",
+    "agg_tumbling_window",
     "explode_array",
     "filter_predicates",
     "join_outer",
@@ -116,7 +67,7 @@ _PRIORITY = [
     "udf_cogroup_processor",
     "udtf_tokenize",
     "window_lag_lead",
-    # last driver row: round 2
+    # last driver row: round 2 (44 keys)
     "agg_approx_distinct",
     "agg_cube",
     "cdc_pipeline_metrics",
@@ -161,6 +112,50 @@ _PRIORITY = [
     "json_map_explode",
     "type_coercion",
     "window_distribution",
+    # last driver row: round 3 (43 keys)
+    "agg_approx_quantile",
+    "agg_approx_topk",
+    "agg_grouping_sets",
+    "agg_theta_sketch_distinct",
+    "cdc_agg_view",
+    "cdc_compaction_stats",
+    "cdc_schema_drift_stats",
+    "cdc_snapshot_diff",
+    "events_active_sessions_sweep",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_gapfill_locf",
+    "events_ohlc_downsample",
+    "events_rate_anomaly",
+    "events_rolling_active_users",
+    "ext_corpus_pipeline",
+    "ext_dedup_containment",
+    "ext_embedding_pq",
+    "ext_multimodal_shards",
+    "ext_sample_importance",
+    "ext_similarity_ivfpq",
+    "ext_text_bpe_pairs",
+    "ext_text_chunk_dedup",
+    "ext_text_dedup_report",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "udaf_grouped_agg",
 ]
 
 
