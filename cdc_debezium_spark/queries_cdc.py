@@ -685,7 +685,10 @@ def avro_roundtrip(spark, sf_dir):
     from .sources.avro_wire import (
         InMemorySchemaRegistry,
         from_avro_wire,
+        from_avro_wire_jvm,
+        jvm_avro_available,
         to_avro_wire,
+        to_avro_wire_jvm,
     )
 
     fields = [
@@ -697,6 +700,14 @@ def avro_roundtrip(spark, sf_dir):
     reg = InMemorySchemaRegistry()
     sid = reg.register("events-value", fields)
     ev = load_table(spark, sf_dir, "events")
+    if jvm_avro_available(spark, fields):
+        # spark-avro jar present: zero-Python whole-stage codec (the
+        # byte-level parity with the Python lane is pinned by the
+        # jar-gated test in tests/test_wire.py)
+        wire = to_avro_wire_jvm(ev, fields, sid).withColumn(
+            "n_bytes", F.length("value").cast("long")
+        )
+        return from_avro_wire_jvm(wire, fields, keep_cols=("n_bytes",))
     wire = to_avro_wire(ev, fields, sid).withColumn(
         "n_bytes", F.length("value").cast("long")
     )
