@@ -697,3 +697,73 @@ def mrl_rerank(
             round4(F.col("prefix_cos")).alias("prefix_cosine"),
         )
     )
+
+
+# Random-hyperplane LSH (sign-random-projection) -----------------------------
+
+
+def rp_planes(bits: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, engine-portable: each
+    coefficient is derived from the md5-prefix word hash of "rp:b:d"
+    mapped into [-1, 1] at 1/1000 resolution. No RNG state — the same
+    matrix regenerates in any engine (the DuckDB oracle inlines these
+    exact literals), the ANN index needs no training step, and the
+    planes are code, not data, at any corpus size.
+    """
+    import hashlib
+
+    out = []
+    for b in range(bits):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"rp:{b}:{d}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
+def rp_lsh_pairs(
+    emb: DataFrame, bits: int = 8, threshold: float = 0.4
+) -> DataFrame:
+    """Cosine near-dup pairs via sign-random-projection LSH (Charikar
+    2002 SimHash for real vectors): bucket = the `bits` sign bits of
+    fixed random projections; candidate pairs share a bucket; exact
+    float64 cosine verifies candidates only.
+
+    The third ANN family next to IVF (trained centroids) and MinHash
+    (token sets): training-free, one linear scan to bucket, and the
+    candidate join is keyed on the bucket id — work is the sum of
+    bucket-size squares, never corpus². Two vectors collide with
+    probability (1 - θ/π)^bits, so near-identical pairs (θ→0) land
+    together while the 2^bits bucket space scatters the bulk. Recall
+    contract: a pair is found iff no hyperplane separates it — the
+    oracle emulates exactly this pipeline, same as the minhash and IVF
+    lanes. All arithmetic is the strict left fold, bit-identical
+    cross-engine; sign test at >= 0.
+    """
+    planes = rp_planes(bits, 64)
+    v = _with_unit(emb)
+    bucket = F.lit(0)
+    for b, plane in enumerate(planes):
+        proj = _dot(F.col("v"), F.array(*[F.lit(c) for c in plane]))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    bucketed = v.withColumn("bucket", bucket)
+    a = bucketed.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    bb = bucketed.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    return (
+        a.join(bb, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .where(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", round4(F.col("cos")).alias("cosine"))
+    )

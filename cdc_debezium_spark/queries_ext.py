@@ -3349,3 +3349,53 @@ def ext_text_feature_hashing(spark, sf_dir):
             .alias("argmax_bucket"),
         )
     )
+
+
+# --- random-hyperplane LSH (round 6) ----------------------------------------
+
+_RP_BITS = 8
+
+
+def _rp_bucket_sql() -> str:
+    """DuckDB mirror of similarity.rp_lsh_pairs' bucketing: the same
+    literal hyperplanes (rp_planes is deterministic), the same strict
+    left-fold projection, the same >= 0 sign test."""
+    from .ext.similarity import rp_planes
+
+    terms = []
+    for b, plane in enumerate(rp_planes(_RP_BITS, 64)):
+        lits = "[" + ", ".join(repr(c) for c in plane) + "]"
+        proj = (
+            f"list_reduce(list_transform(range(1, 65), "
+            f"i -> v[i] * ({lits}::DOUBLE[])[i]), (a, x) -> a + x)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "ext_similarity_rp_lsh",
+    oracle=f"""
+    WITH {EMB_CTE},
+    b AS (SELECT vec_id, v, nrm, {_rp_bucket_sql()} AS bucket FROM n),
+    p AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             list_reduce(list_transform(range(1, len(x.v) + 1),
+               i -> x.v[i] * y.v[i]), (a, q) -> a + q) / (x.nrm * y.nrm) AS c
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT vec_a, vec_b, floor((c) * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM p WHERE c >= 0.4
+    """,
+)
+def ext_similarity_rp_lsh(spark, sf_dir):
+    """Sign-random-projection LSH near-dup pairs (Charikar 2002) — the
+    training-free ANN family next to IVF (trained centroids) and
+    MinHash (token sets): one codegen scan assigns each vector its
+    8-bit hyperplane-sign bucket, candidates share a bucket (join work
+    = sum of bucket squares, never corpus²), exact float64 cosine
+    verifies candidates only. Deterministic hyperplanes (md5-derived)
+    make the index pure code — nothing to train, persist, or ship."""
+    return similarity.rp_lsh_pairs(
+        load_table(spark, sf_dir, "embeddings"), bits=_RP_BITS, threshold=0.4
+    )

@@ -39,7 +39,8 @@ def query(key: str, oracle: str | None = None):
 # all of r1, and the head of r2.
 _PRIORITY = [
     # new r6 keys — never driver-sampled (appended as implemented)
-    "__NEW_R6__",
+    "ext_similarity_rp_lsh",
+    "avro_registry_roundtrip",
     # last driver row: round 1 (26 keys)
     "agg_distinct",
     "agg_session_window",
