@@ -1770,3 +1770,61 @@ def agg_mode(spark, sf_dir):
         F.col("n").alias("modal_hour_n"),
     )
     return mu.join(mh, "event_type")
+
+
+@query(
+    "events_lateness_audit",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+             max(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS seen_max
+      FROM events
+    ),
+    l AS (
+      SELECT event_type,
+             greatest(CAST(0 AS BIGINT), seen_max - us) AS late_us
+      FROM a WHERE seen_max IS NOT NULL
+    )
+    SELECT event_type,
+           least(late_us // 3600000000, CAST(6 AS BIGINT)) AS late_hours_bucket,
+           count(*) AS n_events,
+           max(late_us) AS max_late_us
+    FROM l GROUP BY event_type, late_hours_bucket
+    """,
+)
+def events_lateness_audit(spark, sf_dir):
+    """Event-time lateness audit — the measurement that SIZES a
+    watermark (E8): for each event, how far behind the maximum event
+    time already seen on its user's stream it arrived (arrival order =
+    event_id, the log sequence), bucketed per hour and capped at 6h+.
+    An operator reads this to pick `withWatermark` delay: the bucket
+    where counts go to ~zero is the delay that loses nothing. Shape:
+    one user-partitioned running max (co-partitioned with the ingest
+    key), then a tiny keyed rollup — no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    a = ev.select(
+        "event_type",
+        F.col("ts_us").alias("us"),
+        F.max("ts_us").over(w).alias("seen_max"),
+    ).where(F.col("seen_max").isNotNull())
+    late = F.greatest(F.lit(0).cast("long"), F.col("seen_max") - F.col("us"))
+    return (
+        a.select("event_type", late.alias("late_us"))
+        .groupBy(
+            "event_type",
+            F.least(
+                F.expr("late_us div 3600000000"), F.lit(6).cast("long")
+            ).alias("late_hours_bucket"),
+        )
+        .agg(F.count("*").alias("n_events"), F.max("late_us").alias("max_late_us"))
+    )

@@ -3399,3 +3399,34 @@ def ext_similarity_rp_lsh(spark, sf_dir):
     return similarity.rp_lsh_pairs(
         load_table(spark, sf_dir, "embeddings"), bits=_RP_BITS, threshold=0.4
     )
+
+
+@query(
+    "ext_dedup_graph_degree",
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    {NGRAM_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS u FROM pairs UNION ALL SELECT doc_b AS u FROM pairs
+    ),
+    deg AS (SELECT u AS doc_id, count(*) AS degree FROM edges GROUP BY u)
+    SELECT degree, count(*) AS n_docs
+    FROM deg GROUP BY degree
+    """,
+)
+def ext_dedup_graph_degree(spark, sf_dir):
+    """Dup-graph degree histogram — the template-spam detector on the
+    near-dup PAIR graph (a doc near-identical to hundreds of others is
+    boilerplate/template fill, not an organic duplicate; curation
+    treats high-degree nodes differently from pairwise dups). Shape:
+    the pair lanes' output rolled up twice — all cost is candidate
+    generation, shared with the other ngram lanes; the histogram adds
+    two tiny keyed aggregates."""
+    pairs = dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))

@@ -41,6 +41,8 @@ _PRIORITY = [
     # new r6 keys — never driver-sampled (appended as implemented)
     "ext_similarity_rp_lsh",
     "avro_registry_roundtrip",
+    "ext_dedup_graph_degree",
+    "events_lateness_audit",
     # last driver row: round 1 (26 keys)
     "agg_distinct",
     "agg_session_window",
