@@ -3430,3 +3430,86 @@ def ext_dedup_graph_degree(spark, sf_dir):
         .agg(F.count("*").alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "ext_dedup_minhash_recall",
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    {JACCARD_TAIL},
+    truth AS (
+      SELECT doc_a, doc_b FROM ver WHERE ni / (na + nb - ni) >= 0.5
+    ),
+    hwt AS (
+      SELECT doc_id, w, list_transform(w, t -> {duck_word_hash('t')}) AS hwl
+      FROM tok
+    ),
+    shh AS (SELECT doc_id, {duck_shingle_hashes('w')} AS s FROM hwt),
+    mpost AS (SELECT doc_id, unnest(s) AS h FROM shh),
+    sig AS (SELECT doc_id, {_duck_sig_cols()} FROM mpost GROUP BY doc_id),
+    mcand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id AND ({_duck_band_cond()})
+    ),
+    mver AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(x.s, y.s)) AS ni,
+             len(x.s) AS na, len(y.s) AS nb
+      FROM mcand c
+      JOIN shh x ON x.doc_id = c.doc_a
+      JOIN shh y ON y.doc_id = c.doc_b
+    ),
+    found AS (
+      SELECT doc_a, doc_b FROM mver WHERE ni / (na + nb - ni) >= 0.5
+    ),
+    u AS (
+      SELECT coalesce(t.doc_a, f.doc_a) AS doc_a,
+             coalesce(t.doc_b, f.doc_b) AS doc_b,
+             (t.doc_a IS NOT NULL)::INT AS is_true,
+             (f.doc_a IS NOT NULL)::INT AS is_found
+      FROM truth t FULL JOIN found f
+        ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
+    )
+    SELECT CAST(sum(is_true) AS BIGINT) AS n_true_pairs,
+           CAST(sum(is_found) AS BIGINT) AS n_lsh_pairs,
+           CAST(sum(is_true * is_found) AS BIGINT) AS n_hit,
+           CAST(sum(is_true * (1 - is_found)) AS BIGINT) AS n_missed,
+           floor(sum(is_true * is_found) * 10000.0 / sum(is_true) + 0.5)
+             / 10000.0 AS recall
+    FROM u
+    """,
+)
+def ext_dedup_minhash_recall(spark, sf_dir):
+    """LSH RECALL REPORT — the measurement behind every MinHash
+    deployment decision (band/row trade-off): ground truth is the
+    exact inverted-index Jaccard pairs, the candidate detector is the
+    banded-LSH + exact-verify lane, and the report counts hits/misses
+    and the recall ratio. Curation runs quote this number before
+    trusting LSH at full corpus scale (a pair is missed iff no band
+    collides — probability (1-j^r)^b, here j>=0.5, r=2, b=4). Both
+    pipelines share the shingle-hash rows; the join that compares
+    them is survivor-sized (hundreds of pairs, not candidates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(docs, 0.5).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_true")
+    )
+    found = dedup.minhash_near_dupes(docs, 0.5).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_found")
+    )
+    u = truth.join(found, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("is_true", F.lit(0)).alias("t"),
+        F.coalesce("is_found", F.lit(0)).alias("f"),
+    )
+    return u.agg(
+        F.sum("t").alias("n_true_pairs"),
+        F.sum("f").alias("n_lsh_pairs"),
+        F.sum(F.col("t") * F.col("f")).alias("n_hit"),
+        F.sum(F.col("t") * (1 - F.col("f"))).alias("n_missed"),
+        (
+            F.floor(
+                F.sum(F.col("t") * F.col("f")) * 10000.0 / F.sum("t") + 0.5
+            )
+            / 10000.0
+        ).alias("recall"),
+    )

@@ -43,6 +43,7 @@ _PRIORITY = [
     "avro_registry_roundtrip",
     "ext_dedup_graph_degree",
     "events_lateness_audit",
+    "ext_dedup_minhash_recall",
     # last driver row: round 1 (26 keys)
     "agg_distinct",
     "agg_session_window",
