@@ -59,6 +59,8 @@ HEADLINE = [
     "agg_approx_quantile_prod",  # sketch-only quantile plan (r5)
     "ext_text_kn_logprob",   # §2.G Kneser-Ney smoothed LM scoring (r5)
     "ext_eval_overlap_report",  # §2.G train/eval n-gram overlap (r5)
+    "ext_similarity_rp_lsh",  # §2.G sign-random-projection LSH ANN (r6)
+    "ext_dedup_minhash_recall",  # §2.G LSH recall vs exact truth (r6)
     "tpch_q5",               # flagship 6-table snowflake join
     "tpch_q6",               # flagship scan-filter-agg (I/O-bound shape)
     "tpch_q18",              # flagship HAVING semi-join

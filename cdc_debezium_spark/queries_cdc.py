@@ -1320,3 +1320,133 @@ def avro_registry_roundtrip(spark, sf_dir):
         "event_id long, user_id long, event_type string, value double, n_bytes long",
         keep_cols=("n_bytes",),
     )
+
+
+@query(
+    "cdc_connect_config_pipeline",
+    # the oracle mirrors the COMPILED chain relationally: corrupt rows
+    # quarantine (checked first), null values tombstone, the include
+    # filter keeps 4 of 5 tables (tombstones pass — null source),
+    # unwrap rewrites deletes to the before image, MaskField nulls
+    # `name` (n_names_nonnull must be 0 for every change row)
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type,
+             CASE event_type WHEN 'signup' THEN 'c'
+                             WHEN 'error'  THEN 'd' ELSE 'u' END AS op,
+             (event_id % 997 = 0) AS corrupt,
+             (event_id % 997 <> 0 AND event_id % 991 = 0) AS tomb
+      FROM events
+    ),
+    ch AS (
+      SELECT 'change:' || op AS lane,
+             count(*) AS n_rows,
+             CAST(sum(user_id) AS BIGINT) AS sum_ids,
+             CAST(0 AS BIGINT) AS n_names_nonnull
+      FROM base
+      WHERE NOT corrupt AND NOT tomb
+        AND event_type IN ('signup', 'click', 'purchase', 'error')
+      GROUP BY op
+    )
+    SELECT lane, n_rows, sum_ids, n_names_nonnull FROM ch
+    UNION ALL
+    SELECT 'tombstones', count(*), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM base WHERE tomb
+    UNION ALL
+    SELECT 'quarantine', count(*), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM base WHERE corrupt
+    """,
+)
+def cdc_connect_config_pipeline(spark, sf_dir):
+    """The CONFIG COMPILER end-to-end behind the correctness gate: the
+    reference's own connector properties (RegexRouter + 
+    ExtractNewRecordState rewrite + MaskField + table.include.list,
+    postgresql-connector.yaml:38-56) compiled by ConnectorPipeline and
+    applied to a re-serialized wire stream that contains clean
+    envelopes, malformed payloads (event_id % 997 — must land in the
+    unconditional quarantine lane, never as all-null change rows; the
+    r5 advice fix), and tombstones (event_id % 991 — kept, null source
+    passes capture-side include). The report proves each lane's
+    membership, the delete rewrite, and that the masked column is null
+    on every change row. Shape: one codegen wire roundtrip + three
+    keyed aggregates; zero exchanges before the rollups."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from .sources.config import ConnectorPipeline
+
+    cfg = {
+        "connector.class": "io.debezium.connector.postgresql.PostgresConnector",
+        "table.include.list": (
+            "public.signup,public.click,public.purchase,public.error"
+        ),
+        "include.schema.changes": "false",
+        "transforms": "route,unwrap,mask",
+        "transforms.route.type": "org.apache.kafka.connect.transforms.RegexRouter",
+        "transforms.route.regex": r"([^.]+)\.([^.]+)\.([^.]+)",
+        "transforms.route.replacement": "$3",
+        "transforms.unwrap.type": "io.debezium.transforms.ExtractNewRecordState",
+        "transforms.unwrap.drop.tombstones": "false",
+        "transforms.unwrap.delete.handling.mode": "rewrite",
+        "transforms.mask.type": "org.apache.kafka.connect.transforms.MaskField$Value",
+        "transforms.mask.fields": "name",
+    }
+    row_schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    row = F.struct(
+        F.col("user_id").alias("id"), F.col("event_type").alias("name")
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.when(op == "d", row).alias("before"),
+            F.when(op != "d", row).alias("after"),
+            F.struct(
+                F.lit("public").alias("schema"),
+                F.col("event_type").alias("table"),
+                F.col("event_id").alias("lsn"),
+                (F.col("ts_us") / 1000).cast("long").alias("ts_ms"),
+                F.lit("false").alias("snapshot"),
+            ).alias("source"),
+            op.alias("op"),
+            (F.col("ts_us") / 1000).cast("long").alias("ts_ms"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    value = (
+        F.when(F.col("event_id") % 997 == 0, F.lit("{not json"))
+        .when(F.col("event_id") % 991 == 0, F.lit(None).cast("string"))
+        .otherwise(envelope)
+    )
+    wire = ev.select(
+        F.concat(F.lit("prod.public."), "event_type").alias("topic"),
+        value.alias("value"),
+    )
+    lanes = ConnectorPipeline.build(cfg, row_schema).apply(wire)
+    ch = lanes["changes"].groupBy(
+        F.concat(F.lit("change:"), F.col("op")).alias("lane")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.coalesce(F.sum("id"), F.lit(0)).cast("long").alias("sum_ids"),
+        F.sum(F.when(F.col("name").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_names_nonnull"),
+    )
+
+    def scalar_lane(df, label):
+        return df.agg(F.count("*").alias("n_rows")).select(
+            F.lit(label).alias("lane"),
+            "n_rows",
+            F.lit(0).cast("long").alias("sum_ids"),
+            F.lit(0).cast("long").alias("n_names_nonnull"),
+        )
+
+    return ch.unionByName(scalar_lane(lanes["tombstones"], "tombstones")).unionByName(
+        scalar_lane(lanes["quarantine"], "quarantine")
+    )

@@ -44,6 +44,7 @@ _PRIORITY = [
     "ext_dedup_graph_degree",
     "events_lateness_audit",
     "ext_dedup_minhash_recall",
+    "cdc_connect_config_pipeline",
     # last driver row: round 1 (26 keys)
     "agg_distinct",
     "agg_session_window",
