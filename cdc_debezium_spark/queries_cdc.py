@@ -1258,20 +1258,25 @@ def cdc_referential_audit(spark, sf_dir):
 
 # --- Schema-Registry protocol, executed (round 6) ----------------------------
 
-_REGISTRY_SERVER = None
+_REGISTRY_SERVERS: dict = {}
 
 
-def _registry_server():
-    """Session-lifetime in-process registry stub (daemon thread). In
-    production the URL points at the deployed registry service
-    (values.yaml:63-69) reachable from executors; the localhost stub
-    serves local[*] runs, where executor threads share the process."""
-    global _REGISTRY_SERVER
-    if _REGISTRY_SERVER is None:
+def _registry_server(lane: str = "default"):
+    """Session-lifetime in-process registry stub (daemon thread), ONE
+    PER LANE (r6 advice: a shared server made the oracle's
+    first-registered-id assumption ordering-dependent — any earlier
+    registration by another lane/test would shift the content-
+    addressed id). Each lane owns its server, so "my first schema has
+    id 1" is structural, and re-invocation is idempotent through the
+    content-addressed register. In production the URL points at the
+    deployed registry service (values.yaml:63-69) reachable from
+    executors; the localhost stub serves local[*] runs, where executor
+    threads share the process."""
+    if lane not in _REGISTRY_SERVERS:
         from .sources.schema_registry import SchemaRegistryServer
 
-        _REGISTRY_SERVER = SchemaRegistryServer()
-    return _REGISTRY_SERVER
+        _REGISTRY_SERVERS[lane] = SchemaRegistryServer()
+    return _REGISTRY_SERVERS[lane]
 
 
 @query(
@@ -1307,7 +1312,7 @@ def avro_registry_roundtrip(spark, sf_dir):
         ("event_type", "string"),
         ("value", "double"),
     ]
-    url = _registry_server().url
+    url = _registry_server("avro_registry_roundtrip").url
     sid = SchemaRegistryClient(url).register("events-value", fields)
     ev = load_table(spark, sf_dir, "events")
     wire = to_avro_wire(ev, fields, sid).withColumn(

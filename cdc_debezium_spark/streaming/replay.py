@@ -48,7 +48,18 @@ def write_event_chunks(
     redelivery simulation (offset replay after crash,
     prod-resources.yaml:14-20). Test-fixture generator: collects to the
     driver by design (bounded test data, never a production path).
+
+    Chunk files get STRICTLY INCREASING mtimes (``os.utime``): Spark's
+    file streaming source orders pending files by modification time
+    with ties broken arbitrarily, so back-to-back writes under load
+    can land in one mtime tick and be delivered out of log order. The
+    explicit stamps make "one chunk per micro-batch, in log order" a
+    guarantee of the fixture rather than a timing accident — the
+    per-partition offset ordering a keyed Kafka topic gives every
+    consumer.
     """
+    import time
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -62,13 +73,18 @@ def write_event_chunks(
     n = len(ev)
     per = (n + n_chunks - 1) // n_chunks
     total = 0
+    t0 = time.time() - (n_chunks * repeat + 1)  # stay in the past
+    seq = 0
     for i in range(n_chunks):
         chunk = ev.iloc[i * per : (i + 1) * per]
         if chunk.empty:
             continue
         table = pa.Table.from_pandas(chunk, preserve_index=False)
         for r in range(repeat):
-            pq.write_table(table, f"{out_dir}/chunk_{i:04d}_{r}.parquet")
+            path = f"{out_dir}/chunk_{i:04d}_{r}.parquet"
+            pq.write_table(table, path)
+            os.utime(path, (t0 + seq, t0 + seq))
+            seq += 1
             total += len(chunk)
     return total
 

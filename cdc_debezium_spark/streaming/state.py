@@ -766,16 +766,27 @@ def backup_state(paths: Sequence[str], backup_dir: str) -> None:
         # Re-backup into the same dir must not die mid-loop on an
         # existing target (that would leave a partial {state,
         # checkpoint} pair — the inconsistency the pair-snapshot
-        # exists to prevent): stage the copy beside the target, then
-        # swap it in, so each entry is replaced atomically.
+        # exists to prevent): stage the copy beside the target, move
+        # the old entry ASIDE (not away) before renaming the new one
+        # in, and only then delete it. The destructive rmtree happens
+        # strictly after the replacement exists, so at every point at
+        # least one COMPLETE copy survives on disk: worst case (crash
+        # between the two renames) the entry sits as dst.old + dst.tmp
+        # instead of dst — recoverable, unlike the r6-advice hazard
+        # where rmtree-then-rename destroyed the old backup before the
+        # new one landed and a crash left the entry absent entirely.
         dst = os.path.join(backup_dir, os.path.basename(p))
         tmp = dst + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        old = dst + ".old"
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
         shutil.copytree(p, tmp)
         if os.path.exists(dst):
-            shutil.rmtree(dst)
+            os.rename(dst, old)
         os.rename(tmp, dst)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
 
 def restore_state(paths: Sequence[str], backup_dir: str) -> None:

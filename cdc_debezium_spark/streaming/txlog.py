@@ -292,6 +292,18 @@ class TxUpsertSink:
     see a consistent version, and redelivered batches are absorbed
     because the latest-state fold is idempotent (E10). The streaming
     analog of a Delta `foreachBatch MERGE` sink, with no dependency.
+
+    The fold RETAINS tombstones in committed state (compacted-topic
+    contract, same as ParquetUpsertSink): a delete stays a row that
+    wins the per-key ordering, and ``read_live`` filters it. This is
+    what makes the sink robust to batch-level reordering — Spark's
+    file streaming source orders files by modification time with ties
+    broken arbitrarily, so under load several pending files can land
+    in one mtime tick and arrive out of log order. With tombstones
+    dropped at commit time (the pre-r7 behavior), a reordered older
+    event in a later batch resurrected the deleted key; with them
+    retained, the event's own order columns decide every fold, and
+    the result is independent of batch arrival order.
     """
 
     def __init__(
@@ -306,6 +318,8 @@ class TxUpsertSink:
         self.keys = list(keys)
         self.order = list(order)
         self.op_col = op_col
+        # read-side filter only; commits always keep tombstones so the
+        # fold commutes across batch reordering/redelivery
         self.drop_deleted = drop_deleted
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
@@ -316,8 +330,11 @@ class TxUpsertSink:
             keys=self.keys,
             order=self.order,
             op_col=self.op_col,
-            drop_deleted=self.drop_deleted,
+            drop_deleted=False,
         )
 
     def read_live(self, spark: SparkSession) -> DataFrame:
-        return TxTable(spark, self.path).snapshot()
+        df = TxTable(spark, self.path).snapshot()
+        if self.drop_deleted:
+            df = df.filter(F.col(self.op_col) != "d")
+        return df
