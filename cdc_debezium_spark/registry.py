@@ -30,67 +30,16 @@ def query(key: str, oracle: str | None = None):
     return deco
 
 
-# Must-check-first order for a count-budgeted driver sample. Round-6
-# layout (per the r5 verdict's "Next round" #5): staleness-ordered —
-# after r5, 26 keys' latest driver row is round 1 and 44 are round 2.
-# New r6 keys (never externally sampled) lead, then the r1 cohort,
-# then the r2 cohort, then the oldest r3 keys; fresher keys follow via
+# Must-check-first order for a count-budgeted driver sample. Round-7
+# layout (per the r6 verdict's "Next round" #6): staleness-ordered —
+# after r6 every key is green and max staleness is round 2 (26 keys),
+# then round 3 (43 keys). New r7 keys (never externally sampled) lead,
+# then the r2 cohort, then the r3 cohort; fresher keys follow via
 # load_all()'s ordering. A 50-key driver budget covers every new key,
-# all of r1, and the head of r2.
+# the whole r2 cohort, and the head of r3.
 _PRIORITY = [
-    # new r6 keys — never driver-sampled (appended as implemented)
-    "ext_similarity_rp_lsh",
-    "avro_registry_roundtrip",
-    "ext_dedup_graph_degree",
-    "events_lateness_audit",
-    "ext_dedup_minhash_recall",
-    "cdc_connect_config_pipeline",
-    # last driver row: round 1 (26 keys)
-    "agg_distinct",
-    "agg_session_window",
-    "agg_sliding_window",
-    "agg_stats",
-    "agg_tumbling_window",
-    "explode_array",
-    "filter_predicates",
-    "join_outer",
-    "join_range",
-    "join_semi_anti",
-    "pivot_status",
-    "project_basic",
-    "scalar_array_map",
-    "scalar_conditional",
-    "scalar_datetime",
-    "scalar_hash",
-    "scalar_json",
-    "scalar_math",
-    "scalar_string",
-    "set_intersect_except",
-    "set_union",
-    "sort_orderby",
-    "sql_pricing_summary",
-    "udf_cogroup_processor",
-    "udtf_tokenize",
-    "window_lag_lead",
-    # last driver row: round 2 (44 keys)
-    "agg_approx_distinct",
-    "agg_cube",
-    "cdc_pipeline_metrics",
-    "doc_nested_roundtrip",
-    "ext_cluster_profile",
-    "ext_corpus_clean",
-    "ext_decontaminate",
-    "ext_dedup_canonical",
-    "ext_dedup_clusters",
-    "ext_dedup_embedding",
-    "ext_dedup_embedding_blocked",
-    "ext_dedup_exact",
-    "ext_dedup_minhash",
-    "ext_dedup_minhash_incremental",
-    "ext_dedup_ngram",
-    "ext_dedup_simhash",
-    "ext_dedup_simhash_pairs",
-    "ext_dedup_spans",
+    # new r7 keys — never driver-sampled (appended as implemented)
+    # last driver row: round 2 (26 keys) — the max-staleness cohort
     "ext_embedding_quantize",
     "ext_multimodal_frames",
     "ext_multimodal_patches",

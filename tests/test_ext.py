@@ -386,6 +386,27 @@ def test_clusters_consistent_with_pairs(docs):
         assert canon in labels  # the canonical doc is itself clustered
 
 
+def test_clusters_adaptive_paths_agree(docs, spark):
+    """The driver union-find fast path and the alternating-star
+    distributed path must emit IDENTICAL labels (the adaptive switch
+    is a physical-strategy choice, never a semantic one) — including
+    self-pair singletons on both paths."""
+    pairs = dedup.ngram_jaccard_pairs(docs, 0.5)
+    with_self = pairs.select("doc_a", "doc_b").unionByName(
+        spark.createDataFrame([(999_999, 999_999)], "doc_a long, doc_b long")
+    )
+    fast = {
+        (r.doc_id, r.canonical_id)
+        for r in dedup.near_dup_clusters(with_self).collect()
+    }
+    dist = {
+        (r.doc_id, r.canonical_id)
+        for r in dedup.near_dup_clusters(with_self, small_edge_limit=0).collect()
+    }
+    assert fast == dist
+    assert (999_999, 999_999) in fast
+
+
 def test_scrub_removes_lexicon_tokens(spark):
     """Scrubbed text must contain no lexicon token and every PII hit;
     counts must equal the number of replacements actually made."""
