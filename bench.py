@@ -67,6 +67,7 @@ HEADLINE = [
     "ext_eval_overlap_report",  # §2.G train/eval n-gram overlap (r5)
     "ext_similarity_rp_lsh",  # §2.G sign-random-projection LSH ANN (r6)
     "ext_dedup_minhash_recall",  # §2.G LSH recall vs exact truth (r6)
+    "ext_similarity_ivf_recall",  # §2.G IVF recall vs exact truth (r7)
     "tpch_q5",               # flagship 6-table snowflake join
     "tpch_q6",               # flagship scan-filter-agg (I/O-bound shape)
     "tpch_q18",              # flagship HAVING semi-join

@@ -39,6 +39,7 @@ def query(key: str, oracle: str | None = None):
 # the whole r2 cohort, and the head of r3.
 _PRIORITY = [
     # new r7 keys — never driver-sampled (appended as implemented)
+    "ext_similarity_ivf_recall",
     # last driver row: round 2 (26 keys) — the max-staleness cohort
     "ext_embedding_quantize",
     "ext_multimodal_frames",
