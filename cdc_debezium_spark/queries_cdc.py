@@ -1455,3 +1455,74 @@ def cdc_connect_config_pipeline(spark, sf_dir):
     return ch.unionByName(scalar_lane(lanes["tombstones"], "tombstones")).unionByName(
         scalar_lane(lanes["quarantine"], "quarantine")
     )
+
+
+# --- Elasticsearch bulk protocol, executed (round 7) -------------------------
+
+_ES_SERVERS: dict = {}
+
+
+def _es_server(lane: str):
+    """Session-lifetime in-process ES bulk server, one per lane (same
+    isolation rationale as _registry_server). Lane re-invocation is
+    idempotent: external_gte re-applies of equal-versioned operations
+    land the identical state."""
+    if lane not in _ES_SERVERS:
+        from .sinks_es import EsBulkServer
+
+        _ES_SERVERS[lane] = EsBulkServer()
+    return _ES_SERVERS[lane]
+
+
+@query(
+    "cdc_es_bulk_roundtrip",
+    oracle=CDC_CTE
+    + """
+    SELECT pk, ts_us AS version_us, val AS last_val
+    FROM (
+      SELECT * FROM cdc_events
+      QUALIFY row_number() OVER (PARTITION BY pk ORDER BY ts_us DESC, ord2 DESC) = 1
+    )
+    WHERE op <> 'd'
+    """,
+)
+def cdc_es_bulk_roundtrip(spark, sf_dir):
+    """The Elasticsearch SINK PROTOCOL executed end-to-end behind the
+    correctness gate (r6 "What's missing" #2): the CDC stream is
+    bulk-POSTed from the EXECUTORS to a real HTTP server speaking the
+    public Bulk API (NDJSON index/delete actions, one op per event),
+    with each operation versioned by its event-order key under
+    ``version_type: external_gte`` — the public ES recipe for CDC
+    consumers. The input is deliberately round-robin repartitioned so
+    wire delivery order bears no relation to log order; the landed
+    index must STILL equal batch latest-state (deletes absent),
+    because ordering rides in the operations and the store's
+    optimistic concurrency rejects stale writes (409 items). Readback
+    is one key-cardinality-bounded _search (driver gate only;
+    production reads ES directly). Reference declares the sink at
+    README.md:48,77 / values.yaml:85-90 with no consumer code; the
+    version packing (ts_us*4096 + ord2 mod 4096) is documented
+    strict for any per-key ts tie closer than 4096 ordinals."""
+    from .sinks_es import EsBulkSink, search_all
+
+    srv = _es_server("cdc_es_bulk_roundtrip")
+    ce = cdc.cdc_events(spark, sf_dir)
+    wire = ce.select(
+        "pk",
+        (F.col("ts_us") * 4096 + F.pmod(F.col("ord2"), F.lit(4096))).alias("ver"),
+        "op",
+        "ts_us",
+        "val",
+    ).repartition(8)  # scramble delivery order on purpose
+    EsBulkSink(srv.url, "cdc_state", key_col="pk", version_col="ver", op_col="op")(
+        wire
+    )
+    hits = search_all(srv.url, "cdc_state")
+    rows = [
+        (int(h["_id"]), int(h["_source"]["ts_us"]), float(h["_source"]["val"]))
+        for h in hits
+    ]
+    schema = "pk long, version_us long, last_val double"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)

@@ -40,6 +40,7 @@ def query(key: str, oracle: str | None = None):
 _PRIORITY = [
     # new r7 keys — never driver-sampled (appended as implemented)
     "ext_similarity_ivf_recall",
+    "cdc_es_bulk_roundtrip",
     # last driver row: round 2 (26 keys) — the max-staleness cohort
     "ext_embedding_quantize",
     "ext_multimodal_frames",
