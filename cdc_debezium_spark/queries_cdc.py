@@ -1526,3 +1526,143 @@ def cdc_es_bulk_roundtrip(spark, sf_dir):
     if not rows:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(rows, schema)
+
+
+# --- ClickHouse HTTP protocol, executed (round 7) ----------------------------
+
+_CH_SERVERS: dict = {}
+
+
+def _ch_server(lane: str):
+    """Session-lifetime in-process ClickHouse-interface server, one per
+    lane. Lane re-invocation appends duplicate (key, version) parts
+    that FINAL collapses — idempotent by the ReplacingMergeTree
+    contract itself."""
+    if lane not in _CH_SERVERS:
+        from .sinks_clickhouse import ClickHouseServer
+
+        _CH_SERVERS[lane] = ClickHouseServer()
+    return _CH_SERVERS[lane]
+
+
+@query(
+    "cdc_clickhouse_replacing_roundtrip",
+    oracle=CDC_CTE
+    + """
+    SELECT pk, ts_us AS version_us, val AS last_val
+    FROM (
+      SELECT * FROM cdc_events
+      QUALIFY row_number() OVER (PARTITION BY pk ORDER BY ts_us DESC, ord2 DESC) = 1
+    )
+    WHERE op <> 'd'
+    """,
+)
+def cdc_clickhouse_replacing_roundtrip(spark, sf_dir):
+    """The ClickHouse SINK PROTOCOL executed end-to-end behind the
+    correctness gate (r6 "What's missing" #2, second protocol): DDL
+    over the public HTTP interface creates a
+    ``ReplacingMergeTree(ver, is_deleted) ORDER BY pk`` table — the
+    public CH recipe for CDC consumers — then the CDC stream lands as
+    per-partition JSONEachRow insert POSTs from the EXECUTORS, each an
+    immutable part, with delivery order deliberately scrambled and
+    deletes as is_deleted=1 rows carrying their event-order version.
+    ``SELECT * FINAL`` must equal batch latest-state: the collapse
+    keeps the max-version row per key and drops soft-deleted winners,
+    so ordering rides in the data, not the arrival sequence. Readback
+    is key-cardinality bounded (driver gate only). Reference declares
+    the sink at README.md:50 / values.yaml:91-94 with no consumer
+    code."""
+    from .sinks_clickhouse import ClickHouseInsertSink, ch_execute, ch_select_final
+
+    srv = _ch_server("cdc_clickhouse_replacing_roundtrip")
+    ch_execute(
+        srv.url,
+        "CREATE TABLE cdc_state (pk Int64, ver Int64, ts_us Int64, "
+        "val Float64, is_deleted UInt8) "
+        "ENGINE = ReplacingMergeTree(ver, is_deleted) ORDER BY pk",
+    )
+    ce = cdc.cdc_events(spark, sf_dir)
+    wire = ce.select(
+        "pk",
+        (F.col("ts_us") * 4096 + F.pmod(F.col("ord2"), F.lit(4096))).alias("ver"),
+        "op",
+        "ts_us",
+        "val",
+    ).repartition(8)  # scramble delivery order on purpose
+    ClickHouseInsertSink(srv.url, "cdc_state", version_col="ver")(wire)
+    rows = [
+        (int(r["pk"]), int(r["ts_us"]), float(r["val"]))
+        for r in ch_select_final(srv.url, "cdc_state")
+    ]
+    schema = "pk long, version_us long, last_val double"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)
+
+
+# --- Redis RESP protocol, executed (round 7) ---------------------------------
+
+_REDIS_SERVERS: dict = {}
+
+
+def _redis_server(lane: str):
+    """Session-lifetime in-process RESP server, one per lane. Lane
+    re-invocation replays the same ordered chunks — every SET rewrites
+    an identical value, every DEL re-deletes — so the final KV state
+    is idempotent under redelivery."""
+    if lane not in _REDIS_SERVERS:
+        from .sinks_redis import RedisRespServer
+
+        _REDIS_SERVERS[lane] = RedisRespServer()
+    return _REDIS_SERVERS[lane]
+
+
+@query(
+    "cdc_redis_latest_kv_roundtrip",
+    oracle=CDC_CTE
+    + """
+    SELECT pk, ts_us AS version_us, val AS last_val
+    FROM (
+      SELECT * FROM cdc_events
+      QUALIFY row_number() OVER (PARTITION BY pk ORDER BY ts_us DESC, ord2 DESC) = 1
+    )
+    WHERE op <> 'd'
+    """,
+)
+def cdc_redis_latest_kv_roundtrip(spark, sf_dir):
+    """The Redis SINK PROTOCOL executed end-to-end behind the
+    correctness gate (r6 "What's missing" #2, third protocol — with
+    this lane all four declared sinks' protocols are exercised: ES
+    bulk, ClickHouse HTTP, Redis RESP, DW parquet-native): the CDC log
+    is applied as three ORDERED chunks (the per-partition delivery
+    order a keyed topic guarantees — Redis has no server-side
+    versioning, so order is the public contract here, unlike the
+    ES/CH lanes where versions ride in the data), each chunk reduced
+    to per-key newest (tombstones kept) and pipelined as RESP2
+    SET/DEL from the EXECUTORS over real TCP. Readback: KEYS + GET
+    pipeline, key-cardinality bounded (driver gate only). Reference
+    declares the sink at README.md:51 / values.yaml:95-99."""
+    import json as _json
+
+    from .sinks_redis import RedisLatestKvSink, RespClient
+
+    srv = _redis_server("cdc_redis_latest_kv_roundtrip")
+    cli = RespClient(srv.host, srv.port)
+    cli.execute(b"FLUSHDB")  # lane-owned DB; re-invocation starts clean
+    ce = cdc.cdc_events(spark, sf_dir).select("pk", "ord2", "ts_us", "op", "val")
+    hi = ce.agg(F.max("ord2")).first()[0] + 1
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    sink = RedisLatestKvSink(srv.host, srv.port)
+    for i in range(3):  # log order, as a keyed topic delivers
+        sink(ce.where((F.col("ord2") >= cuts[i]) & (F.col("ord2") < cuts[i + 1])))
+    keys = cli.execute(b"KEYS", b"*")
+    vals = cli.pipeline([[b"GET", k] for k in keys]) if keys else []
+    cli.close()
+    rows = []
+    for k, v in zip(keys, vals):
+        d = _json.loads(v)
+        rows.append((int(k.decode().split(":", 1)[1]), int(d["ts_us"]), float(d["val"])))
+    schema = "pk long, version_us long, last_val double"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)

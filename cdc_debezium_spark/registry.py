@@ -41,6 +41,8 @@ _PRIORITY = [
     # new r7 keys — never driver-sampled (appended as implemented)
     "ext_similarity_ivf_recall",
     "cdc_es_bulk_roundtrip",
+    "cdc_clickhouse_replacing_roundtrip",
+    "cdc_redis_latest_kv_roundtrip",
     # last driver row: round 2 (26 keys) — the max-staleness cohort
     "ext_embedding_quantize",
     "ext_multimodal_frames",
