@@ -723,7 +723,11 @@ def rp_planes(bits: int, dim: int) -> list[list[float]]:
 
 
 def rp_lsh_pairs(
-    emb: DataFrame, bits: int = 8, threshold: float = 0.4, dim: int | None = None
+    emb: DataFrame,
+    bits: int = 8,
+    threshold: float = 0.4,
+    dim: int | None = None,
+    tables: int = 1,
 ) -> DataFrame:
     """Cosine near-dup pairs via sign-random-projection LSH (Charikar
     2002 SimHash for real vectors): bucket = the `bits` sign bits of
@@ -747,6 +751,17 @@ def rp_lsh_pairs(
     into bucket 0 — an O(n²) join with no error). The plan-side guard
     below raises on a row whose vector length disagrees with the plane
     length instead of degrading silently.
+
+    ``tables`` > 1 is the standard LSH AMPLIFICATION (OR over L
+    independent hash tables): a pair is a candidate if it collides in
+    ANY table, lifting recall from p = (1-θ/π)^bits per table to
+    1-(1-p)^L while each table's join stays bucket-bounded. Table t
+    uses plane rows [t*bits, (t+1)*bits) of the deterministic family,
+    so tables=1 is bit-identical to the pre-r7 single-table behavior
+    and every configuration is oracle-reproducible. The r7 recall
+    report measured single-table 8-bit recall at 0.017 for threshold
+    0.4 — amplification is not optional at that operating point; the
+    report's config sweep is how (bits, L) gets chosen.
     """
     if dim is None:
         first = emb.select(F.size("embedding").alias("d")).head(1)
@@ -754,7 +769,7 @@ def rp_lsh_pairs(
             dim = 1  # empty input: any plane width yields empty output
         else:
             dim = first[0]["d"]
-    planes = rp_planes(bits, dim)
+    planes = rp_planes(bits * tables, dim)
     v = _with_unit(emb)
     # executor-side width assertion: raise_error beats a silent
     # null-projection collapse; costs one codegen comparison per row
@@ -769,27 +784,56 @@ def rp_lsh_pairs(
             )
         ),
     )
-    bucket = F.lit(0)
-    for b, plane in enumerate(planes):
-        proj = _dot(F.col("v"), F.array(*[F.lit(c) for c in plane]))
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-    bucketed = v.withColumn("bucket", bucket)
-    a = bucketed.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("norm").alias("na"),
-    )
-    bb = bucketed.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("norm").alias("nb"),
-    )
+    # one scan computes every table's bucket (codegen column per table)
+    for t in range(tables):
+        bucket = F.lit(0)
+        for b in range(bits):
+            plane = planes[t * bits + b]
+            proj = _dot(F.col("v"), F.array(*[F.lit(c) for c in plane]))
+            bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        v = v.withColumn(f"bucket_{t}", bucket)
+
+    verify_cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    if tables == 1:
+        # single table: verify INLINE on the bucket join — one shuffle,
+        # vectors never re-joined (the pre-amplification fast shape)
+        a = v.select(
+            F.col("bucket_0").alias("bk"), F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"), F.col("norm").alias("na"),
+        )
+        bb = v.select(
+            F.col("bucket_0").alias("bk"), F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"), F.col("norm").alias("nb"),
+        )
+        return (
+            a.join(bb, "bk")
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cos", verify_cos)
+            .where(F.col("cos") >= threshold)
+            .select("vec_a", "vec_b", round4(F.col("cos")).alias("cosine"))
+        )
+    # OR-amplification: candidates from every table, deduped once,
+    # then one exact verify per distinct candidate
+    v = v.persist()
+    cand = None
+    for t in range(tables):
+        a = v.select(F.col(f"bucket_{t}").alias("bk"), F.col("vec_id").alias("vec_a"))
+        bb = v.select(F.col(f"bucket_{t}").alias("bk"), F.col("vec_id").alias("vec_b"))
+        p = (
+            a.join(bb, "bk")
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+        )
+        cand = p if cand is None else cand.union(p)
+    cand = cand.distinct()
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                  F.col("norm").alias("na"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                  F.col("norm").alias("nb"))
     return (
-        a.join(bb, "bucket")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos", verify_cos)
         .where(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", round4(F.col("cos")).alias("cosine"))
     )

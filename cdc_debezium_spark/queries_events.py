@@ -1828,3 +1828,97 @@ def events_lateness_audit(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_events"), F.max("late_us").alias("max_late_us"))
     )
+
+
+# --- count-min sketch (round 7) ---------------------------------------------
+
+_CMS_W = 512  # buckets per row
+_CMS_D = 4  # hash rows (MINHASH_SEEDS affine family)
+
+
+def _cms_seeds():
+    from .ext.hashing import MINHASH_SEEDS
+
+    return MINHASH_SEEDS[:_CMS_D]
+
+
+def _cms_oracle_sql() -> str:
+    from .ext.hashing import MOD
+
+    rows = []
+    for j, (a, b) in enumerate(_cms_seeds()):
+        rows.append(
+            f"SELECT {j} AS j, ((user_id * {a} + {b}) % {MOD}) % {_CMS_W} AS bucket "
+            "FROM events"
+        )
+    sketch_src = " UNION ALL ".join(rows)
+    return f"""
+    WITH sk AS (
+      SELECT j, bucket, count(*) AS c FROM ({sketch_src}) GROUP BY j, bucket
+    ),
+    exact AS (
+      SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id
+      ORDER BY exact_cnt DESC, user_id LIMIT 20
+    ),
+    probes AS (
+      SELECT e.user_id, e.exact_cnt, s.j, s.c
+      FROM exact e
+      JOIN sk s
+        ON s.bucket = ((e.user_id * (2 * s.j + 1) + (101 * s.j + 17)) % {MOD})
+                      % {_CMS_W}
+    )
+    SELECT user_id, exact_cnt, CAST(min(c) AS BIGINT) AS cms_cnt,
+           CAST(min(c) - exact_cnt AS BIGINT) AS overcount
+    FROM probes GROUP BY user_id, exact_cnt
+    """
+
+
+@query("agg_count_min_sketch", oracle=_cms_oracle_sql())
+def agg_count_min_sketch(spark, sf_dir):
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005) — the heavy-hitter sketch family member beside theta
+    (distinct), HLL (approx_count_distinct) and KLL (approx
+    quantiles): D=4 affine hash rows x W=512 counters, built in ONE
+    posexplode + groupBy pass (the sketch is D*W counters — KBs,
+    mergeable by addition, the per-partition partial agg IS the merge).
+    Estimates are min over rows and can only OVERcount (collisions add,
+    never subtract) — the report emits exact vs estimate for the top-20
+    keys so the overcount is visible. Deterministic affine family
+    (the minhash seeds) means the oracle builds the IDENTICAL sketch —
+    estimates match bit-exactly, no error-bound scaffolding needed.
+    At 100 TB the sketch side is a constant-size aggregate; the exact
+    side here is driver-gate scaffolding only."""
+    from .ext.hashing import MOD
+
+    ev = load_table(spark, sf_dir, "events")
+    buckets = F.array(
+        *[
+            ((F.col("user_id") * a + b) % MOD) % _CMS_W
+            for (a, b) in _cms_seeds()
+        ]
+    )
+    sk = (
+        ev.select(F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(20)
+    )
+    probes = exact.select(
+        "user_id", "exact_cnt", F.posexplode(buckets).alias("j", "bucket")
+    )
+    est = (
+        probes.join(F.broadcast(sk), ["j", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cms_cnt"))
+    )
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "cms_cnt",
+        (F.col("cms_cnt") - F.col("exact_cnt")).alias("overcount"),
+    )

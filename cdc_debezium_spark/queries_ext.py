@@ -3613,3 +3613,127 @@ def ext_similarity_ivf_recall(spark, sf_dir):
             / 10000.0
         ).alias("recall_at_10"),
     )
+
+
+def _rp_bucket_sql_t(bits: int, table: int, total_planes: int) -> str:
+    """DuckDB mirror of ONE LSH table's bucketing: table `table` uses
+    plane rows [table*bits, (table+1)*bits) of the deterministic
+    family rp_planes(total_planes, 64) — identical slicing to
+    similarity.rp_lsh_pairs(tables=...)."""
+    from .ext.similarity import rp_planes
+
+    planes = rp_planes(total_planes, 64)
+    terms = []
+    for b in range(bits):
+        plane = planes[table * bits + b]
+        lits = "[" + ", ".join(repr(c) for c in plane) + "]"
+        proj = (
+            f"list_reduce(list_transform(range(1, 65), "
+            f"i -> v[i] * ({lits}::DOUBLE[])[i]), (a, x) -> a + x)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_RP_RECALL_CONFIGS = [(8, 1), (4, 8), (4, 16)]  # (bits, tables)
+
+
+def _rp_recall_oracle() -> str:
+    head = f"""
+    WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+    sliced AS (
+      SELECT emb.vec_id, emb.embedding FROM embeddings emb, cnt
+      WHERE cnt.n <= 2000
+         OR ({duck_word_hash("emb.vec_id::VARCHAR")})
+            % CAST(ceil(cnt.n / 2000.0) AS BIGINT) = 0
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM sliced),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+      FROM e
+    ),
+    truth AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE {DUCK_DOT} / (a.nrm * b.nrm) >= 0.4
+    )
+    """
+    blocks = []
+    for bits, tables in _RP_RECALL_CONFIGS:
+        joins = []
+        for t in range(tables):
+            bk = _rp_bucket_sql_t(bits, t, bits * tables)
+            joins.append(
+                f"SELECT x.vec_id AS vec_a, y.vec_id AS vec_b "
+                f"FROM (SELECT vec_id, {bk} AS bk FROM n) x "
+                f"JOIN (SELECT vec_id, {bk} AS bk FROM n) y "
+                f"ON x.bk = y.bk AND x.vec_id < y.vec_id"
+            )
+        cand = " UNION ".join(joins)  # UNION dedups cross-table hits
+        blocks.append(
+            f"""
+    SELECT CAST({bits} AS BIGINT) AS bits, CAST({tables} AS BIGINT) AS n_tables,
+           CAST(sum(is_true) AS BIGINT) AS n_true_pairs,
+           CAST(sum(is_found) AS BIGINT) AS n_lsh_pairs,
+           CAST(sum(is_true * is_found) AS BIGINT) AS n_hit,
+           floor(sum(is_true * is_found) * 10000.0 / sum(is_true) + 0.5)
+             / 10000.0 AS recall
+    FROM (
+      SELECT (t.vec_a IS NOT NULL)::INT AS is_true,
+             (f.vec_a IS NOT NULL)::INT AS is_found
+      FROM truth t FULL JOIN (
+        SELECT c.vec_a, c.vec_b FROM ({cand}) c
+        JOIN n a ON a.vec_id = c.vec_a JOIN n b ON b.vec_id = c.vec_b
+        WHERE {DUCK_DOT} / (a.nrm * b.nrm) >= 0.4
+      ) f ON t.vec_a = f.vec_a AND t.vec_b = f.vec_b
+    )"""
+        )
+    return head + " UNION ALL ".join(blocks)
+
+
+@query("ext_similarity_rp_lsh_recall", oracle=_rp_recall_oracle())
+def ext_similarity_rp_lsh_recall(spark, sf_dir):
+    """RP-LSH RECALL REPORT, config sweep — completes the recall
+    triptych (MinHash r6, IVF r7, sign-RP r7) and measures LSH
+    AMPLIFICATION: one row per (bits, tables) operating point, truth =
+    exact all-pairs cosine on the deterministic hash-sampled slice
+    (identical predicate to ext_dedup_embedding, sweep-bounded at any
+    SF), detector = rp_lsh_pairs on the SAME slice. The sweep showed
+    single-table 8-bit recall is 0.017 at threshold 0.4 — the finding
+    that motivated multi-table support: a pair is found iff NO table
+    separates it in every plane, 1-(1-(1-θ/π)^bits)^tables, so
+    (4 bits, 16 tables) trades bucket size for recall. This curve IS
+    the (bits, L) sizing decision every LSH deployment makes."""
+    from .ext.hashing import word_hash
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > 2000:
+        d = -(-n // 2000)
+        emb = emb.where(word_hash(F.col("vec_id").cast("string")) % F.lit(d) == 0)
+    truth = dedup.embedding_near_dupes(emb, 0.4, max_rows=None).select(
+        "vec_a", "vec_b", F.lit(1).alias("is_true")
+    ).persist()
+    out = None
+    for bits, tables in _RP_RECALL_CONFIGS:
+        found = similarity.rp_lsh_pairs(
+            emb, bits=bits, threshold=0.4, tables=tables
+        ).select("vec_a", "vec_b", F.lit(1).alias("is_found"))
+        u = truth.join(found, ["vec_a", "vec_b"], "full").select(
+            F.coalesce("is_true", F.lit(0)).alias("t"),
+            F.coalesce("is_found", F.lit(0)).alias("f"),
+        )
+        row = u.agg(
+            F.lit(bits).cast("long").alias("bits"),
+            F.lit(tables).cast("long").alias("n_tables"),
+            F.sum("t").alias("n_true_pairs"),
+            F.sum("f").alias("n_lsh_pairs"),
+            F.sum(F.col("t") * F.col("f")).alias("n_hit"),
+            (
+                F.floor(F.sum(F.col("t") * F.col("f")) * 10000.0 / F.sum("t") + 0.5)
+                / 10000.0
+            ).alias("recall"),
+        ).select("bits", "n_tables", "n_true_pairs", "n_lsh_pairs", "n_hit", "recall")
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -43,6 +43,8 @@ _PRIORITY = [
     "cdc_es_bulk_roundtrip",
     "cdc_clickhouse_replacing_roundtrip",
     "cdc_redis_latest_kv_roundtrip",
+    "ext_similarity_rp_lsh_recall",
+    "agg_count_min_sketch",
     # last driver row: round 2 (26 keys) — the max-staleness cohort
     "ext_embedding_quantize",
     "ext_multimodal_frames",
