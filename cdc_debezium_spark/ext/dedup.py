@@ -1213,3 +1213,115 @@ def pagerank(pairs: DataFrame, iters: int = 5) -> DataFrame:
             "pagerank"
         ),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.42,
+    k: int = 16,
+    iters: int = 2,
+    max_rows: int | None = 2000,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup = k-means cluster,
+    then prune near-duplicate pairs WITHIN each cluster only.
+
+    The clustering bounds the pair space: cosine is evaluated only for
+    same-cell pairs, O(sum cell_size^2) instead of O(n^2) — at corpus
+    scale k grows with n (the paper uses k ~ n/1000) so cell sizes
+    stay bounded and the self-join keys on `cell` (one co-partitioned
+    shuffle). Within each duplicate pair the member CLOSER to its
+    centroid (higher centroid-cosine, ties to higher id) is removed —
+    the paper's keep-low-centroid-similarity rule, which retains the
+    cluster's outliers and drops its redundant core.
+
+    Deterministic end-to-end: trained centroids come from the
+    bit-reproducible Lloyd lane (similarity.kmeans_centroids), all
+    cosines use the strict left-to-right float64 fold, so the DuckDB
+    oracle reproduces member counts, pair counts, and removal counts
+    exactly. Above ``max_rows`` the lane audits the deterministic
+    md5-hash slice (same predicate both engines — the
+    embedding_near_dupes guard), keeping registry sweeps bounded at
+    any scale factor.
+
+    Returns one row per cluster: (cell, n_members, n_dup_pairs,
+    n_removed).
+    """
+    from . import similarity
+
+    if max_rows is not None:
+        n = emb.count()
+        if n > max_rows:
+            d = -(-n // max_rows)
+            # keep the k seed ids unconditionally so Lloyd always
+            # starts from the full seed set regardless of the slice
+            emb = emb.where(
+                (word_hash(F.col("vec_id").cast("string")) % F.lit(d) == 0)
+                | (F.col("vec_id") < k)
+            )
+    cents = similarity.kmeans_centroids(
+        emb, k=k, iters=iters, cache_key=cache_key
+    )
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    dotc = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    wn = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+    asg = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("csim", dotc / (F.col("nrm") * F.col("cnorm")))
+        .withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cell", "csim")
+    )
+    dotp = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    pairs = (
+        asg.alias("a")
+        .join(
+            asg.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("c", dotp / (F.col("a.nrm") * F.col("b.nrm")))
+        .where(F.col("c") >= threshold)
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col("a.vec_id").alias("ua"),
+            F.col("a.csim").alias("sa"),
+            F.col("b.vec_id").alias("ub"),
+            F.col("b.csim").alias("sb"),
+        )
+    )
+    loser = F.when(
+        (F.col("sa") > F.col("sb"))
+        | ((F.col("sa") == F.col("sb")) & (F.col("ua") > F.col("ub"))),
+        F.col("ua"),
+    ).otherwise(F.col("ub"))
+    removed = pairs.select("cell", loser.alias("vec_id")).distinct()
+    return (
+        asg.groupBy("cell")
+        .agg(F.count("*").alias("n_members"))
+        .join(
+            pairs.groupBy("cell").agg(F.count("*").alias("n_dup_pairs")),
+            "cell",
+            "left",
+        )
+        .join(
+            removed.groupBy("cell").agg(F.count("*").alias("n_removed")),
+            "cell",
+            "left",
+        )
+        .na.fill(0, ["n_dup_pairs", "n_removed"])
+    )

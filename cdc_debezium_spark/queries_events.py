@@ -1922,3 +1922,315 @@ def agg_count_min_sketch(spark, sf_dir):
         "cms_cnt",
         (F.col("cms_cnt") - F.col("exact_cnt")).alias("overcount"),
     )
+
+
+# --- mergeable distinct sketches: HLL + KMV (round 7) ------------------------
+#
+# Beside count-min (frequency), the two classic mergeable DISTINCT
+# sketches, built deterministically in BOTH engines so the driver gate
+# verifies the sketch math itself, not an error bound:
+#   - HyperLogLog (Flajolet et al. 2007): m registers of max leading-
+#     run lengths; merge = elementwise max = the partial agg.
+#   - KMV / k-minimum-values (Bar-Yossef et al. 2002, the theta-sketch
+#     core): the k smallest hash values; merge = k smallest of the
+#     union. The 'ALL' row below is computed FROM the per-group
+#     sketches, not from raw data — the mergeability contract itself
+#     is behind the gate.
+# Cross-engine determinism: 60-bit hash = first 15 hex chars of
+# md5(CAST(x AS STRING)) (identical in Spark `conv` and DuckDB
+# '0x'-cast); all register/sum math in integers (DECIMAL(38,0) /
+# HUGEINT); the ONE float op per estimate is a single IEEE-754 double
+# division with identical operands on both sides, so floor() of it is
+# engine-exact. rho uses lowest-set-bit (w & -w) whose log2 is an
+# exact power of two — no float-boundary risk.
+
+_HLL_M = 128  # registers (p=7; rel. stderr ~1.04/sqrt(128) = 9.2%)
+_HLL_WBITS = 53  # h is 60-bit; w = h div 128 has 53 bits
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(2**56)  # S carries 2^56 scale
+
+_KMV_K = 128  # kept minima (rel. stderr ~1/sqrt(128) = 8.8%)
+_KMV_RANGE = float(2**60)  # hash value space
+
+
+@query(
+    "agg_hll_sketch",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),1,15))
+                  AS BIGINT) AS h
+      FROM events
+    ), rw AS (
+      SELECT event_type, h % {_HLL_M} AS idx, h // {_HLL_M} AS w FROM hashed
+    ), rho AS (
+      SELECT event_type, idx,
+             CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                  ELSE CAST(round(log2(w & -w)) + 1 AS BIGINT) END AS rho
+      FROM rw
+    ), regs AS (
+      SELECT event_type, idx, max(rho) AS mreg FROM rho GROUP BY 1, 2
+    ), per AS (
+      SELECT event_type, count(*) AS used,
+             sum(CAST(CAST(1 AS BIGINT) << (56 - CAST(mreg AS INT))
+                 AS HUGEINT)) AS s_used
+      FROM regs GROUP BY 1
+    ), est AS (
+      SELECT event_type, {_HLL_M} - used AS v_zero,
+             s_used + CAST({_HLL_M} - used AS HUGEINT)
+                      * CAST({2**56} AS HUGEINT) AS s_tot
+      FROM per
+    )
+    SELECT e.event_type, e.exact_distinct,
+           CAST(floor({_HLL_NUM!r} / CAST(s_tot AS DOUBLE)) AS BIGINT)
+             AS hll_est,
+           v_zero
+    FROM est JOIN (SELECT event_type, count(DISTINCT event_id)
+                   AS exact_distinct FROM events GROUP BY 1) e
+      USING (event_type)
+    """,
+)
+def agg_hll_sketch(spark, sf_dir):
+    """HyperLogLog distinct-count per event_type, register math fully
+    behind the driver gate (vs Spark's built-in approx_count_distinct,
+    whose HLL++ internals an oracle can't mirror). One narrow pass:
+    hash -> (register, rho) -> groupBy max. The sketch is m=128 longs
+    per group — the map-side partial max IS the sketch merge, so at
+    100 TB the shuffle carries at most m rows per group per partition
+    and the final state is KBs regardless of input size. The report
+    emits exact vs estimate + zero-register count (the small-range
+    signal); exact is driver-gate scaffolding only."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rho = F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1).cast("long")).otherwise(
+        (F.round(F.log2(F.expr("w & -w"))) + 1).cast("long")
+    )
+    regs = (
+        ev.select("event_type", h.alias("h"))
+        .withColumn("idx", F.col("h") % _HLL_M)
+        .withColumn("w", F.expr(f"h div {_HLL_M}"))
+        .select("event_type", "idx", rho.alias("rho"))
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("mreg"))
+    )
+    per = regs.groupBy("event_type").agg(
+        F.count("*").alias("used"),
+        F.sum(
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), 56 - CAST(mreg AS INT))"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("s_used"),
+    )
+    est = per.select(
+        "event_type",
+        (F.lit(_HLL_M).cast("long") - F.col("used")).alias("v_zero"),
+        (
+            F.col("s_used")
+            + (F.lit(_HLL_M).cast("long") - F.col("used")).cast("decimal(38,0)")
+            * F.lit(2**56).cast("decimal(38,0)")
+        ).alias("s_tot"),
+    )
+    hll = est.select(
+        "event_type",
+        "v_zero",
+        F.floor(F.lit(_HLL_NUM) / F.col("s_tot").cast("double"))
+        .cast("long")
+        .alias("hll_est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("exact_distinct")
+    )
+    return exact.join(hll, "event_type").select(
+        "event_type", "exact_distinct", "hll_est", "v_zero"
+    )
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle=f"""
+    WITH uh AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),1,15))
+                  AS BIGINT) AS h
+      FROM events
+    ), kept AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM uh QUALIFY rn <= {_KMV_K}
+    ), per_t AS (
+      SELECT event_type, count(*) AS n_kept, max(h) AS hk
+      FROM kept GROUP BY 1
+    ), merged AS (
+      SELECT DISTINCT h FROM kept ORDER BY h LIMIT {_KMV_K}
+    ), sk AS (
+      SELECT event_type, n_kept, hk FROM per_t
+      UNION ALL
+      SELECT 'ALL', count(*), max(h) FROM merged
+    ), ex AS (
+      SELECT event_type, count(DISTINCT event_id) AS exact_distinct
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT 'ALL', count(DISTINCT event_id) FROM events
+    )
+    SELECT e.event_type, e.exact_distinct,
+           CASE WHEN s.n_kept < {_KMV_K} THEN s.n_kept
+                ELSE CAST(floor({float(_KMV_K - 1)!r}
+                     * ({_KMV_RANGE!r} / CAST(s.hk AS DOUBLE))) AS BIGINT)
+           END AS kmv_est
+    FROM sk s JOIN ex e USING (event_type)
+    """,
+)
+def agg_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct sketch per event_type PLUS the
+    merged 'ALL' estimate computed from the per-group sketches alone —
+    the mergeability contract (theta-sketch union: k smallest distinct
+    hashes of the sketch union) verified behind the driver gate. The
+    per-type event_id sets are disjoint, so the ALL row genuinely
+    demonstrates union growth, not sketch copying. Estimator
+    (k-1) * range / h_(k); groups with fewer than k distinct values
+    hold the whole hash set and report exactly. At 100 TB each group's
+    state is k longs; the window-ranked prune keys on the groupBy
+    column so the shuffle is the agg shuffle, and sketch union of P
+    partial sketches is the same k-smallest fold."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    uh = ev.select("event_type", h.alias("h")).distinct()
+    # two-stage k-smallest: a bucket-local prune first (64 parallel
+    # tasks per group, each keeping k) — the global k smallest are
+    # always inside the union of per-bucket k smallest, so the final
+    # single-task window ranks at most 64*k survivors per group
+    # instead of every distinct hash (the 100 TB bottleneck)
+    wb = Window.partitionBy("event_type", "bkt").orderBy("h")
+    pre = (
+        uh.withColumn("bkt", F.col("h") % 64)
+        .withColumn("rb", F.row_number().over(wb))
+        .where(F.col("rb") <= _KMV_K)
+    )
+    wn = Window.partitionBy("event_type").orderBy("h")
+    kept = (
+        pre.withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    per_t = kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("hk")
+    )
+    merged = kept.select("h").distinct().orderBy("h").limit(_KMV_K)
+    all_row = merged.agg(
+        F.lit("ALL").alias("event_type"),
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("hk"),
+    )
+    sk = per_t.unionByName(all_row)
+    est = F.when(F.col("n_kept") < _KMV_K, F.col("n_kept")).otherwise(
+        F.floor(
+            F.lit(float(_KMV_K - 1)) * (F.lit(_KMV_RANGE) / F.col("hk").cast("double"))
+        ).cast("long")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("exact_distinct")
+    )
+    exact_all = ev.agg(
+        F.lit("ALL").alias("event_type"),
+        F.countDistinct("event_id").alias("exact_distinct"),
+    )
+    return (
+        sk.join(exact.unionByName(exact_all), "event_type")
+        .select("event_type", "exact_distinct", est.alias("kmv_est"))
+    )
+
+
+# --- sampled order-statistic quantiles (round 7) ----------------------------
+
+_QS_RATE = 16  # 1-in-16 deterministic hash sample
+_QS_QS = (0.5, 0.9, 0.99)
+
+
+def _qs_oracle_sql() -> str:
+    from .ext.hashing import duck_word_hash
+
+    qrows = " UNION ALL ".join(
+        f"SELECT CAST({q!r} AS DOUBLE) AS q" for q in _QS_QS
+    )
+    return f"""
+    WITH qs AS ({qrows}),
+    samp AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM events
+      WHERE ({duck_word_hash("CAST(event_id AS VARCHAR)")}) % {_QS_RATE} = 0
+    ),
+    ful AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM events
+    ),
+    sq AS (
+      SELECT s.event_type, q.q, s.value AS sampled_value
+      FROM samp s JOIN qs q ON s.rn = CAST(ceil(q.q * s.m) AS BIGINT)
+    ),
+    fq AS (
+      SELECT f.event_type, q.q, f.value AS exact_value
+      FROM ful f JOIN qs q ON f.rn = CAST(ceil(q.q * f.m) AS BIGINT)
+    )
+    SELECT s.event_type, s.q, s.sampled_value, f.exact_value
+    FROM sq s JOIN fq f ON s.event_type = f.event_type AND s.q = f.q
+    """
+
+
+@query("agg_quantile_sampled", oracle=_qs_oracle_sql())
+def agg_quantile_sampled(spark, sf_dir):
+    """Quantile estimation by deterministic-sample order statistics —
+    the gate-verifiable member of the quantile family beside Spark's
+    native approx_percentile (whose GK/KLL internals no oracle can
+    mirror): a 1-in-16 md5-hash Bernoulli sample, then the exact
+    ceil(q*m)-th order statistic of the sample per group, reported
+    against the same order statistic of the full data. Hash sampling
+    is MERGEABLE (the sample of a union is the union of samples — the
+    same contract the KMV lane proves), so at 100 TB each partition
+    contributes its sampled rows and only the sample — 1/16th and
+    tunable — is sorted per group; the full-data side here is driver-
+    gate scaffolding. All output values are data values (no computed
+    floats), so cross-engine equality is structural."""
+    from pyspark.sql import Window
+
+    from .ext.hashing import word_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    qdf = spark.createDataFrame([(q,) for q in _QS_QS], "q double")
+
+    def ranked(df):
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        wc = Window.partitionBy("event_type")
+        return df.select(
+            "event_type",
+            "value",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("m"),
+        )
+
+    samp = ranked(
+        ev.where(word_hash(F.col("event_id").cast("string")) % _QS_RATE == 0)
+    )
+    ful = ranked(ev)
+    sq = samp.join(
+        F.broadcast(qdf),
+        F.col("rn") == F.ceil(F.col("q") * F.col("m")).cast("long"),
+    ).select("event_type", "q", F.col("value").alias("sampled_value"))
+    fq = ful.join(
+        F.broadcast(qdf),
+        F.col("rn") == F.ceil(F.col("q") * F.col("m")).cast("long"),
+    ).select("event_type", "q", F.col("value").alias("exact_value"))
+    return sq.join(fq, ["event_type", "q"])

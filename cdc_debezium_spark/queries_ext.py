@@ -563,6 +563,7 @@ def _duck_dot(u: str, w: str) -> str:
     sliced AS (
       SELECT emb.vec_id, emb.embedding FROM embeddings emb, cnt
       WHERE cnt.n <= 2000
+         OR emb.vec_id < 16
          OR ({duck_word_hash("emb.vec_id::VARCHAR")})
             % CAST(ceil(cnt.n / 2000.0) AS BIGINT) = 0
     ),
@@ -3644,6 +3645,7 @@ def _rp_recall_oracle() -> str:
     sliced AS (
       SELECT emb.vec_id, emb.embedding FROM embeddings emb, cnt
       WHERE cnt.n <= 2000
+         OR emb.vec_id < 16
          OR ({duck_word_hash("emb.vec_id::VARCHAR")})
             % CAST(ceil(cnt.n / 2000.0) AS BIGINT) = 0
     ),
@@ -3737,3 +3739,77 @@ def ext_similarity_rp_lsh_recall(spark, sf_dir):
         ).select("bits", "n_tables", "n_true_pairs", "n_lsh_pairs", "n_hit", "recall")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- SemDeDup: semantic dedup via cluster-then-prune (round 7) ---------------
+
+_SEM_TAU = 0.42
+
+
+@query(
+    "ext_dedup_semantic",
+    oracle=f"""
+    WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+    sliced AS (
+      SELECT emb.vec_id, emb.embedding FROM embeddings emb, cnt
+      WHERE cnt.n <= 2000
+         OR emb.vec_id < 16
+         OR ({duck_word_hash("emb.vec_id::VARCHAR")})
+            % CAST(ceil(cnt.n / 2000.0) AS BIGINT) = 0
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM sliced),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b))
+               AS nrm
+      FROM e
+    ),
+    {_KM_CTES},
+    asg AS (
+      SELECT vec_id, v, nrm, cell, csim FROM (
+        SELECT n.vec_id, n.v, n.nrm, c.cell,
+               {_duck_dot('c', 'n')} / (c.nrm * n.nrm) AS csim,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY {_duck_dot('c', 'n')} / (c.nrm * n.nrm) DESC, c.cell
+               ) AS rn
+        FROM n CROSS JOIN {_KM_FINAL} c) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.cell, a.vec_id AS ua, a.csim AS sa, b.vec_id AS ub, b.csim AS sb
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_duck_dot('a', 'b')} / (a.nrm * b.nrm) >= {_SEM_TAU!r}
+    ),
+    removed AS (
+      SELECT DISTINCT cell,
+             CASE WHEN sa > sb OR (sa = sb AND ua > ub) THEN ua ELSE ub END
+               AS vec_id
+      FROM pairs
+    )
+    SELECT m.cell, m.n_members,
+           COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(r.n_removed, 0) AS n_removed
+    FROM (SELECT cell, count(*) AS n_members FROM asg GROUP BY 1) m
+    LEFT JOIN (SELECT cell, count(*) AS n_dup_pairs FROM pairs GROUP BY 1) p
+      USING (cell)
+    LEFT JOIN (SELECT cell, count(*) AS n_removed FROM removed GROUP BY 1) r
+      USING (cell)
+    """,
+)
+def ext_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) — semantic dedup over embeddings:
+    k-means cluster (the deterministic trained-Lloyd lane), then prune
+    cosine near-duplicates WITHIN each cluster, removing the member
+    closer to its centroid (keep-outliers rule). Completes the dedup
+    family's semantic tier beside exact, MinHash-LSH, SimHash and
+    embedding-ANN: this is the method used to prune web-scale training
+    corpora where near-dups are semantic (same content, different
+    words), not lexical. The cluster bound makes the pair space
+    O(sum cell^2), not O(n^2); at 100 TB k scales with n (paper uses
+    k ~ n/1000) and the one self-join keys on cell. Oracle re-runs
+    identical Lloyd iterations + folds, so cluster sizes, dup-pair
+    counts and removal counts match exactly; above 2000 vectors both
+    engines audit the same deterministic hash slice."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(
+        emb, threshold=_SEM_TAU, k=16, iters=2, cache_key=sf_dir + "#semantic"
+    )

@@ -1369,3 +1369,109 @@ def agg_string_agg(spark, sf_dir):
             ).alias("nations"),
         )
     )
+
+
+# --- Bloom-filter join pruning (round 7) ------------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_D = 3  # hash functions (MINHASH_SEEDS affine family)
+
+
+def _bloom_oracle_sql() -> str:
+    from .ext.hashing import MINHASH_SEEDS, MOD
+
+    def bits(expr: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {expr} AS k, (({expr} * {a} + {b}) % {MOD}) % {_BLOOM_M}"
+            " AS bit FROM src"
+            for (a, b) in MINHASH_SEEDS[:_BLOOM_D]
+        )
+
+    return f"""
+    WITH hot AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    ),
+    bloom AS (
+      SELECT DISTINCT bit FROM (
+        {bits("c_custkey").replace("FROM src", "FROM hot")}
+      )
+    ),
+    okeys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    kbits AS (
+      SELECT DISTINCT k, bit FROM (
+        {bits("k").replace("FROM src", "FROM okeys")}
+      )
+    ),
+    misses AS (
+      SELECT DISTINCT kb.k FROM kbits kb
+      LEFT JOIN bloom b ON b.bit = kb.bit WHERE b.bit IS NULL
+    ),
+    pass AS (SELECT k FROM okeys WHERE k NOT IN (SELECT k FROM misses)),
+    stats AS (
+      SELECT
+        (SELECT count(*) FROM orders) AS n_orders,
+        (SELECT count(*) FROM orders o JOIN pass p ON o.o_custkey = p.k)
+          AS n_pass_bloom,
+        (SELECT count(*) FROM orders o JOIN hot h ON o.o_custkey = h.c_custkey)
+          AS n_true_match
+    )
+    SELECT n_orders, n_pass_bloom, n_true_match,
+           n_pass_bloom - n_true_match AS n_false_pos
+    FROM stats
+    """
+
+
+@query("join_bloom_prefilter", oracle=_bloom_oracle_sql())
+def join_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter probe-side pruning — the runtime-filter pattern
+    Spark's own row-level runtime filtering applies, expressed
+    explicitly and verified behind the gate: build a D=3 x M=4096-bit
+    Bloom filter over the build side's join keys (hot customers,
+    c_acctbal > 9000), prune the probe side (orders) BEFORE the join
+    shuffle, and report pass/true/false-positive counts. At 100 TB the
+    filter is KBs broadcast to every probe task, and rows that cannot
+    join are dropped at the scan instead of shuffled — the win the
+    report quantifies (n_pass_bloom vs n_orders vs n_true_match).
+    Deterministic affine bit family (the minhash seeds) keeps both
+    engines' filters bit-identical, so the false-positive count is
+    engine-exact, not a bound."""
+    from .ext.hashing import MINHASH_SEEDS, MOD
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    hot = cust.where(F.col("c_acctbal") > 9000).select("c_custkey")
+
+    def bits(df, key):
+        return df.select(
+            F.col(key).alias("k"),
+            F.explode(
+                F.array(
+                    *[
+                        ((F.col(key) * a + b) % MOD) % _BLOOM_M
+                        for (a, b) in MINHASH_SEEDS[:_BLOOM_D]
+                    ]
+                )
+            ).alias("bit"),
+        ).distinct()
+
+    bloom = bits(hot, "c_custkey").select("bit").distinct()
+    okeys = orders.select(F.col("o_custkey").alias("k")).distinct()
+    kbits = bits(okeys, "k")
+    misses = kbits.join(F.broadcast(bloom), "bit", "left_anti").select("k").distinct()
+    passing = okeys.join(misses, "k", "left_anti").withColumn("p", F.lit(1))
+    hot_t = hot.select(F.col("c_custkey").alias("k"), F.lit(1).alias("t"))
+    # one action: every count is a conditional sum over a single
+    # probe-side pass with two broadcast membership joins
+    return (
+        orders.select(F.col("o_custkey").alias("k"))
+        .join(F.broadcast(passing), "k", "left")
+        .join(F.broadcast(hot_t), "k", "left")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("n_pass_bloom"),
+            F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_true_match"),
+            (
+                F.coalesce(F.sum("p"), F.lit(0)) - F.coalesce(F.sum("t"), F.lit(0))
+            ).cast("long").alias("n_false_pos"),
+        )
+    )

@@ -45,6 +45,11 @@ _PRIORITY = [
     "cdc_redis_latest_kv_roundtrip",
     "ext_similarity_rp_lsh_recall",
     "agg_count_min_sketch",
+    "agg_hll_sketch",
+    "agg_kmv_distinct",
+    "agg_quantile_sampled",
+    "join_bloom_prefilter",
+    "ext_dedup_semantic",
     # last driver row: round 2 (26 keys) — the max-staleness cohort
     "ext_embedding_quantize",
     "ext_multimodal_frames",
