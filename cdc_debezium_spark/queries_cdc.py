@@ -1666,3 +1666,284 @@ def cdc_redis_latest_kv_roundtrip(spark, sf_dir):
     if not rows:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# §2.B round-7 SMT depth — the public Debezium transforms a reference
+# user would configure next (all in-version for the reference's
+# Debezium 2.4.0.Final, helm-charts/cdc-system/templates/kafka-connect/
+# deployment.yaml:75-76)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cdc_logical_table_router",
+    oracle="""
+    WITH routed AS (
+      SELECT 'prod.shard_' || CAST(event_id % 4 AS VARCHAR) || '.events'
+               AS physical_topic,
+             user_id,
+             'prod.shard_' || CAST(event_id % 4 AS VARCHAR) || '.events'
+               || ':' || CAST(user_id AS VARCHAR) AS aug_key
+      FROM events
+    )
+    SELECT COALESCE(physical_topic, 'ALL') AS physical_topic,
+           'events' AS logical_topic,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_raw_keys,
+           CAST(count(DISTINCT aug_key) AS BIGINT) AS n_aug_keys
+    FROM routed
+    GROUP BY ROLLUP(physical_topic)
+    """,
+)
+def cdc_logical_table_router(spark, sf_dir):
+    """B-extension: ByLogicalTableRouter — Debezium's sharded-table
+    merge SMT (io.debezium.transforms.ByLogicalTableRouter, public
+    Debezium 2.4 docs: many physical shard topics route into one
+    logical topic, and because primary keys collide across shards the
+    SMT inserts a __dbz__physicalTableIdentifier field into the key
+    to restore uniqueness). Batch analog over the fixture: shard =
+    event_id % 4 names the physical topic; the audit compares the raw
+    key space against the (physical, key) augmented space per shard
+    and on the merged 'ALL' row — the difference on 'ALL' is exactly
+    the collision count the key augmentation resolves.
+
+    Shape: one ROLLUP aggregate (shard rows + grand total share one
+    exchange); distinct counts expand map-side. At 100 TB the router
+    itself is a narrow projection riding the scan; only this audit
+    aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    phys = F.concat(
+        F.lit("prod.shard_"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("string"),
+        F.lit(".events"),
+    )
+    routed = ev.select(
+        phys.alias("physical_topic"),
+        "user_id",
+        F.concat(phys, F.lit(":"), F.col("user_id").cast("string")).alias(
+            "aug_key"
+        ),
+    )
+    return (
+        routed.rollup("physical_topic")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_raw_keys"),
+            F.countDistinct("aug_key").alias("n_aug_keys"),
+        )
+        .select(
+            F.coalesce("physical_topic", F.lit("ALL")).alias("physical_topic"),
+            F.lit("events").alias("logical_topic"),
+            "n_events",
+            "n_raw_keys",
+            "n_aug_keys",
+        )
+    )
+
+
+@query(
+    "cdc_content_based_router",
+    oracle=CDC_CTE
+    + """
+    , r AS (
+      SELECT CASE WHEN op = 'd' THEN 'dlt.tombstones'
+                  WHEN val >= 100.0 THEN 'events.high_value'
+                  WHEN props->>'k' IS NULL THEN 'events.quarantine'
+                  ELSE 'events.default' END AS topic,
+             pk, val
+      FROM cdc_events
+    )
+    SELECT topic, count(*) AS n_events,
+           CAST(count(DISTINCT pk) AS BIGINT) AS n_keys,
+           floor(min(val) * 10000.0 + 0.5) / 10000.0 AS min_val,
+           floor(max(val) * 10000.0 + 0.5) / 10000.0 AS max_val
+    FROM r GROUP BY topic
+    """,
+)
+def cdc_content_based_router(spark, sf_dir):
+    """B-extension: ContentBasedRouter — Debezium's scripting SMT
+    (io.debezium.transforms.ContentBasedRouter, public Debezium 2.4
+    docs: a per-record expression over the envelope picks the
+    destination topic). Rule chain here is first-match, ordered:
+    deletes → a tombstone-audit topic, high-value payloads → a
+    priority topic, payloads missing the contract key → quarantine,
+    else the default topic — the same lane taxonomy the connector
+    config compiler (cdc_connect_config_pipeline) builds, expressed
+    as one routing expression.
+
+    Shape: the router is a single CASE projection in codegen (zero
+    exchanges); the per-topic audit is one hash aggregate. min/max
+    are order-independent so the audit is bit-exact cross-engine
+    (sums of doubles would not be).
+    """
+    ce = cdc.cdc_events(spark, sf_dir)
+    topic = (
+        F.when(F.col("op") == "d", "dlt.tombstones")
+        .when(F.col("val") >= 100.0, "events.high_value")
+        .when(F.get_json_object("props", "$.k").isNull(), "events.quarantine")
+        .otherwise("events.default")
+    )
+    return (
+        ce.select(topic.alias("topic"), "pk", "val")
+        .groupBy("topic")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("pk").alias("n_keys"),
+            (F.floor(F.min("val") * 10000.0 + 0.5) / 10000.0).alias("min_val"),
+            (F.floor(F.max("val") * 10000.0 + 0.5) / 10000.0).alias("max_val"),
+        )
+    )
+
+
+@query(
+    "cdc_header_enrich",
+    oracle="""
+    SELECT event_id,
+           to_json(struct_pack(
+             connector := 'postgresql',
+             env := 'prod',
+             src_ts_us := epoch_us(ts),
+             evt := event_type)) AS headers_json,
+           user_id AS payload_user,
+           floor(value * 10000.0 + 0.5) / 10000.0 AS payload_val
+    FROM events
+    """,
+)
+def cdc_header_enrich(spark, sf_dir):
+    """B-extension: InsertField + HeaderFrom — Kafka Connect's
+    metadata-enrichment SMTs (org.apache.kafka.connect.transforms.
+    InsertField$Value adds static/env fields and source metadata;
+    HeaderFrom moves a payload field into the record headers; public
+    Connect docs — the provenance plumbing a reference deployment
+    adds so downstream sinks can audit origin without parsing the
+    envelope). Headers here: static connector/env tags, the source
+    timestamp, and the routed event type moved out of the payload;
+    the payload keeps the business fields.
+
+    Shape: narrow per-row projection, to_json in codegen, zero
+    exchanges — rides the source scan's partitioning at any scale.
+    Header maps serialize with declared field order on both engines,
+    so the JSON strings compare bit-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.lit("postgresql").alias("connector"),
+                F.lit("prod").alias("env"),
+                F.col("ts_us").alias("src_ts_us"),
+                F.col("event_type").alias("evt"),
+            )
+        ).alias("headers_json"),
+        F.col("user_id").alias("payload_user"),
+        (F.floor(F.col("value") * 10000.0 + 0.5) / 10000.0).alias("payload_val"),
+    )
+
+
+@query(
+    "cdc_partition_routing",
+    oracle="""
+    WITH h AS (
+      SELECT list_reduce(list_transform(
+               string_split(substr(md5(CAST(user_id AS VARCHAR)), 1, 8), ''),
+               c -> strpos('0123456789abcdef', c) - 1),
+               (a, x) -> a * 16 + x)::BIGINT % 12 AS partition_id,
+             user_id
+      FROM events
+    ),
+    p AS (
+      SELECT partition_id, count(*) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+      FROM h GROUP BY partition_id
+    )
+    SELECT partition_id, n_events, n_keys,
+           floor(n_events * 12.0 * 10000.0
+                 / (SELECT sum(n_events) FROM p) + 0.5) / 10000.0 AS load_ratio
+    FROM p
+    """,
+)
+def cdc_partition_routing(spark, sf_dir):
+    """B-extension: PartitionRouting — Debezium's partition-compute
+    SMT (io.debezium.transforms.partitions.PartitionRouting, public
+    Debezium 2.4 docs: route each event to partition
+    hash(payload field) % partition.topic.num so one entity's events
+    stay ordered on one partition). Mirrors the reference's 12-way
+    keyed topics (prod-resources.yaml:94-95); the audit is the
+    balance check an operator runs before sizing partitions: events
+    and key cardinality per partition plus load_ratio (1.0 = exactly
+    the fair 1/12 share) — hot-key skew shows up as a ratio >> 1, the
+    signal that triggers the salting helper (join_skew_salted lane).
+
+    Hash is the engine-portable md5-prefix word hash (identical
+    Spark/DuckDB values — ext/hashing.py), not each engine's native
+    partitioner, so the routing decision itself is gate-checked.
+    Shape: one hash aggregate to 12 rows; the ratio join is against a
+    1-row global sum (broadcast). At 100 TB the router is a narrow
+    pmod projection riding the scan.
+    """
+    from .ext.hashing import word_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.select(
+            F.pmod(word_hash(F.col("user_id").cast("string")), F.lit(12)).alias(
+                "partition_id"
+            ),
+            "user_id",
+        )
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_keys"),
+        )
+    )
+    total = p.agg(F.sum("n_events").alias("tot"))
+    return p.crossJoin(F.broadcast(total)).select(
+        "partition_id",
+        "n_events",
+        "n_keys",
+        (F.floor(F.col("n_events") * 12.0 * 10000.0 / F.col("tot") + 0.5) / 10000.0
+         ).alias("load_ratio"),
+    )
+
+
+@query(
+    "cdc_timezone_convert",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_utc,
+           strftime(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York',
+                    '%Y-%m-%d %H:%M:%S') AS ts_ny,
+           CAST(strftime(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York',
+                         '%H') AS BIGINT) AS ny_hour
+    FROM events
+    """,
+)
+def cdc_timezone_convert(spark, sf_dir):
+    """B-extension: TimezoneConverter — Debezium 2.4's
+    io.debezium.transforms.TimezoneConverter (public docs; new IN the
+    reference's pinned 2.4.0.Final release): rewrite the envelope's
+    temporal fields from UTC to a configured target zone,
+    DST-correctly (converted.timezone=America/New_York). The fixture
+    timestamps are UTC instants (time.precision.mode carries them as
+    epoch-µs, postgresql-connector.yaml:49); output is the wall-clock
+    rendering in source and target zones plus the local hour a
+    downstream report would group by.
+
+    Both engines resolve the same IANA tzdata; conversion goes
+    through convert_timezone to TIMESTAMP_NTZ so the result is
+    independent of the Spark session timezone (date_format on an
+    instant would render in session tz). Narrow projection, zero
+    exchanges, codegen-only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    utc_ntz = F.convert_timezone(F.lit("UTC"), F.lit("UTC"), F.col("ts"))
+    ny_ntz = F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), F.col("ts"))
+    return ev.select(
+        "event_id",
+        F.date_format(utc_ntz, "yyyy-MM-dd HH:mm:ss").alias("ts_utc"),
+        F.date_format(ny_ntz, "yyyy-MM-dd HH:mm:ss").alias("ts_ny"),
+        F.hour(ny_ntz).cast("long").alias("ny_hour"),
+    )

@@ -2234,3 +2234,107 @@ def agg_quantile_sampled(spark, sf_dir):
         F.col("rn") == F.ceil(F.col("q") * F.col("m")).cast("long"),
     ).select("event_type", "q", F.col("value").alias("exact_value"))
     return sq.join(fq, ["event_type", "q"])
+
+
+@query(
+    "events_holt_winters",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hr
+    ),
+    ser AS (
+      SELECT event_type,
+             list(CAST(n AS DOUBLE) ORDER BY hr) AS l,
+             CAST(count(*) AS BIGINT) AS n_hours
+      FROM hc GROUP BY event_type
+    ),
+    fit AS (
+      -- list_reduce folds a homogeneous list seeded by its first
+      -- element, so lift each observation into the accumulator shape
+      -- [lv, tr] = [x, 0]; the first element IS the Spark-side seed.
+      -- The accumulator is a 2-element DOUBLE list, NOT a struct:
+      -- DuckDB 1.0.0's struct-typed list_reduce resolves accumulator
+      -- fields inconsistently across fold steps (verified: the second
+      -- field sees this step's updated first field from step 2 on,
+      -- but not at step 1) — list-typed accumulators fold correctly.
+      SELECT event_type, n_hours,
+             list_reduce(
+               list_transform(l, x -> [x, CAST(0.0 AS DOUBLE)]),
+               (acc, x) -> [
+                 CAST(0.3 AS DOUBLE) * x[1]
+                   + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2]),
+                 CAST(0.1 AS DOUBLE)
+                   * ((CAST(0.3 AS DOUBLE) * x[1]
+                       + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+                   + CAST(0.9 AS DOUBLE) * acc[2]]) AS s
+      FROM ser
+    )
+    SELECT event_type, n_hours,
+           floor(s[1] * 10000.0 + 0.5) / 10000.0 AS level,
+           floor(s[2] * 10000.0 + 0.5) / 10000.0 AS trend,
+           floor((s[1] + s[2]) * 10000.0 + 0.5) / 10000.0 AS forecast_next
+    FROM fit
+    """,
+)
+def events_holt_winters(spark, sf_dir):
+    """Holt's linear-trend double exponential smoothing over each
+    event type's hourly rate series (level: l_t = αx_t + (1-α)(l_{t-1}
+    + b_{t-1}); trend: b_t = β(l_t - l_{t-1}) + (1-β)b_{t-1}; α=0.3,
+    β=0.1) — the trend-aware sibling of events_ewma, and the forecast
+    (level + trend = next hour's expected rate) that capacity planning
+    and the lag-alert thresholds (prometheus-rules.yaml:12-19) would
+    consume. A recursive pair no windowed SQL expresses; realized as a
+    per-group ordered left fold over a struct accumulator.
+
+    Cross-engine bit-exact: both engines fold the identical double
+    sequence left-to-right with identical expression shapes (Spark
+    F.aggregate over a named_struct ≡ DuckDB list_reduce over
+    struct_pack; the new-level expression is duplicated inside the
+    trend term on BOTH sides so the IEEE evaluation order matches).
+    Scale shape: the hourly pre-aggregate shrinks the corpus to
+    (types × hours) rows map-side; the folded series is time-bounded,
+    one element per hour, independent of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts_us") / 3_600_000_000).alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+    ser = hc.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("hr", "n"))),
+            lambda s: s["n"].cast("double"),
+        ).alias("l"),
+        F.count("*").alias("n_hours"),
+    )
+
+    def _step(acc, x):
+        new_lv = F.lit(0.3) * x + F.lit(0.7) * (acc["lv"] + acc["tr"])
+        new_tr = (
+            F.lit(0.1)
+            * ((F.lit(0.3) * x + F.lit(0.7) * (acc["lv"] + acc["tr"])) - acc["lv"])
+            + F.lit(0.9) * acc["tr"]
+        )
+        return F.struct(new_lv.alias("lv"), new_tr.alias("tr"))
+
+    fold = F.aggregate(
+        F.expr("slice(l, 2, greatest(size(l) - 1, 0))"),
+        F.struct(
+            F.element_at("l", 1).alias("lv"), F.lit(0.0).alias("tr")
+        ),
+        _step,
+    )
+    return ser.select(
+        "event_type",
+        "n_hours",
+        (F.floor(fold["lv"] * 10000.0 + F.lit(0.5)) / 10000.0).alias("level"),
+        (F.floor(fold["tr"] * 10000.0 + F.lit(0.5)) / 10000.0).alias("trend"),
+        (F.floor((fold["lv"] + fold["tr"]) * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+            "forecast_next"
+        ),
+    )

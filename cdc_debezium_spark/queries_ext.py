@@ -3813,3 +3813,73 @@ def ext_dedup_semantic(spark, sf_dir):
     return dedup.semantic_dedup(
         emb, threshold=_SEM_TAU, k=16, iters=2, cache_key=sf_dir + "#semantic"
     )
+
+
+@query(
+    "ext_similarity_ivfpq_recall",
+    oracle=f"""
+    WITH {EMB_CTE},
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {DUCK_DOT} / (a.nrm * b.nrm) DESC, b.vec_id) AS rank
+        FROM n a JOIN n b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < 10)
+      WHERE rank <= 10
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id
+      FROM ({_duck_ivfpq_sql(m=4, sub=16, k=10, nprobe=2)})
+    ),
+    u AS (
+      SELECT coalesce(e.query_id, x.query_id) AS query_id,
+             (e.query_id IS NOT NULL)::INT AS is_true,
+             (x.query_id IS NOT NULL)::INT AS is_found
+      FROM exact e FULL JOIN approx x
+        ON e.query_id = x.query_id AND e.neighbor_id = x.neighbor_id
+    )
+    SELECT query_id,
+           CAST(sum(is_true) AS BIGINT) AS n_exact,
+           CAST(sum(is_true * is_found) AS BIGINT) AS n_hit,
+           floor(sum(is_true * is_found) * 10000.0 / sum(is_true) + 0.5)
+             / 10000.0 AS recall_at_10
+    FROM u GROUP BY query_id
+    """,
+)
+def ext_similarity_ivfpq_recall(spark, sf_dir):
+    """IVF-PQ RECALL REPORT — per-query recall@10 of the full
+    billion-scale index architecture (coarse cell pruning + product
+    quantization + ADC ranking) against the exact brute-force cosine
+    top-10. Completes the recall-report quartet (MinHash r6, IVF r7,
+    sign-RP r7, IVF-PQ here): this one measures BOTH loss layers at
+    once — neighbors lost to unprobed cells (the IVF report's loss)
+    plus neighbors mis-ranked because 64-dim vectors were replaced by
+    4 PQ codes and ADC ranks L2-on-codes while the truth ranks exact
+    cosine. The gap between this curve and ext_similarity_ivf_recall's
+    is exactly the quantization cost — the number that decides m
+    (codes per vector) before an index is built over a 100 TB corpus.
+
+    Truth and detector share the corpus scan; the comparison join is
+    top-k-sized (10 queries x 10 ranks), never corpus-sized.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = similarity.brute_force_topk(emb, 10, 10).select(
+        "query_id", "neighbor_id", F.lit(1).alias("is_true")
+    )
+    found = similarity.ivfpq_topk(emb, n_queries=10, k=10, nprobe=2).select(
+        "query_id", "neighbor_id", F.lit(1).alias("is_found")
+    )
+    u = truth.join(found, ["query_id", "neighbor_id"], "full").select(
+        F.coalesce(truth["query_id"], found["query_id"]).alias("qid"),
+        F.coalesce("is_true", F.lit(0)).alias("t"),
+        F.coalesce("is_found", F.lit(0)).alias("f"),
+    )
+    return u.groupBy(F.col("qid").alias("query_id")).agg(
+        F.sum("t").alias("n_exact"),
+        F.sum(F.col("t") * F.col("f")).alias("n_hit"),
+        (
+            F.floor(F.sum(F.col("t") * F.col("f")) * 10000.0 / F.sum("t") + 0.5)
+            / 10000.0
+        ).alias("recall_at_10"),
+    )

@@ -39,6 +39,13 @@ def query(key: str, oracle: str | None = None):
 # the whole r2 cohort, and the head of r3.
 _PRIORITY = [
     # new r7 keys — never driver-sampled (appended as implemented)
+    "cdc_logical_table_router",
+    "cdc_content_based_router",
+    "cdc_header_enrich",
+    "cdc_partition_routing",
+    "cdc_timezone_convert",
+    "ext_similarity_ivfpq_recall",
+    "events_holt_winters",
     "ext_similarity_ivf_recall",
     "cdc_es_bulk_roundtrip",
     "cdc_clickhouse_replacing_roundtrip",
