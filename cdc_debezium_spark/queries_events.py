@@ -2338,3 +2338,75 @@ def events_holt_winters(spark, sf_dir):
             "forecast_next"
         ),
     )
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS med,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT m.event_type, m.n,
+           floor(m.med * 10000.0 + 0.5) / 10000.0 AS med,
+           floor(d.mad * 10000.0 + 0.5) / 10000.0 AS mad,
+           CAST(sum(CASE WHEN abs(0.6745 * (e.value - m.med) / d.mad) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY m.event_type, m.n, m.med, d.mad
+    """,
+)
+def events_mad_outliers(spark, sf_dir):
+    """Robust anomaly detection by median absolute deviation — the
+    outlier rule that, unlike events_rate_anomaly's mean/stddev
+    z-score, is not itself dragged by the outliers it hunts (50%
+    breakdown point vs 0): per event type, med = median(value),
+    MAD = median(|value - med|), and a value is anomalous when the
+    robust z-score 0.6745·(x - med)/MAD exceeds 3.5 (Iglewicz &
+    Hoaglin's modified z-score rule). Both engines share the R-7
+    exact-quantile definition, so med/MAD are engine-exact and the
+    per-row outlier predicate evaluates identically.
+
+    Shape: two grouped exact-median aggregates and one counting pass,
+    each joined back over the 5-row per-type frame (broadcast); the
+    corpus is scanned, never sorted globally. At 100 TB you'd swap
+    the exact medians for the sketch lane (agg_approx_quantile_prod)
+    and keep this as the audit on sampled partitions — the same
+    exact-vs-sketch split as the percentile family.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"),
+        F.count("*").alias("n"),
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    z = F.abs(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med", "mad")
+        .agg(
+            F.sum(F.when(z > 3.5, 1).otherwise(0)).cast("long").alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.floor(F.col("med") * 10000.0 + F.lit(0.5)) / 10000.0).alias("med"),
+            (F.floor(F.col("mad") * 10000.0 + F.lit(0.5)) / 10000.0).alias("mad"),
+            "n_outliers",
+        )
+    )

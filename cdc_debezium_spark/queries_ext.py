@@ -3883,3 +3883,128 @@ def ext_similarity_ivfpq_recall(spark, sf_dir):
             / 10000.0
         ).alias("recall_at_10"),
     )
+
+
+@query(
+    "ext_text_zipf_fit",
+    oracle="""
+    WITH counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(regexp_split_to_array(text, ' ')) AS token
+            FROM documents)
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+             n
+      FROM counts
+    ),
+    head AS (SELECT rank, n FROM ranked WHERE rank <= 1000),
+    ser AS (
+      SELECT list([ln(CAST(rank AS DOUBLE)), ln(CAST(n AS DOUBLE))]
+                  ORDER BY rank) AS pts,
+             CAST(count(*) AS BIGINT) AS n_ranks
+      FROM head
+    ),
+    -- rank-ordered fold keeps the five double sums in ONE fixed
+    -- association order on both engines (list accumulator:
+    -- [sx, sy, sxx, syy, sxy])
+    s AS (
+      SELECT n_ranks,
+             list_reduce(
+               list_prepend(CAST([0,0,0,0,0] AS DOUBLE[]),
+                            list_transform(pts, p ->
+                              [p[1], p[2], p[1]*p[1], p[2]*p[2], p[1]*p[2]])),
+               (acc, q) -> [acc[1]+q[1], acc[2]+q[2], acc[3]+q[3],
+                            acc[4]+q[4], acc[5]+q[5]]) AS v
+      FROM ser
+    )
+    SELECT n_ranks,
+           floor((n_ranks * v[5] - v[1] * v[2])
+                 / (n_ranks * v[3] - v[1] * v[1]) * 10000.0 + 0.5)
+             / 10000.0 AS zipf_slope,
+           floor((v[2] / n_ranks
+                  - (n_ranks * v[5] - v[1] * v[2])
+                    / (n_ranks * v[3] - v[1] * v[1]) * (v[1] / n_ranks))
+                 * 10000.0 + 0.5) / 10000.0 AS intercept,
+           floor(((n_ranks * v[5] - v[1] * v[2]) * (n_ranks * v[5] - v[1] * v[2]))
+                 / ((n_ranks * v[3] - v[1] * v[1]) * (n_ranks * v[4] - v[2] * v[2]))
+                 * 10000.0 + 0.5) / 10000.0 AS r2
+    FROM s
+    """,
+)
+def ext_text_zipf_fit(spark, sf_dir):
+    """Corpus-health diagnostic: Zipf rank-frequency fit — OLS of
+    ln(freq) on ln(rank) over the top-1000 vocabulary head. Natural
+    text follows Zipf's law with slope ≈ -1 and high r²; machine-
+    generated spam, template floods and boilerplate-heavy crawls bend
+    the curve, so (slope, r²) is a cheap per-source health gauge a
+    training-data pipeline tracks next to the quality classifier
+    (and the fixture's uniform word soup shows exactly the flat
+    slope such a gauge flags). Head-bounded on purpose: the fit
+    reads 1000 aggregated rows regardless of corpus size.
+
+    Determinism: the five OLS sums fold over the RANK-ORDERED point
+    list (Spark F.aggregate ≡ DuckDB list_reduce, list accumulator)
+    so double addition happens in one fixed order on both engines —
+    a plain sum() over doubles would be shuffle-order-dependent.
+    Shape: token hash-agg (partial map-side), top-k window over the
+    aggregated vocab, then a single 1000-element fold.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    head = (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 1000)
+        .select("rank", "n")
+    )
+    pts = head.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rank", "n"))),
+            lambda s: F.array(
+                F.log(s["rank"].cast("double")), F.log(s["n"].cast("double"))
+            ),
+        ).alias("pts"),
+        F.count("*").alias("n_ranks"),
+    )
+    zero = F.array(*[F.lit(0.0) for _ in range(5)])
+    fold = F.aggregate(
+        F.transform(
+            F.col("pts"),
+            lambda p: F.array(
+                p[0], p[1], p[0] * p[0], p[1] * p[1], p[0] * p[1]
+            ),
+        ),
+        zero,
+        lambda acc, q: F.array(
+            acc[0] + q[0], acc[1] + q[1], acc[2] + q[2],
+            acc[3] + q[3], acc[4] + q[4],
+        ),
+    )
+    nr = F.col("n_ranks").cast("double")
+    s = pts.select("n_ranks", fold.alias("v"))
+    slope = (nr * F.col("v")[4] - F.col("v")[0] * F.col("v")[1]) / (
+        nr * F.col("v")[2] - F.col("v")[0] * F.col("v")[0]
+    )
+    intercept = F.col("v")[1] / nr - slope * (F.col("v")[0] / nr)
+    r2 = (
+        (nr * F.col("v")[4] - F.col("v")[0] * F.col("v")[1])
+        * (nr * F.col("v")[4] - F.col("v")[0] * F.col("v")[1])
+    ) / (
+        (nr * F.col("v")[2] - F.col("v")[0] * F.col("v")[0])
+        * (nr * F.col("v")[3] - F.col("v")[1] * F.col("v")[1])
+    )
+    r4 = lambda c: F.floor(c * 10000.0 + F.lit(0.5)) / 10000.0  # noqa: E731
+    return s.select(
+        "n_ranks",
+        r4(slope).alias("zipf_slope"),
+        r4(intercept).alias("intercept"),
+        r4(r2).alias("r2"),
+    )

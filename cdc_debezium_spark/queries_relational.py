@@ -1475,3 +1475,64 @@ def join_bloom_prefilter(spark, sf_dir):
             ).cast("long").alias("n_false_pos"),
         )
     )
+
+
+@query(
+    "agg_decimal_exact",
+    oracle="""
+    WITH amt AS (
+      SELECT event_type,
+             CAST(CAST(event_id % 997 AS VARCHAR) || '.'
+                  || lpad(CAST(user_id % 100 AS VARCHAR), 2, '0')
+                  AS DECIMAL(18,2)) AS amount
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(amount) AS VARCHAR) AS total,
+           CAST(min(amount) AS VARCHAR) AS min_amt,
+           CAST(max(amount) AS VARCHAR) AS max_amt,
+           floor(CAST(sum(amount) AS DOUBLE) / count(*) * 10000.0 + 0.5)
+             / 10000.0 AS avg_amt
+    FROM amt GROUP BY event_type
+    """,
+)
+def agg_decimal_exact(spark, sf_dir):
+    """B5 end-to-end: exact DECIMAL aggregation over string-transported
+    numerics — the reference pins decimal.handling.mode=string
+    (postgresql-connector.yaml:48) precisely so money survives the
+    wire without binary-float loss; this lane completes that contract
+    on the consumer side: parse the decimal STRING (synthesized here
+    from integer fields, so both engines parse identical text), cast
+    to DECIMAL(18,2), and aggregate in exact decimal arithmetic. SUM
+    over decimals is associative and commutative — unlike doubles, the
+    result is bit-identical under ANY shuffle/partial-agg order, which
+    is why a money pipeline at 100 TB aggregates in decimal and casts
+    to double only for ratio-style outputs (avg here, 4dp-floored).
+
+    Shape: one hash aggregate; decimal sums partial map-side like any
+    other sum. The cast chain is whole-stage codegen (no Python).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    amount = F.concat(
+        F.pmod(F.col("event_id"), F.lit(997)).cast("string"),
+        F.lit("."),
+        F.lpad(F.pmod(F.col("user_id"), F.lit(100)).cast("string"), 2, "0"),
+    ).cast("decimal(18,2)")
+    return (
+        ev.select("event_type", amount.alias("amount"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("amount").cast("string").alias("total"),
+            F.min("amount").cast("string").alias("min_amt"),
+            F.max("amount").cast("string").alias("max_amt"),
+            (
+                F.floor(
+                    F.sum("amount").cast("double") / F.count("*") * 10000.0
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("avg_amt"),
+        )
+    )

@@ -46,6 +46,9 @@ _PRIORITY = [
     "cdc_timezone_convert",
     "ext_similarity_ivfpq_recall",
     "events_holt_winters",
+    "agg_decimal_exact",
+    "events_mad_outliers",
+    "ext_text_zipf_fit",
     "ext_similarity_ivf_recall",
     "cdc_es_bulk_roundtrip",
     "cdc_clickhouse_replacing_roundtrip",
