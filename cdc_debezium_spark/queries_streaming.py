@@ -138,3 +138,81 @@ def agg_session_window(spark, sf_dir):
         window_start_us("session_window").alias("start_us"),
         (window_end_us("session_window") - F.lit(GAP_US)).alias("last_us"),
     )
+
+
+@query(
+    "agg_tumbling_window_stream_roundtrip",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {US_PER_DAY}) * {US_PER_DAY} AS start_us,
+           event_type,
+           count(*) AS n,
+           floor(min(value) * 10000.0 + 0.5) / 10000.0 AS min_val,
+           floor(max(value) * 10000.0 + 0.5) / 10000.0 AS max_val
+    FROM events
+    GROUP BY start_us, event_type
+    """,
+)
+def agg_tumbling_window_stream_roundtrip(spark, sf_dir):
+    """E3/E6 EXECUTED behind the correctness gate: the tumbling-window
+    aggregation runs as a REAL Structured Streaming query — file
+    source, one chunk per micro-batch, every chunk delivered twice
+    (at-least-once redelivery, prod-resources.yaml:14-20), stateful
+    streaming dropDuplicates(event_id) upgrading delivery to
+    effectively-once ACROSS micro-batches, then the incremental
+    windowed aggregate in complete output mode — and the emitted
+    windows must hash-equal the batch oracle that reads each event
+    exactly once. The companion of cdc_stream_latest_state_roundtrip:
+    that lane gates the upsert-sink path (E7/E10), this one gates the
+    built-in stateful-aggregation path (state store, not foreachBatch).
+
+    Aggregates are chosen order-independent (count/min/max, not
+    sum-of-doubles) so incremental state merging is bit-exact against
+    the single-pass oracle. The memory-sink collect is window-count
+    bounded — driver-gate only.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.replay import read_event_stream, write_event_chunks
+
+    base = tempfile.mkdtemp(prefix="stream_wagg_gate_")
+    try:
+        write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=4, repeat=2)
+        stream = read_event_stream(spark, f"{base}/chunks")
+        agg = (
+            stream.dropDuplicates(["event_id"])
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+            .groupBy(F.window("ts", "1 day"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                (F.floor(F.min("value") * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+                    "min_val"
+                ),
+                (F.floor(F.max("value") * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+                    "max_val"
+                ),
+            )
+            .select(
+                window_start_us().alias("start_us"),
+                "event_type",
+                "n",
+                "min_val",
+                "max_val",
+            )
+        )
+        name = f"wagg_{uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.queryName(name)
+            .outputMode("complete")
+            .format("memory")
+            .option("checkpointLocation", f"{base}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
