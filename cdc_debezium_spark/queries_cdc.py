@@ -1935,12 +1935,19 @@ def cdc_timezone_convert(spark, sf_dir):
     Both engines resolve the same IANA tzdata; conversion goes
     through convert_timezone to TIMESTAMP_NTZ so the result is
     independent of the Spark session timezone (date_format on an
-    instant would render in session tz). Narrow projection, zero
-    exchanges, codegen-only.
+    instant would render in session tz). One subtlety makes that
+    true: convert_timezone casts a TIMESTAMP input to NTZ using the
+    SESSION zone before applying sourceTz, so sourceTz must BE the
+    session zone for the instant to round-trip — verified against a
+    Tokyo-session probe. Narrow projection, zero exchanges,
+    codegen-only.
     """
     ev = load_table(spark, sf_dir, "events")
-    utc_ntz = F.convert_timezone(F.lit("UTC"), F.lit("UTC"), F.col("ts"))
-    ny_ntz = F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), F.col("ts"))
+    sess_tz = spark.conf.get("spark.sql.session.timeZone")
+    utc_ntz = F.convert_timezone(F.lit(sess_tz), F.lit("UTC"), F.col("ts"))
+    ny_ntz = F.convert_timezone(
+        F.lit(sess_tz), F.lit("America/New_York"), F.col("ts")
+    )
     return ev.select(
         "event_id",
         F.date_format(utc_ntz, "yyyy-MM-dd HH:mm:ss").alias("ts_utc"),
