@@ -2011,7 +2011,11 @@ def cdc_stream_latest_state_roundtrip(spark, sf_dir):
         stream = cdc.to_cdc(read_event_stream(spark, chunks))
         sink = ParquetUpsertSink(state, keys=["pk"], order=["ts_us", "ord2"])
         q = run_upsert_stream(stream, sink, cp)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "cdc_stream_latest_state_roundtrip: stream did not drain in 300s"
+            )
         out = sink.read_live(spark).select("pk", "ts_us", "val")
         # materialize before the fixture dirs vanish
         rows = out.collect()

@@ -2358,7 +2358,9 @@ def events_holt_winters(spark, sf_dir):
     SELECT m.event_type, m.n,
            floor(m.med * 10000.0 + 0.5) / 10000.0 AS med,
            floor(d.mad * 10000.0 + 0.5) / 10000.0 AS mad,
-           CAST(sum(CASE WHEN abs(0.6745 * (e.value - m.med) / d.mad) > 3.5
+           CAST(sum(CASE WHEN CASE WHEN d.mad > 0
+                              THEN abs(0.6745 * (e.value - m.med) / d.mad) > 3.5
+                              ELSE e.value <> m.med END
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM events e
     JOIN med m USING (event_type)
@@ -2395,12 +2397,17 @@ def events_mad_outliers(spark, sf_dir):
         .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
     )
     z = F.abs(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"))
+    # MAD = 0 (a majority-constant group) leaves the robust z undefined;
+    # convention: any value off the median is then an outlier.
+    is_out = F.when(F.col("mad") > 0, z > 3.5).otherwise(
+        F.col("value") != F.col("med")
+    )
     return (
         ev.join(F.broadcast(med), "event_type")
         .join(F.broadcast(mad), "event_type")
         .groupBy("event_type", "n", "med", "mad")
         .agg(
-            F.sum(F.when(z > 3.5, 1).otherwise(0)).cast("long").alias("n_outliers")
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers")
         )
         .select(
             "event_type",

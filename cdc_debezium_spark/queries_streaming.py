@@ -210,9 +210,15 @@ def agg_tumbling_window_stream_roundtrip(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "agg_tumbling_window_stream_roundtrip: stream did not "
+                "drain in 300s"
+            )
         out = spark.table(name)
         rows = out.collect()
+        spark.catalog.dropTempView(name)  # memory sink registers a temp view
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
