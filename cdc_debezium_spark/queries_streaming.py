@@ -222,3 +222,175 @@ def agg_tumbling_window_stream_roundtrip(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "join_stream_static_enrich_roundtrip",
+    oracle=f"""
+    WITH latest AS (
+      SELECT user_id, value AS profile_val FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    ),
+    enr AS (
+      SELECT e.event_type,
+             CASE WHEN l.profile_val >= 50.0 THEN 'high' ELSE 'low' END AS tier
+      FROM events e JOIN latest l USING (user_id)
+    )
+    SELECT event_type, tier, count(*) AS n
+    FROM enr GROUP BY event_type, tier
+    """,
+)
+def join_stream_static_enrich_roundtrip(spark, sf_dir):
+    """C10 (stream-static) EXECUTED behind the correctness gate: the
+    canonical CDC enrichment topology — a live stream joined per
+    micro-batch against a static dimension snapshot (the reference's
+    "Kafka Streams -> enriched data -> Elasticsearch" arrow,
+    README.md:75-81) — run as a REAL Structured Streaming query. The
+    dimension is the batch latest-state profile per user (the Redis
+    contract); every micro-batch broadcast-joins against it and
+    appends the enriched rows to a parquet sink; the landed rows,
+    re-aggregated, must hash-equal the batch join oracle.
+
+    Determinism: per-row enrichment is independent of micro-batch
+    boundaries, and the append sink with checkpoint writes each batch
+    exactly once, so the landed multiset equals the batch join no
+    matter how chunks are scheduled. The final aggregate is
+    (type × tier)-bounded — driver-gate only.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .streaming.replay import read_event_stream, write_event_chunks
+
+    base = tempfile.mkdtemp(prefix="stream_enrich_gate_")
+    try:
+        write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=4)
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts_us"), F.desc("event_id")
+        )
+        dim = (
+            ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", F.col("value").alias("profile_val"))
+        )
+        stream = read_event_stream(spark, f"{base}/chunks")
+        enriched = stream.join(F.broadcast(dim), "user_id").select(
+            "event_type",
+            F.when(F.col("profile_val") >= 50.0, "high")
+            .otherwise("low")
+            .alias("tier"),
+        )
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "join_stream_static_enrich_roundtrip: stream did not "
+                "drain in 300s"
+            )
+        out = (
+            spark.read.parquet(f"{base}/out")
+            .groupBy("event_type", "tier")
+            .agg(F.count("*").alias("n"))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "join_stream_stream_roundtrip",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT c.user_id
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND p.ts_us >= c.ts_us
+        AND p.ts_us - c.ts_us <= {US_PER_DAY}
+    )
+    SELECT user_id, count(*) AS n_pairs
+    FROM pairs GROUP BY user_id
+    """,
+)
+def join_stream_stream_roundtrip(spark, sf_dir):
+    """C10 (stream-stream) EXECUTED behind the correctness gate: two
+    live streams — clicks and purchases read from the same chunked
+    log as independent file sources — joined ON THE STREAMING RUNTIME
+    (both sides buffered in the join state store, matches emitted as
+    they meet) with the attribution band "purchase within one day
+    after a click", appended to a parquet sink, re-aggregated, and
+    hash-checked against the batch self-join oracle. Completes the
+    streaming gate set: upsert sink (E7/E10), stateful agg (E3/E6),
+    stream-static (C10a) and now the two-sided stateful join.
+
+    Determinism: an inner stream-stream join without eviction emits
+    each qualifying pair exactly once regardless of micro-batch
+    scheduling, so the landed multiset equals the batch join. (In
+    production you bound the state with watermarks on both sides —
+    E2; the gate fixture is finite so completeness matters more than
+    eviction here.) Aggregate is user-bounded — driver-gate only.
+    """
+    import shutil
+    import tempfile
+
+    from .streaming.replay import read_event_stream, write_event_chunks
+
+    base = tempfile.mkdtemp(prefix="stream_ssjoin_gate_")
+    try:
+        write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=4)
+        clicks = (
+            read_event_stream(spark, f"{base}/chunks")
+            .where(F.col("event_type") == "click")
+            .select(F.col("user_id").alias("c_user"), F.col("ts_us").alias("c_ts"))
+        )
+        purchases = (
+            read_event_stream(spark, f"{base}/chunks")
+            .where(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user"), F.col("ts_us").alias("p_ts"))
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") - F.col("c_ts") <= US_PER_DAY),
+        ).select(F.col("c_user").alias("user_id"))
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "join_stream_stream_roundtrip: stream did not drain in 300s"
+            )
+        out = (
+            spark.read.parquet(f"{base}/out")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_pairs"))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

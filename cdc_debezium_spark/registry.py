@@ -51,6 +51,8 @@ _PRIORITY = [
     "ext_text_zipf_fit",
     "cdc_stream_latest_state_roundtrip",
     "agg_tumbling_window_stream_roundtrip",
+    "join_stream_static_enrich_roundtrip",
+    "join_stream_stream_roundtrip",
     "ext_similarity_ivf_recall",
     "cdc_es_bulk_roundtrip",
     "cdc_clickhouse_replacing_roundtrip",
