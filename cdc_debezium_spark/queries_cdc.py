@@ -2022,3 +2022,143 @@ def cdc_stream_latest_state_roundtrip(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _format_lane_dir(lane: str, sf_dir: str) -> str:
+    """Deterministic per-(lane, fixture) scratch dir, reused and
+    overwritten across invocations so repeated gate runs never grow
+    unbounded state."""
+    import hashlib
+    import os
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join("/tmp", "cdc_debezium_gate", lane, h)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@query(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, props
+    FROM events
+    """,
+)
+def scan_csv_roundtrip(spark, sf_dir):
+    """A-section format depth: CSV round-trip fidelity. Kafka Connect
+    deployments routinely bulk-load reference data as CSV (the
+    spooldir/file-pulse connector family); the contract that matters
+    is LOSSLESS round-trip: quoting/escaping survives the props JSON
+    column (embedded commas, quotes, braces), and doubles re-parse to
+    the identical bits (Spark writes shortest-roundtrip
+    representations). The lane writes the events table as quoted CSV,
+    reads it back with an explicit schema (never inferSchema — the
+    100 TB posture reads headers once, not the data twice), and the
+    full row multiset must hash-equal the parquet-sourced oracle.
+
+    Shape: narrow write + narrow scan, no shuffle; scratch dir is
+    per-fixture deterministic and overwritten per run.
+    """
+    out = _format_lane_dir("csv", sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    (
+        ev.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(out)
+    )
+    return (
+        spark.read.schema(
+            "event_id long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("header", "true")
+        .option("escape", '"')
+        .csv(out)
+    )
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+    FROM events
+    """,
+)
+def scan_orc_roundtrip(spark, sf_dir):
+    """A-section format depth: ORC round-trip — the second columnar
+    format a warehouse-facing pipeline meets (Hive-lineage sinks;
+    the reference's declared data-warehouse arrow README.md:49). The
+    lane rewrites the events table as ORC and reads it back; every
+    column including the µs-precision timestamp (carried as epoch-µs
+    long, the time.precision.mode contract) must survive bit-exact.
+    DuckDB cannot read ORC, so the oracle reads the same rows from
+    parquet — the comparison IS the cross-format fidelity check.
+
+    Shape: narrow write + narrow scan with column pruning and
+    predicate pushdown available on read (ORC carries min/max stats
+    like parquet); no shuffle.
+    """
+    out = _format_lane_dir("orc", sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_us", "user_id", "event_type", "value", "props"
+    )
+    ev.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@query(
+    "xml_wire_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type, value AS val, props,
+           length(props) AS props_len
+    FROM events
+    """,
+)
+def xml_wire_roundtrip(spark, sf_dir):
+    """A12 sibling: XML wire format — the third wire codec beside
+    JSON (json_roundtrip) and Avro (avro_roundtrip). Kafka Connect
+    ships an XML converter in the enterprise catalog and legacy
+    upstreams still emit XML payloads; Spark 4 carries a native
+    to_xml/from_xml pair, so the engine covers the format with zero
+    Python: each event serializes to an XML document (entity escaping
+    exercised for real — the props JSON column carries quotes and
+    braces) and a fresh from_xml with an explicit schema must recover
+    every field bit-exactly, doubles included (shortest-roundtrip
+    literals). The oracle states the identity the roundtrip must
+    satisfy — the parse path is what's under test.
+
+    Shape: narrow projection, both codecs JVM-side in whole-stage
+    codegen; at 100 TB this is the same zero-shuffle scan shape as
+    the JSON wire lane.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wire = ev.select(
+        F.to_xml(
+            F.struct(
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.col("value").alias("val"),
+                F.col("props"),
+            )
+        ).alias("xml")
+    )
+    parsed = wire.select(
+        F.from_xml(
+            "xml",
+            "event_id long, user_id long, event_type string, "
+            "val double, props string",
+        ).alias("v")
+    )
+    return parsed.select(
+        "v.event_id",
+        "v.user_id",
+        "v.event_type",
+        "v.val",
+        "v.props",
+        F.length("v.props").cast("long").alias("props_len"),
+    )

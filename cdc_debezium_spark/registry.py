@@ -53,6 +53,9 @@ _PRIORITY = [
     "agg_tumbling_window_stream_roundtrip",
     "join_stream_static_enrich_roundtrip",
     "join_stream_stream_roundtrip",
+    "scan_csv_roundtrip",
+    "scan_orc_roundtrip",
+    "xml_wire_roundtrip",
     "ext_similarity_ivf_recall",
     "cdc_es_bulk_roundtrip",
     "cdc_clickhouse_replacing_roundtrip",
