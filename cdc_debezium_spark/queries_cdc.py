@@ -2222,3 +2222,75 @@ def cdc_schema_evolution_roundtrip(spark, sf_dir):
         F.lit(None).cast("double").alias("amount_before_ddl"),
         F.col("a.amount").alias("amount"),
     )
+
+
+@query(
+    "cdc_checkpoint_resume_roundtrip",
+    oracle=CDC_CTE
+    + """
+    SELECT pk, ts_us, val
+    FROM (
+      SELECT * FROM cdc_events
+      QUALIFY row_number() OVER (PARTITION BY pk ORDER BY ts_us DESC, ord2 DESC) = 1
+    )
+    WHERE op <> 'd'
+    """,
+)
+def cdc_checkpoint_resume_roundtrip(spark, sf_dir):
+    """A13 EXECUTED behind the correctness gate: offset tracking and
+    crash-restart recovery. The reference flushes connector offsets
+    every 5 s so a crashed worker resumes from its last committed
+    position (prod-resources.yaml:14-20); the Structured Streaming
+    checkpoint is the exact analog. This lane runs the chunked replay
+    in TWO separate stream incarnations against ONE checkpoint: the
+    first is stopped after a single micro-batch (the crash), the
+    second restarts from the checkpoint and drains the rest. Processed
+    offsets must not replay into duplicates and unprocessed chunks
+    must not be skipped — the landed upsert state hash-equals the
+    batch latest-state oracle only if resume-at-offset is exact.
+
+    Shape notes as cdc_stream_latest_state_roundtrip (same sink, same
+    fixture generator); the deliberate stop adds one stream startup
+    cost, nothing else.
+    """
+    import shutil
+    import tempfile
+    import time
+
+    from .streaming.replay import read_event_stream, write_event_chunks
+    from .streaming.state import ParquetUpsertSink, run_upsert_stream
+
+    base = tempfile.mkdtemp(prefix="cdc_resume_gate_")
+    chunks, state, cp = f"{base}/chunks", f"{base}/state", f"{base}/cp"
+    try:
+        write_event_chunks(spark, sf_dir, chunks, n_chunks=4)
+        sink = ParquetUpsertSink(state, keys=["pk"], order=["ts_us", "ord2"])
+
+        # incarnation 1: process at least one micro-batch, then "crash"
+        q1 = run_upsert_stream(cdc.to_cdc(read_event_stream(spark, chunks)), sink, cp)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if any(p["numInputRows"] > 0 for p in q1.recentProgress):
+                break
+            time.sleep(0.2)
+        q1.stop()
+        q1.awaitTermination(60)
+
+        # incarnation 2: fresh reader + fresh sink object, SAME
+        # checkpoint — resumes from the committed offset
+        sink2 = ParquetUpsertSink(state, keys=["pk"], order=["ts_us", "ord2"])
+        sink2._initialized = True  # state dir already exists from run 1
+        q2 = run_upsert_stream(
+            cdc.to_cdc(read_event_stream(spark, chunks)), sink2, cp
+        )
+        if not q2.awaitTermination(300):
+            q2.stop()
+            raise TimeoutError(
+                "cdc_checkpoint_resume_roundtrip: resumed stream did not "
+                "drain in 300s"
+            )
+        out = sink2.read_live(spark).select("pk", "ts_us", "val")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -814,14 +814,21 @@ def udtf_tokenize(spark, sf_dir):
                 yield i, w
 
     spark.udtf.register("split_words", SplitWords)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
-    return spark.sql(
-        """
+    # per-invocation view name: a fixed name would race if the driver
+    # ever runs two lanes (or two sf_dirs) concurrently on one session
+    import uuid
+
+    view = f"_docs_udtf_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    df = spark.sql(
+        f"""
         SELECT d.doc_id, s.pos, s.word
-        FROM _docs_udtf d, LATERAL split_words(d.text) s
+        FROM {view} d, LATERAL split_words(d.text) s
         WHERE d.doc_id < 50
         """
     )
+    spark.catalog.dropTempView(view)  # df holds the analyzed plan
+    return df
 
 
 TPCH_Q1ISH = """
@@ -923,19 +930,24 @@ def agg_grouping_sets(spark, sf_dir):
     cross, skipping the grand total). Spark expands the sets into one
     pass with partial aggregation per set; grouping_id disambiguates
     the granularities, exact-decimal money sums hash identically."""
+    import uuid
+
     o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("orders_gs")
-    return spark.sql(
-        """
+    view = f"orders_gs_{uuid.uuid4().hex[:8]}"  # see _docs_udtf note
+    o.createOrReplaceTempView(view)
+    df = spark.sql(
+        f"""
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS total,
                grouping_id(o_orderstatus, o_orderpriority) AS gid
-        FROM orders_gs
+        FROM {view}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority))
         """
     )
+    spark.catalog.dropTempView(view)
+    return df
 
 
 @query(

@@ -57,6 +57,7 @@ _PRIORITY = [
     "scan_orc_roundtrip",
     "xml_wire_roundtrip",
     "cdc_schema_evolution_roundtrip",
+    "cdc_checkpoint_resume_roundtrip",
     "ext_similarity_ivf_recall",
     "cdc_es_bulk_roundtrip",
     "cdc_clickhouse_replacing_roundtrip",

@@ -305,3 +305,59 @@ def test_incremental_snapshot_reconstructs_latest_state(spark, sf_dir):
     got = {tuple(r) for r in rebuilt.collect()}
     want = {tuple(r) for r in latest.collect()}
     assert got == want and len(want) > 0
+
+
+def test_concurrent_lane_execution_parity(spark, sf_dir):
+    """Lanes must be safe to run CONCURRENTLY on one shared session —
+    a budgeted driver (or a user) may overlap them. Exercises the
+    lanes that touch session-global state (temp views, registered
+    UDTFs) alongside plain ones: results from 2x-threaded execution
+    must equal sequential results row-for-row.
+
+    Guards the per-invocation-unique view names in udtf_tokenize /
+    agg_grouping_sets (a fixed name races across threads: one thread
+    replaces the view mid-flight of the other's analysis)."""
+    import threading
+
+    from cdc_debezium_spark import registry
+
+    registry.load_all()
+    keys = [
+        "udtf_tokenize",
+        "agg_grouping_sets",
+        "sql_pricing_summary",
+        "project_basic",
+        "agg_groupby",
+        "scalar_hash",
+    ]
+
+    def run(key):
+        df = registry.QUERIES[key](spark, sf_dir)
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(str(r[c]) for c in cols) for r in df.select(*cols).collect()
+        )
+
+    sequential = {k: run(k) for k in keys}
+
+    results: dict[tuple[str, int], object] = {}
+    errors: list[str] = []
+
+    def worker(key, slot):
+        try:
+            results[(key, slot)] = run(key)
+        except Exception as ex:  # noqa: BLE001
+            errors.append(f"{key}[{slot}]: {type(ex).__name__}: {ex}")
+
+    threads = [
+        threading.Thread(target=worker, args=(k, s))
+        for s in range(2)
+        for k in keys
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert not errors, errors
+    for (key, slot), rows in results.items():
+        assert rows == sequential[key], f"{key}[{slot}] diverged under concurrency"
