@@ -4008,3 +4008,82 @@ def ext_text_zipf_fit(spark, sf_dir):
         r4(intercept).alias("intercept"),
         r4(r2).alias("r2"),
     )
+
+
+@query(
+    "ext_graph_triangles",
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    {JACCARD_TAIL},
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM ver
+      WHERE ni / (na + nb - ni) >= 0.5
+    ),
+    deg AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e)
+      GROUP BY x
+    ),
+    agg AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+             (SELECT CAST(COALESCE(sum(d * (d - 1) // 2), 0) AS BIGINT)
+              FROM deg) AS n_wedges,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    )
+    SELECT n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN floor(3.0 * n_triangles / n_wedges * 10000.0 + 0.5) / 10000.0
+                ELSE 0.0 END AS closure4
+    FROM agg
+    """,
+)
+def ext_graph_triangles(spark, sf_dir):
+    """Triangle count + global clustering coefficient over the
+    near-dup pair graph — the third graph primitive beside PageRank
+    and connected components. Edges ordered a < b, so the e1=(a,b),
+    e2=(b,c), e3=(a,c) join enumerates each triangle exactly once —
+    the standard distributed formulation (order edges, join low-end
+    to high-end; at 100 TB you additionally orient by degree so hub
+    nodes never dominate a join side). High closure means near-dups
+    arrive in dense cliques (template floods — corroborating the
+    degree histogram); low closure means chains of pairwise drift.
+    n_wedges stays in exact integer arithmetic; the coefficient is
+    the only float, 4dp-floored.
+
+    Cost is candidate generation, shared with every ngram lane (the
+    pair pipeline's internal persists make the three edge references
+    one computation); the triangle join runs on the survivor-sized
+    edge list, never the corpus."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), 0.5
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    deg = (
+        pairs.select(F.col("a").alias("x"))
+        .unionAll(pairs.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    e1 = pairs
+    e2 = pairs.select(F.col("a").alias("b2a"), F.col("b").alias("b2b"))
+    e3 = pairs.select(F.col("a").alias("b3a"), F.col("b").alias("b3b"))
+    tri = (
+        e1.join(e2, F.col("b2a") == F.col("b"))
+        .join(e3, (F.col("b3a") == F.col("a")) & (F.col("b3b") == F.col("b2b")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    edges = pairs.agg(F.count("*").alias("n_edges"))
+    wedges = deg.agg(
+        F.coalesce(
+            F.sum(F.expr("d * (d - 1) div 2")), F.lit(0)
+        ).cast("long").alias("n_wedges")
+    )
+    out = edges.crossJoin(F.broadcast(wedges)).crossJoin(F.broadcast(tri))
+    closure = F.when(
+        F.col("n_wedges") > 0,
+        F.floor(3.0 * F.col("n_triangles") / F.col("n_wedges") * 10000.0 + F.lit(0.5))
+        / 10000.0,
+    ).otherwise(F.lit(0.0))
+    return out.select("n_edges", "n_wedges", "n_triangles", closure.alias("closure4"))

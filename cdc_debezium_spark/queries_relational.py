@@ -1548,3 +1548,68 @@ def agg_decimal_exact(spark, sf_dir):
             ).alias("avg_amt"),
         )
     )
+
+
+@query(
+    "ext_dq_expectations",
+    oracle="""
+    SELECT 'o_orderkey' AS col, count(*) AS n,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           count(DISTINCT o_orderkey) = count(o_orderkey) AS is_unique
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           count(DISTINCT o_custkey) = count(o_custkey)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           count(DISTINCT o_orderstatus) = count(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           count(DISTINCT o_orderpriority) = count(o_orderpriority)
+    FROM orders
+    """,
+)
+def ext_dq_expectations(spark, sf_dir):
+    """Data-quality expectations report — the contract check a
+    production pipeline runs before promoting a load (the
+    Deequ/Great-Expectations pattern): per audited column, row count,
+    null count, exact distinct count, and the uniqueness verdict (the
+    primary-key expectation that must hold for o_orderkey and must
+    NOT hold for the others). One pass over the table; the four
+    audits share one scan via a single multi-aggregate then unpivot,
+    not four scans.
+
+    At 100 TB the same report swaps exact distincts for the HLL lane
+    (agg_hll_partial_merge) per partition and keeps this exact form
+    for per-partition audits — same split as the percentile family.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd" for c in cols
+    )
+    return one.selectExpr(
+        "n", f"stack({len(cols)}, {stack_args}) AS (col, n_null, n_distinct)"
+    ).select(
+        "col",
+        "n",
+        "n_null",
+        "n_distinct",
+        (F.col("n_distinct") == (F.col("n") - F.col("n_null"))).alias("is_unique"),
+    )

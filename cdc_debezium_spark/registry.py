@@ -58,6 +58,8 @@ _PRIORITY = [
     "xml_wire_roundtrip",
     "cdc_schema_evolution_roundtrip",
     "cdc_checkpoint_resume_roundtrip",
+    "ext_dq_expectations",
+    "ext_graph_triangles",
     "ext_similarity_ivf_recall",
     "cdc_es_bulk_roundtrip",
     "cdc_clickhouse_replacing_roundtrip",
