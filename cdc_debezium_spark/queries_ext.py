@@ -4057,9 +4057,14 @@ def ext_graph_triangles(spark, sf_dir):
     pair pipeline's internal persists make the three edge references
     one computation); the triangle join runs on the survivor-sized
     edge list, never the corpus."""
-    pairs = dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), 0.5
-    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    # persist the survivor-sized edge list: it feeds five plan legs
+    # (degree union x2, three triangle-join legs) and is tiny compared
+    # to the candidate pipeline that produces it
+    pairs = (
+        dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .persist()
+    )
     deg = (
         pairs.select(F.col("a").alias("x"))
         .unionAll(pairs.select(F.col("b").alias("x")))
