@@ -1899,12 +1899,18 @@ def cdc_partition_routing(spark, sf_dir):
             F.countDistinct("user_id").alias("n_keys"),
         )
     )
-    total = p.agg(F.sum("n_events").alias("tot"))
-    return p.crossJoin(F.broadcast(total)).select(
+    # global total via an empty-frame window over the 12 aggregated
+    # rows — NOT a second aggregate branch, which would rescan the
+    # corpus (verified in the plan: the crossJoin(total) formulation
+    # re-ran the whole aggregate on the broadcast leg)
+    from pyspark.sql import Window
+
+    tot = F.sum("n_events").over(Window.partitionBy())
+    return p.select(
         "partition_id",
         "n_events",
         "n_keys",
-        (F.floor(F.col("n_events") * 12.0 * 10000.0 / F.col("tot") + 0.5) / 10000.0
+        (F.floor(F.col("n_events") * 12.0 * 10000.0 / tot + 0.5) / 10000.0
          ).alias("load_ratio"),
     )
 

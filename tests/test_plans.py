@@ -655,3 +655,40 @@ def test_interval_overlap_join_is_equi_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert df.count() > 0
+
+
+def test_r7_smt_lanes_zero_exchange(spark, sf_dir):
+    """The round-7 SMT depth lanes that are per-row rewrites —
+    header enrichment, timezone conversion, XML wire codec, schema
+    evolution reparse — must ride the source scan with ZERO
+    exchanges, exactly like the outbox/mask pins above: a shuffle in
+    an inline transform re-partitions the whole topic at 100 TB."""
+    for key in (
+        "cdc_header_enrich",
+        "cdc_timezone_convert",
+        "xml_wire_roundtrip",
+        "cdc_schema_evolution_roundtrip",
+    ):
+        df = registry.QUERIES[key](spark, sf_dir)
+        assert count_shuffles(df) == 0, key
+
+
+def test_r7_router_lanes_single_aggregate_exchange(spark, sf_dir):
+    """The router audit lanes scan and aggregate the corpus ONCE.
+    Exact-distinct audits are two-phase (partial on (group, key),
+    final on group); the load-ratio total rides a tiny window over
+    the aggregated rows — anything above the pinned exchange budget
+    means a branch rescanned the corpus (the bug the first
+    crossJoin(total) formulation had)."""
+    # exact-distinct audits are two-phase (partial on (group, key),
+    # final on group) = 2 exchanges; partition routing adds ONE
+    # SinglePartition exchange for the 12-row global-total window
+    for key, max_shuffles in (
+        ("cdc_content_based_router", 2),
+        ("cdc_partition_routing", 3),
+    ):
+        df = registry.QUERIES[key](spark, sf_dir)
+        n = count_shuffles(df)
+        assert n <= max_shuffles, f"{key}: {n} shuffles"
+        plan = _physical(df)
+        assert "CartesianProduct" not in plan, key
