@@ -1613,3 +1613,64 @@ def ext_dq_expectations(spark, sf_dir):
         "n_distinct",
         (F.col("n_distinct") == (F.col("n") - F.col("n_null"))).alias("is_unique"),
     )
+
+
+@query(
+    "ext_privacy_k_anon",
+    oracle="""
+    WITH cls AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS class_size,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_subjects
+      FROM events GROUP BY event_type, day
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(class_size) AS BIGINT) AS min_class,
+           CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           min(class_size) >= 5 AS k5_ok
+    FROM cls GROUP BY event_type
+    """,
+)
+def ext_privacy_k_anon(spark, sf_dir):
+    """k-anonymity audit — the data-release gate that complements the
+    GDPR erasure lane (cdc_gdpr_erasure handles the subject's rows;
+    this lane decides whether the REMAINING quasi-identifier
+    combinations re-identify anyone): rows grouped by the
+    quasi-identifier tuple (event_type, day) form equivalence
+    classes; a release satisfies k=5 anonymity iff every class holds
+    at least 5 rows. Output per stream: class count, smallest class,
+    violating classes, rows at risk, and the release verdict — the
+    exact checklist a privacy review asks for before training data
+    or analytics exports leave the boundary.
+
+    Shape: two stacked hash aggregates (classes, then per-stream
+    roll-up) — the class aggregate is the only corpus-sized shuffle;
+    at 100 TB add generalization (coarser day buckets) or
+    suppression of the violating classes as the remediation pass,
+    both single narrow rewrites upstream of the same audit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cls = (
+        ev.select("event_type", F.expr("ts_us div 86400000000").alias("day"), "user_id")
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").alias("class_size"),
+            F.countDistinct("user_id").alias("n_subjects"),
+        )
+    )
+    return cls.groupBy("event_type").agg(
+        F.count("*").alias("n_classes"),
+        F.min("class_size").alias("min_class"),
+        F.sum(F.when(F.col("class_size") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating"),
+        F.sum(F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        (F.min("class_size") >= 5).alias("k5_ok"),
+    )

@@ -60,6 +60,7 @@ _PRIORITY = [
     "cdc_checkpoint_resume_roundtrip",
     "ext_dq_expectations",
     "ext_graph_triangles",
+    "ext_privacy_k_anon",
     "ext_similarity_ivf_recall",
     "cdc_es_bulk_roundtrip",
     "cdc_clickhouse_replacing_roundtrip",
