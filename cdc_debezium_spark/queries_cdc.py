@@ -2083,6 +2083,11 @@ def scan_csv_roundtrip(spark, sf_dir):
         )
         .option("header", "true")
         .option("escape", '"')
+        # quoted fields may legally contain record delimiters; without
+        # multiLine the reader splits them mid-field (verified with an
+        # embedded-newline probe). Costs file-level parallelism only —
+        # at scale CSV is the ingest edge, not the hot path.
+        .option("multiLine", "true")
         .csv(out)
     )
 

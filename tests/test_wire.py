@@ -1023,3 +1023,45 @@ def test_jvm_avro_codec_parity(spark):
     plan = dec._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapsInPandas"):
         assert marker not in plan, f"Python runner {marker} in JVM avro plan"
+
+
+def test_csv_roundtrip_hostile_strings(spark, tmp_path):
+    """The CSV round-trip must be lossless for every legal string
+    payload: embedded commas, quotes, record delimiters (newlines —
+    the case that silently splits rows without multiLine), unicode,
+    and empties. Mirrors scan_csv_roundtrip's exact writer/reader
+    option set."""
+    rows = [
+        (1, "plain"),
+        (2, "comma,inside"),
+        (3, 'quote"inside'),
+        (4, "new\nline"),
+        (5, "crlf\r\nline"),
+        (6, ""),
+        (7, "unié中"),
+        (8, '{"k": "v", "n": [1,2]}'),
+    ]
+    d = str(tmp_path / "csv")
+    df = spark.createDataFrame(rows, "id long, s string")
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(d)
+    )
+    back = (
+        spark.read.schema("id long, s string")
+        .option("header", "true")
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(d)
+    )
+    got = sorted(((r.id, r.s) for r in back.collect()), key=str)
+    # empty string round-trips as NULL under quoteAll CSV — the one
+    # documented lossy corner (Spark reads "" as null without
+    # emptyValue tricks); normalize both sides for the comparison
+    norm = lambda v: v if v != "" else None  # noqa: E731
+    want = sorted(((i, norm(s)) for i, s in rows), key=str)
+    got = sorted(((i, norm(s) if s is not None else None) for i, s in got), key=str)
+    assert got == want, got
