@@ -394,3 +394,229 @@ def join_stream_stream_roundtrip(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "agg_session_window_stream_roundtrip",
+    oracle=f"""
+    WITH t AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    marked AS (
+      SELECT user_id, us,
+             CASE WHEN us - lag(us) OVER w > {GAP_US}
+                    OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sessions AS (
+      SELECT user_id, us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, count(*) AS n,
+           min(us) AS start_us, max(us) AS last_us
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def agg_session_window_stream_roundtrip(spark, sf_dir):
+    """E5 EXECUTED behind the correctness gate: session windows on the
+    STREAMING state store. Sessions are the hard window type
+    incrementally — unlike tumbling windows a new event can MERGE two
+    existing sessions, so the state store must split/merge ranges as
+    micro-batches arrive out of session order (chunks are ts-ordered
+    globally, but a user's events straddle chunks). Complete output
+    mode emits the final merged sessions; they must hash-equal the
+    batch gaps-and-islands oracle exactly — session count, membership
+    and bounds.
+
+    Third state-store surface gated: aggregation (tumbling), join
+    (stream-stream), and now session merge. Memory-sink collect is
+    session-count bounded — driver-gate only.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.replay import read_event_stream, write_event_chunks
+
+    base = tempfile.mkdtemp(prefix="stream_sess_gate_")
+    try:
+        write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=4)
+        stream = read_event_stream(spark, f"{base}/chunks").withColumn(
+            "ts", F.timestamp_micros("ts_us")
+        )
+        agg = (
+            stream.groupBy(
+                "user_id", F.session_window(F.col("ts"), "30 minutes")
+            )
+            .agg(F.count("*").alias("n"))
+            .select(
+                "user_id",
+                "n",
+                window_start_us("session_window").alias("start_us"),
+                (window_end_us("session_window") - GAP_US).alias("last_us"),
+            )
+        )
+        name = f"sess_{uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.queryName(name)
+            .outputMode("complete")
+            .format("memory")
+            .option("checkpointLocation", f"{base}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "agg_session_window_stream_roundtrip: stream did not "
+                "drain in 300s"
+            )
+        out = spark.table(name)
+        rows = out.collect()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_LATE_DELAY_US = 3_600_000_000  # 1 h watermark delay
+_LATE_WIN_US = 3_600_000_000  # 1 h tumbling windows
+_LATE_ORDER = [0, 2, 3, 1]  # chunk delivery order: chunk 1 arrives LAST
+
+
+def _write_permuted_chunks(spark, sf_dir: str, out_dir: str) -> None:
+    """events split into 4 equal ts-ordered ranges, DELIVERED in
+    _LATE_ORDER via mtime stamps: chunk 1 (the second-oldest range)
+    arrives after chunks 2 and 3 have already advanced event time by
+    hours — real late data, deterministically."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .sources.catalog import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
+        .orderBy("ts_us", "event_id")
+        .toPandas()
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(ev)
+    per = (n + 3) // 4
+    t0 = time.time() - 10
+    for pos, c in enumerate(_LATE_ORDER):
+        chunk = ev.iloc[c * per : (c + 1) * per]
+        path = f"{out_dir}/chunk_{c:04d}.parquet"
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), path)
+        os.utime(path, (t0 + pos, t0 + pos))
+
+
+@query(
+    "events_late_data_drop_roundtrip",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT epoch_us(ts) AS us,
+             row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ),
+    chunks AS (
+      SELECT us, CAST((rn - 1) // ((n + 3) // 4) AS BIGINT) AS c FROM ordered
+    ),
+    pos AS (  -- delivery position per chunk: order [0,2,3,1]
+      SELECT c, us,
+             CASE c WHEN 0 THEN 0 WHEN 2 THEN 1 WHEN 3 THEN 2 ELSE 3 END AS p
+      FROM chunks
+    ),
+    wm AS (   -- watermark DURING batch p = ms-floored max ts of earlier
+              -- batches minus the delay (no watermark during batch 0)
+      SELECT p,
+             (max(mx) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) // 1000) * 1000
+               - {_LATE_DELAY_US} AS w
+      FROM (SELECT p, max(us) AS mx FROM pos GROUP BY p)
+    ),
+    kept AS (  -- a late row is dropped iff its WINDOW is already
+               -- evicted: window_end <= watermark at delivery time
+      SELECT (pos.us // {_LATE_WIN_US}) * {_LATE_WIN_US} AS start_us
+      FROM pos JOIN wm USING (p)
+      WHERE wm.w IS NULL
+         OR (pos.us // {_LATE_WIN_US}) * {_LATE_WIN_US} + {_LATE_WIN_US} > wm.w
+    ),
+    final_w AS (
+      SELECT (max(epoch_us(ts)) // 1000) * 1000 - {_LATE_DELAY_US} AS fw
+      FROM events
+    )
+    SELECT start_us, count(*) AS n
+    FROM kept, final_w
+    WHERE start_us + {_LATE_WIN_US} <= fw  -- append mode emits only
+                                           -- watermark-finalized windows
+    GROUP BY start_us
+    """,
+)
+def events_late_data_drop_roundtrip(spark, sf_dir):
+    """E2/E8 EXECUTED behind the correctness gate: the watermark
+    late-data contract on the real streaming runtime. Chunks are
+    delivered OUT of event-time order (order [0,2,3,1] — the
+    second-oldest hour-range arrives last, after newer chunks have
+    advanced event time), so the windowed aggregate's watermark
+    genuinely drops rows: a late row is discarded iff its window was
+    already evicted (window_end <= watermark at its delivery batch),
+    and append mode emits exactly the windows the FINAL watermark
+    finalized. The oracle reconstructs the whole protocol in SQL —
+    chunk assignment, per-batch watermark (ms-floored, as Spark
+    tracks event time), eviction predicate, final emission set — so
+    the gate checks Spark's watermark semantics bit-for-bit, not just
+    "some rows were dropped".
+
+    The 12-partition keyed topics guarantee order per key only
+    (prod-resources.yaml:94-95); cross-partition interleaving is
+    exactly this out-of-order delivery, and prometheus-rules' lag
+    alert window is the operational twin of the delay chosen here.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.replay import EVENT_STREAM_SCHEMA
+
+    base = tempfile.mkdtemp(prefix="stream_late_gate_")
+    try:
+        _write_permuted_chunks(spark, sf_dir, f"{base}/chunks")
+        stream = (
+            spark.readStream.schema(EVENT_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/chunks")
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+            .select(window_start_us().alias("start_us"), "n")
+        )
+        name = f"late_{uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.queryName(name)
+            .outputMode("append")
+            .format("memory")
+            .option("checkpointLocation", f"{base}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "events_late_data_drop_roundtrip: stream did not drain in 300s"
+            )
+        out = spark.table(name)
+        rows = out.collect()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -61,6 +61,8 @@ _PRIORITY = [
     "ext_dq_expectations",
     "ext_graph_triangles",
     "ext_privacy_k_anon",
+    "agg_session_window_stream_roundtrip",
+    "events_late_data_drop_roundtrip",
     "ext_similarity_ivf_recall",
     "cdc_es_bulk_roundtrip",
     "cdc_clickhouse_replacing_roundtrip",
