@@ -620,3 +620,139 @@ def events_late_data_drop_roundtrip(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "agg_sliding_window_stream_roundtrip",
+    oracle=f"""
+    SELECT ((epoch_us(ts) // {US_PER_DAY}) - i) * {US_PER_DAY} AS start_us,
+           count(*) AS n,
+           floor(min(value) * 10000.0 + 0.5) / 10000.0 AS min_val,
+           floor(max(value) * 10000.0 + 0.5) / 10000.0 AS max_val
+    FROM events CROSS JOIN (VALUES (0), (1)) AS offs(i)
+    GROUP BY start_us
+    """,
+)
+def agg_sliding_window_stream_roundtrip(spark, sf_dir):
+    """E4 EXECUTED behind the correctness gate: native sliding windows
+    (2-day duration, 1-day slide) on the streaming state store —
+    every event lands in exactly two windows via the runtime's Expand,
+    merged incrementally across micro-batches, complete mode. Batch
+    oracle enumerates the same two offsets per row. Completes the
+    streaming window trio (tumbling, session, sliding) on the gated
+    runtime; aggregates order-independent (count/min/max) as in the
+    tumbling lane. Note the BATCH lane (agg_sliding_window)
+    deliberately avoids the Expand via hop-bucketing — at 100 TB the
+    streaming state store amortizes the Expand across micro-batches,
+    so the native form is the right streaming shape even though the
+    bucketed form is the right batch shape.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.replay import read_event_stream, write_event_chunks
+
+    base = tempfile.mkdtemp(prefix="stream_slide_gate_")
+    try:
+        write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=4)
+        stream = read_event_stream(spark, f"{base}/chunks").withColumn(
+            "ts", F.timestamp_micros("ts_us")
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "2 days", "1 day"))
+            .agg(
+                F.count("*").alias("n"),
+                (F.floor(F.min("value") * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+                    "min_val"
+                ),
+                (F.floor(F.max("value") * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+                    "max_val"
+                ),
+            )
+            .select(window_start_us().alias("start_us"), "n", "min_val", "max_val")
+        )
+        name = f"slide_{uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.queryName(name)
+            .outputMode("complete")
+            .format("memory")
+            .option("checkpointLocation", f"{base}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "agg_sliding_window_stream_roundtrip: stream did not "
+                "drain in 300s"
+            )
+        out = spark.table(name)
+        rows = out.collect()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "events_stream_progress_audit",
+    oracle="""
+    WITH ordered AS (
+      SELECT row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn,
+             count(*) OVER () AS n
+      FROM events
+    )
+    SELECT CAST((rn - 1) // ((n + 3) // 4) AS BIGINT) AS batch_pos,
+           count(*) AS n_rows
+    FROM ordered GROUP BY batch_pos
+    """,
+)
+def events_stream_progress_audit(spark, sf_dir):
+    """E9 EXECUTED behind the correctness gate: the monitoring
+    surface itself. The reference's operability rests on consumer
+    metrics (prometheus scrape every 15 s, lag alert
+    prometheus-rules.yaml:12-19); Spark's equivalents are
+    StreamingQuery progress events. This lane runs the chunked
+    replay and returns what the RUNTIME reported — numInputRows per
+    micro-batch in delivery order — and the oracle states what the
+    metrics must say: exactly the four chunk sizes the fixture
+    generator produced. If progress accounting double-counts (e.g.
+    a foreachBatch re-read — the exact bug class the r6 persist fix
+    in ParquetUpsertSink addressed), under-reports, or mis-orders
+    batches, the hash breaks. recentProgress retention is ample for
+    4 batches (default keeps 100).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.replay import read_event_stream, write_event_chunks
+
+    base = tempfile.mkdtemp(prefix="stream_prog_gate_")
+    try:
+        write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=4)
+        stream = read_event_stream(spark, f"{base}/chunks")
+        name = f"prog_{uuid.uuid4().hex[:12]}"
+        q = (
+            stream.writeStream.queryName(name)
+            .outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", f"{base}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "events_stream_progress_audit: stream did not drain in 300s"
+            )
+        rows = [
+            (i, int(p["numInputRows"]))
+            for i, p in enumerate(
+                p for p in q.recentProgress if p["numInputRows"] > 0
+            )
+        ]
+        return spark.createDataFrame(rows, "batch_pos long, n_rows long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -63,6 +63,8 @@ _PRIORITY = [
     "ext_privacy_k_anon",
     "agg_session_window_stream_roundtrip",
     "events_late_data_drop_roundtrip",
+    "agg_sliding_window_stream_roundtrip",
+    "events_stream_progress_audit",
     "ext_similarity_ivf_recall",
     "cdc_es_bulk_roundtrip",
     "cdc_clickhouse_replacing_roundtrip",
