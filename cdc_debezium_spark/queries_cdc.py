@@ -2305,3 +2305,53 @@ def cdc_checkpoint_resume_roundtrip(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "cdc_scd2_stream_roundtrip",
+    oracle=CDC_CTE
+    + """
+    SELECT pk, ord2, op, val,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER (PARTITION BY pk ORDER BY ts_us, ord2) AS valid_to_us
+    FROM cdc_events
+    """,
+)
+def cdc_scd2_stream_roundtrip(spark, sf_dir):
+    """B7 on the STREAMING runtime, behind the gate: incremental SCD2
+    history maintenance. The chunked log replays — every chunk
+    delivered twice (at-least-once) — through Scd2HistorySink, which
+    rewrites only touched buckets per micro-batch and re-derives each
+    key's [valid_from, valid_to) intervals from its deduped event
+    set; the final history table must hash-equal the batch SCD2
+    window oracle row-for-row (every event, every interval bound,
+    open intervals as NULL valid_to). History maintenance is the DW
+    sink's audit contract (README.md:49) — harder than latest-state
+    because a late event SPLICES an interval (shortens its
+    predecessor's valid_to), which the set-derivation handles by
+    construction rather than by patching.
+    """
+    import shutil
+    import tempfile
+
+    from .streaming.replay import read_event_stream, write_event_chunks
+    from .streaming.state import Scd2HistorySink, run_upsert_stream
+
+    base = tempfile.mkdtemp(prefix="cdc_scd2_gate_")
+    try:
+        write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=4, repeat=2)
+        stream = cdc.to_cdc(read_event_stream(spark, f"{base}/chunks"))
+        sink = Scd2HistorySink(f"{base}/state", keys=["pk"])
+        q = run_upsert_stream(stream, sink, f"{base}/cp")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "cdc_scd2_stream_roundtrip: stream did not drain in 300s"
+            )
+        out = sink.read_history(spark).select(
+            "pk", "ord2", "op", "val", "valid_from_us", "valid_to_us"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

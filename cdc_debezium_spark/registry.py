@@ -65,6 +65,7 @@ _PRIORITY = [
     "events_late_data_drop_roundtrip",
     "agg_sliding_window_stream_roundtrip",
     "events_stream_progress_audit",
+    "cdc_scd2_stream_roundtrip",
     "ext_similarity_ivf_recall",
     "cdc_es_bulk_roundtrip",
     "cdc_clickhouse_replacing_roundtrip",

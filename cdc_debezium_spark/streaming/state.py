@@ -804,3 +804,84 @@ def restore_state(paths: Sequence[str], backup_dir: str) -> None:
         src = os.path.join(backup_dir, os.path.basename(p))
         if os.path.isdir(src):
             shutil.copytree(src, p)
+
+
+class Scd2HistorySink:
+    """`foreachBatch` target maintaining an SCD2 interval-history table
+    incrementally — the streaming form of operators.cdc.scd2 (B7) and
+    the DW sink's audit contract (reference README.md:49; retained-log
+    history, prod-resources.yaml:126-134).
+
+    Design for order-robustness: the stored rows ARE the per-key raw
+    events (deduped on (key, ord) — redelivery-idempotent), carrying
+    their derived [valid_from, valid_to) interval columns. Each batch
+    rewrites only the TOUCHED buckets: union incoming events with the
+    bucket's existing rows, drop redelivered duplicates, re-derive
+    intervals per key with one lead() window. Because the derivation
+    is a pure function of the key's event SET, any batch arrival
+    order (mtime ties, interleaved partitions, replays) lands the
+    identical history — the same commutativity argument as
+    TxUpsertSink's tombstone retention, lifted from latest-state to
+    full history. A key's rows co-live in one bucket, so the interval
+    window never crosses bucket files and each rewrite shuffles only
+    touched-bucket data.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        keys: Sequence[str] = ("pk",),
+        ts_col: str = "ts_us",
+        ord_col: str = "ord2",
+        n_buckets: int = 16,
+    ) -> None:
+        self.path = path
+        self.keys = list(keys)
+        self.ts_col = ts_col
+        self.ord_col = ord_col
+        self.n_buckets = n_buckets
+        self._initialized = False
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            BUCKET_COL, F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets))
+        )
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        event_cols = [c for c in batch.columns]
+        b = self._bucketed(batch).persist()
+        try:
+            merged_in = b
+            if self._initialized:
+                try:
+                    prev = spark.read.parquet(self.path)
+                except Exception:
+                    prev = None
+                if prev is not None:
+                    touched = b.select(BUCKET_COL).distinct()
+                    prev_touched = prev.join(
+                        F.broadcast(touched), BUCKET_COL, "left_semi"
+                    ).select(*event_cols, BUCKET_COL)
+                    merged_in = prev_touched.unionByName(b)
+            deduped = merged_in.dropDuplicates([*self.keys, self.ord_col])
+            w = Window.partitionBy(*self.keys).orderBy(
+                F.asc(self.ts_col), F.asc(self.ord_col)
+            )
+            hist = deduped.withColumn(
+                "valid_from_us", F.col(self.ts_col)
+            ).withColumn("valid_to_us", F.lead(self.ts_col).over(w))
+            (
+                hist.write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(self.path)
+            )
+            self._initialized = True
+        finally:
+            b.unpersist()
+
+    def read_history(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path).drop(BUCKET_COL)

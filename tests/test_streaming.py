@@ -1427,3 +1427,37 @@ def test_backlog_drain_slo_at_decade_scale(spark, tmp_path):
         )
     finally:
         spark.streams.removeListener(cap)
+
+
+def test_scd2_history_sink_order_robust_under_mtime_ties(spark, sf_dir, tmp_path):
+    """Scd2HistorySink's commutativity claim under the worst-case file
+    ordering: all chunk files forced to ONE mtime (arbitrary tie-broken
+    delivery order), plus every chunk delivered twice — the final
+    interval history must still equal the batch SCD2 window. Holds by
+    construction: intervals are re-derived from the key's deduped event
+    SET, so arrival order cannot change any [valid_from, valid_to)."""
+    import glob
+    import os
+    import time as _time
+
+    from cdc_debezium_spark.streaming.state import Scd2HistorySink
+
+    chunk_dir = str(tmp_path / "scd2_chunks_tie")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=4, repeat=2)
+    t = _time.time() - 10
+    for f in glob.glob(f"{chunk_dir}/*.parquet"):
+        os.utime(f, (t, t))
+
+    stream = cdc.to_cdc(read_event_stream(spark, chunk_dir))
+    sink = Scd2HistorySink(str(tmp_path / "scd2_tie"), keys=["pk"])
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "scd2_cp_tie"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = ["pk", "ord2", "op", "val", "valid_from_us", "valid_to_us"]
+    want = _rows(cdc.scd2(cdc.cdc_events(spark, sf_dir)), cols)
+    assert _rows(sink.read_history(spark), cols) == want
