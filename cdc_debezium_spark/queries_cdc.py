@@ -2337,21 +2337,24 @@ def cdc_scd2_stream_roundtrip(spark, sf_dir):
     from .streaming.replay import read_event_stream, write_event_chunks
     from .streaming.state import Scd2HistorySink, run_upsert_stream
 
+    # history is LOG-sized (every event keeps a row) — never collect
+    # it to the driver; the state lives in a per-fixture scratch dir
+    # (recreated each run) and is returned as a lazy reader
+    state = _format_lane_dir("scd2_stream", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)
     base = tempfile.mkdtemp(prefix="cdc_scd2_gate_")
     try:
         write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=4, repeat=2)
         stream = cdc.to_cdc(read_event_stream(spark, f"{base}/chunks"))
-        sink = Scd2HistorySink(f"{base}/state", keys=["pk"])
+        sink = Scd2HistorySink(state, keys=["pk"])
         q = run_upsert_stream(stream, sink, f"{base}/cp")
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError(
                 "cdc_scd2_stream_roundtrip: stream did not drain in 300s"
             )
-        out = sink.read_history(spark).select(
+        return sink.read_history(spark).select(
             "pk", "ord2", "op", "val", "valid_from_us", "valid_to_us"
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -458,11 +458,22 @@ def agg_session_window_stream_roundtrip(spark, sf_dir):
                 (window_end_us("session_window") - GAP_US).alias("last_us"),
             )
         )
-        name = f"sess_{uuid.uuid4().hex[:12]}"
+        # session count grows with the log (sparse activity makes most
+        # events singleton sessions) — a memory sink would materialize
+        # a log-sized result on the driver. foreachBatch in complete
+        # mode receives the FULL result each batch; overwrite parquet
+        # in per-fixture scratch, return a lazy reader.
+        import shutil as _shutil
+
+        from .queries_cdc import _format_lane_dir
+
+        out_dir = _format_lane_dir("session_stream", sf_dir)
+        _shutil.rmtree(out_dir, ignore_errors=True)
         q = (
-            agg.writeStream.queryName(name)
+            agg.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("overwrite").parquet(out_dir)
+            )
             .outputMode("complete")
-            .format("memory")
             .option("checkpointLocation", f"{base}/cp")
             .trigger(availableNow=True)
             .start()
@@ -473,10 +484,7 @@ def agg_session_window_stream_roundtrip(spark, sf_dir):
                 "agg_session_window_stream_roundtrip: stream did not "
                 "drain in 300s"
             )
-        out = spark.table(name)
-        rows = out.collect()
-        spark.catalog.dropTempView(name)
-        return spark.createDataFrame(rows, out.schema)
+        return spark.read.parquet(out_dir)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
