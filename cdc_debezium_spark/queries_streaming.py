@@ -764,3 +764,107 @@ def events_stream_progress_audit(spark, sf_dir):
         return spark.createDataFrame(rows, "batch_pos long, n_rows long")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "udf_stateful_processor_roundtrip",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           floor(max(value) * 10000.0 + 0.5) / 10000.0 AS max_val,
+           floor(last(value ORDER BY epoch_us(ts), event_id) * 10000.0 + 0.5)
+             / 10000.0 AS last_val
+    FROM events GROUP BY user_id
+    """,
+)
+def udf_stateful_processor_roundtrip(spark, sf_dir):
+    """F-surface stateful processor EXECUTED behind the gate:
+    applyInPandasWithState — the engine's analog of a user-supplied
+    Kafka Streams processor with a per-key state store
+    (userProcessor/orderProcessor, reference values.yaml:71-83) — run
+    on the real streaming runtime. A Python function holds per-user
+    state (event count, running max, last value by event order)
+    across micro-batches, emitting the cumulative row each time the
+    key appears; the final emission per key (highest n_events) must
+    equal the batch aggregate. Rows inside a micro-batch arrive in
+    arbitrary order, so the processor sorts its group slice by
+    (ts_us, event_id) before folding — the same per-key total-order
+    discipline every CDC kernel uses.
+
+    Completes the gated streaming surface set: built-in stateful ops
+    (windows, dedup, joins), sink-side state (upsert/SCD2), and now
+    USER state via the Arrow-batched API. Output is key-bounded.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .streaming.replay import read_event_stream, write_event_chunks
+
+    def track(key, pdfs, state: GroupState):
+        (uid,) = key
+        n, mx, last = state.get if state.exists else (0, float("-inf"), 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            n += len(pdf)
+            mx = max(mx, float(pdf["value"].max()))
+            last = float(pdf["value"].iloc[-1])
+        state.update((n, mx, last))
+        yield pd.DataFrame(
+            {"user_id": [uid], "n_events": [n], "max_val": [mx], "last_val": [last]}
+        )
+
+    base = tempfile.mkdtemp(prefix="stream_state_udf_gate_")
+    try:
+        write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=4)
+        stream = read_event_stream(spark, f"{base}/chunks")
+        emitted = stream.groupBy("user_id").applyInPandasWithState(
+            track,
+            outputStructType="user_id long, n_events long, max_val double, "
+            "last_val double",
+            stateStructType="n long, mx double, last double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name = f"sproc_{uuid.uuid4().hex[:12]}"
+        q = (
+            emitted.writeStream.queryName(name)
+            .outputMode("append")
+            .format("memory")
+            .option("checkpointLocation", f"{base}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "udf_stateful_processor_roundtrip: stream did not drain in 300s"
+            )
+        out = spark.table(name)
+        # final emission per key = the one carrying the full count
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        final = (
+            out.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "n_events",
+                (F.floor(F.col("max_val") * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+                    "max_val"
+                ),
+                (F.floor(F.col("last_val") * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+                    "last_val"
+                ),
+            )
+        )
+        rows = final.collect()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -66,6 +66,7 @@ _PRIORITY = [
     "agg_sliding_window_stream_roundtrip",
     "events_stream_progress_audit",
     "cdc_scd2_stream_roundtrip",
+    "udf_stateful_processor_roundtrip",
     "ext_similarity_ivf_recall",
     "cdc_es_bulk_roundtrip",
     "cdc_clickhouse_replacing_roundtrip",
