@@ -4092,3 +4092,116 @@ def ext_graph_triangles(spark, sf_dir):
         / 10000.0,
     ).otherwise(F.lit(0.0))
     return out.select("n_edges", "n_wedges", "n_triangles", closure.alias("closure4"))
+
+
+_GEO_SCALE = 9_000_000  # hash-coords in [0, 9) degrees, µdeg resolution
+_GEO_CELL = 0.1
+_GEO_R2 = 0.1 * 0.1  # pair radius = one cell width
+
+
+@query(
+    "join_geo_cell",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             ({duck_word_hash("'lat:' || CAST(c_custkey AS VARCHAR)")}
+              % {_GEO_SCALE}) / 1000000.0 AS x,
+             ({duck_word_hash("'lon:' || CAST(c_custkey AS VARCHAR)")}
+              % {_GEO_SCALE}) / 1000000.0 AS y
+      FROM customer
+    ),
+    cells AS (
+      SELECT id, x, y,
+             CAST(floor(x / {_GEO_CELL}) AS BIGINT) AS cx,
+             CAST(floor(y / {_GEO_CELL}) AS BIGINT) AS cy
+      FROM pts
+    ),
+    cand AS (
+      SELECT a.id AS ia, b.id AS ib,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM cells a
+      JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))
+           AS offs(dx, dy) ON TRUE
+      JOIN cells b ON b.cx = a.cx + offs.dx AND b.cy = a.cy + offs.dy
+                   AND a.id < b.id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_points,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN d2 <= {_GEO_R2} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs
+    FROM cand
+    """,
+)
+def join_geo_cell(spark, sf_dir):
+    """Spatial join via grid cells — the 2-D form of the bucketed
+    range join (join_interval_overlap is the 1-D form): points land
+    in 0.1° grid cells, candidate pairs come from equi-joining each
+    cell against its 3×3 neighborhood (each unordered pair matches
+    exactly ONE offset under id-ordering, so no post-dedup), and the
+    exact distance predicate verifies. This is how a distance join
+    scales to 100 TB: the shuffle keys on the cell, the all-pairs
+    work is confined to neighborhood-local candidates, and cell width
+    trades candidate mass against multi-cell lookups — never a
+    CartesianProduct. Coordinates derive from the engine-portable
+    md5-prefix hash so the geometry itself is gate-checked; the
+    candidate count is reported next to the verified pair count —
+    the selectivity measurement that sizes the cell width.
+    """
+    from .ext.hashing import word_hash
+
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.pmod(
+                word_hash(F.concat(F.lit("lat:"), F.col("c_custkey").cast("string"))),
+                F.lit(_GEO_SCALE),
+            )
+            / 1_000_000.0
+        ).alias("x"),
+        (
+            F.pmod(
+                word_hash(F.concat(F.lit("lon:"), F.col("c_custkey").cast("string"))),
+                F.lit(_GEO_SCALE),
+            )
+            / 1_000_000.0
+        ).alias("y"),
+    )
+    cells = pts.select(
+        "id",
+        "x",
+        "y",
+        F.floor(F.col("x") / _GEO_CELL).cast("long").alias("cx"),
+        F.floor(F.col("y") / _GEO_CELL).cast("long").alias("cy"),
+    )
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
+    )
+    a = cells.crossJoin(F.broadcast(offs)).select(
+        F.col("id").alias("ia"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        (F.col("cx") + F.col("dx")).alias("jx"),
+        (F.col("cy") + F.col("dy")).alias("jy"),
+    )
+    b = cells.select(
+        F.col("id").alias("ib"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    cand = a.join(b, ["jx", "jy"]).where(F.col("ia") < F.col("ib")).select(
+        d2.alias("d2")
+    )
+    agg = cand.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.when(F.col("d2") <= _GEO_R2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pairs"),
+    )
+    n = pts.agg(F.count("*").alias("n_points"))
+    return n.crossJoin(agg).select("n_points", "n_candidates", "n_pairs")

@@ -67,6 +67,7 @@ _PRIORITY = [
     "events_stream_progress_audit",
     "cdc_scd2_stream_roundtrip",
     "udf_stateful_processor_roundtrip",
+    "join_geo_cell",
     "ext_similarity_ivf_recall",
     "cdc_es_bulk_roundtrip",
     "cdc_clickhouse_replacing_roundtrip",
