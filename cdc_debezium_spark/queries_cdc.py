@@ -2358,3 +2358,48 @@ def cdc_scd2_stream_roundtrip(spark, sf_dir):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "scan_jsonl_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, length(text) AS text_len
+    FROM documents
+    """,
+)
+def scan_jsonl_roundtrip(spark, sf_dir):
+    """A-section format depth: gzipped-JSONL round-trip — the
+    interchange format of LLM corpus pipelines (sharded .jsonl.gz is
+    how web-scale text corpora ship). The documents table is sharded
+    to ~100-record gzip JSONL files and read back through the
+    engine's explicit-schema reader (sources/jsonl.py: text +
+    from_json with a corrupt-record lane — never spark.read.json
+    inference, which would scan the corpus twice at 100 TB); every
+    field including the full text must survive, checked here via
+    exact text length next to the scalar columns (the driver hash
+    cannot carry megabyte cells, so the text column itself is
+    reduced to its length witness).
+
+    Completes the format coverage: parquet (native), CSV, ORC, XML,
+    Avro wire, JSON wire, and now sharded JSONL-gz files.
+    """
+    import shutil
+
+    from .sources.jsonl import read_jsonl, write_jsonl
+
+    out = _format_lane_dir("jsonl", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    write_jsonl(docs.select("doc_id", "text", "lang", "source", "n_chars"), out, 100)
+    good, _corrupt = read_jsonl(
+        spark,
+        out,
+        docs.select("doc_id", "text", "lang", "source", "n_chars").schema,
+    )
+    return good.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("text").cast("long").alias("text_len"),
+    )

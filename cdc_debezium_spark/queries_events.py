@@ -2417,3 +2417,138 @@ def events_mad_outliers(spark, sf_dir):
             "n_outliers",
         )
     )
+
+
+def _theta_sets_oracle() -> str:
+    k, rng = _KMV_K, _KMV_RANGE
+    return f"""
+    WITH items AS (
+      SELECT CASE event_type WHEN 'click' THEN 'A' ELSE 'B' END AS st,
+             event_id // 3 AS item
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    uh AS (
+      SELECT DISTINCT st,
+             CAST(('0x' || substr(md5(CAST(item AS VARCHAR)),1,15))
+                  AS BIGINT) AS h
+      FROM items
+    ),
+    kept AS (
+      SELECT st, h,
+             row_number() OVER (PARTITION BY st ORDER BY h) AS rn
+      FROM uh QUALIFY rn <= {k}
+    ),
+    th AS (
+      SELECT st, count(*) AS n_kept,
+             CASE WHEN count(*) < {k} THEN {rng!r}
+                  ELSE CAST(max(h) AS DOUBLE) END AS theta
+      FROM kept GROUP BY st
+    ),
+    common AS (SELECT min(theta) AS th FROM th),
+    sa AS (SELECT h FROM kept, common WHERE st = 'A' AND h < common.th),
+    sb AS (SELECT h FROM kept, common WHERE st = 'B' AND h < common.th),
+    est AS (
+      SELECT
+        CAST(floor((SELECT count(*) FROM sa JOIN sb USING (h))
+                   * ({rng!r} / (SELECT th FROM common))) AS BIGINT) AS est_inter,
+        CAST(floor((SELECT count(*) FROM (SELECT h FROM sa UNION SELECT h FROM sb))
+                   * ({rng!r} / (SELECT th FROM common))) AS BIGINT) AS est_union
+    ),
+    ex AS (
+      SELECT
+        (SELECT count(DISTINCT item) FROM items WHERE st = 'A') AS exact_a,
+        (SELECT count(DISTINCT item) FROM items WHERE st = 'B') AS exact_b,
+        (SELECT count(*) FROM
+           (SELECT item FROM items WHERE st = 'A'
+            INTERSECT SELECT item FROM items WHERE st = 'B')) AS exact_inter,
+        (SELECT count(DISTINCT item) FROM items) AS exact_union
+    )
+    SELECT CAST(exact_a AS BIGINT) AS exact_a,
+           CAST(exact_b AS BIGINT) AS exact_b,
+           CAST(exact_inter AS BIGINT) AS exact_inter,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           est_inter, est_union
+    FROM ex, est
+    """
+
+
+@query("agg_theta_set_ops", oracle=_theta_sets_oracle())
+def agg_theta_set_ops(spark, sf_dir):
+    """Theta-sketch SET ALGEBRA — the capability that distinguishes
+    theta sketches from plain distinct counters (Dasgupta et al.,
+    DataSketches): two overlapping item sets (click-items vs
+    view-items, item = event_id div 3 so the sets genuinely overlap)
+    are sketched independently with k minimum hash values each, then
+    INTERSECTION and UNION cardinalities are estimated from the
+    sketches alone: clip both samples to the common theta =
+    min(theta_A, theta_B), count sample-level set ops, scale by
+    range/theta. Exact counts ride alongside so the gate verifies
+    both the algebra and its accuracy. The estimator arithmetic
+    mirrors agg_kmv_distinct's (same hash, same k); at 100 TB the
+    sketches are 2xk longs wherever the raw sets live — set overlap
+    across billion-row streams for the cost of two tiny states.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.when(F.col("event_type") == "click", "A").otherwise("B").alias("st"),
+        F.expr("event_id div 3").alias("item"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("item").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    uh = items.select("st", h.alias("h")).distinct()
+    wb = Window.partitionBy("st", "bkt").orderBy("h")
+    pre = (
+        uh.withColumn("bkt", F.col("h") % 64)
+        .withColumn("rb", F.row_number().over(wb))
+        .where(F.col("rb") <= _KMV_K)
+    )
+    wn = Window.partitionBy("st").orderBy("h")
+    kept = (
+        pre.withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") <= _KMV_K)
+        .select("st", "h")
+    )
+    th = kept.groupBy("st").agg(
+        F.when(F.count("*") < _KMV_K, F.lit(_KMV_RANGE))
+        .otherwise(F.max("h").cast("double"))
+        .alias("theta")
+    )
+    common = th.agg(F.min("theta").alias("cth"))
+    clipped = kept.crossJoin(F.broadcast(common)).where(F.col("h") < F.col("cth"))
+    sa = clipped.where(F.col("st") == "A").select("h")
+    sb = clipped.where(F.col("st") == "B").select("h")
+    scale = F.lit(_KMV_RANGE) / F.max("cth")  # cth is a 1-row broadcast
+    inter = (
+        sa.join(sb, "h")
+        .crossJoin(F.broadcast(common))
+        .agg(F.floor(F.count("*") * scale).cast("long").alias("est_inter"))
+    )
+    union = (
+        sa.union(sb)
+        .distinct()
+        .crossJoin(F.broadcast(common))
+        .agg(F.floor(F.count("*") * scale).cast("long").alias("est_union"))
+    )
+    ex = items.agg(
+        F.countDistinct(F.when(F.col("st") == "A", F.col("item"))).alias("exact_a"),
+        F.countDistinct(F.when(F.col("st") == "B", F.col("item"))).alias("exact_b"),
+        F.countDistinct("item").alias("exact_union"),
+    )
+    exact_inter = (
+        items.where(F.col("st") == "A")
+        .select("item")
+        .intersect(items.where(F.col("st") == "B").select("item"))
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    return (
+        ex.crossJoin(F.broadcast(exact_inter))
+        .crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(union))
+        .select(
+            "exact_a", "exact_b", "exact_inter", "exact_union",
+            "est_inter", "est_union",
+        )
+    )

@@ -68,6 +68,8 @@ _PRIORITY = [
     "cdc_scd2_stream_roundtrip",
     "udf_stateful_processor_roundtrip",
     "join_geo_cell",
+    "agg_theta_set_ops",
+    "scan_jsonl_roundtrip",
     "ext_similarity_ivf_recall",
     "cdc_es_bulk_roundtrip",
     "cdc_clickhouse_replacing_roundtrip",
