@@ -1674,3 +1674,65 @@ def ext_privacy_k_anon(spark, sf_dir):
         .alias("n_rows_at_risk"),
         (F.min("class_size") >= 5).alias("k5_ok"),
     )
+
+
+@query(
+    "join_as_of_forward",
+    oracle="""
+    SELECT event_id, user_id, ts_us, asof_ts_us, asof_val
+    FROM (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+             first_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                         IGNORE NULLS) OVER w AS asof_ts_us,
+             first_value(CASE WHEN event_type = 'click' THEN round(value, 2) END
+                         IGNORE NULLS) OVER w AS asof_val
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    WHERE event_type = 'purchase'
+    """,
+)
+def join_as_of_forward(spark, sf_dir):
+    """C9 completed: FORWARD as-of join — each purchase matched to the
+    user's EARLIEST click at or after it (pandas merge_asof
+    direction='forward'; kdb aj's mirror) — the attribution question
+    asked the other way round: what did the user do next? Realized by
+    the same single-shuffle union+window operator as the backward lane
+    (cdc.asof_join), fed NEGATED ordinates: forward-asof over ts is
+    backward-asof over -ts, so one operator serves both directions
+    with identical cost — no second code path, no range explosion.
+
+    The boundary (a click AT the purchase instant matches in both
+    directions) rides the operator's <= contract under negation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        (-F.col("ts_us")).alias("neg_ts"),
+        (-F.col("event_id")).alias("neg_ord"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        (-F.col("ts_us")).alias("neg_ts"),
+        (-F.col("event_id")).alias("neg_ord"),
+        F.col("ts_us").alias("click_ts"),
+        F.round("value", 2).alias("val"),
+    )
+    joined = cdc.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_order=["neg_ts", "neg_ord"],
+        right_order=["neg_ts", "neg_ord"],
+        right_value_cols=["click_ts", "val"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("asof_click_ts").alias("asof_ts_us"),
+        F.col("asof_val").alias("asof_val"),
+    )

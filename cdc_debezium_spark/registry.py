@@ -116,6 +116,8 @@ _PRIORITY = [
     "ext_privacy_k_anon",
     "join_geo_cell",
     "agg_theta_set_ops",
+    "join_as_of_forward",
+    "cdc_multi_table_pipeline",
     # r3-stale cohort (43)
     "agg_approx_quantile",
     "agg_approx_topk",
