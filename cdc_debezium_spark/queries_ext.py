@@ -4205,3 +4205,120 @@ def join_geo_cell(spark, sf_dir):
     )
     n = pts.agg(F.count("*").alias("n_points"))
     return n.crossJoin(agg).select("n_points", "n_candidates", "n_pairs")
+
+
+_NB_SCALE = 10_000_000  # log-prob -> integer µnats: exact int sums
+
+
+@query(
+    "ext_quality_nb_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(regexp_split_to_array(text, ' ')) AS t
+      FROM documents
+    ),
+    cls AS (
+      SELECT lang AS c, CAST(count(*) AS BIGINT) AS n_docs_c
+      FROM documents GROUP BY lang
+    ),
+    n_all AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    tc AS (
+      SELECT lang AS c, t, CAST(count(*) AS BIGINT) AS n_tc
+      FROM toks GROUP BY lang, t
+    ),
+    ctot AS (SELECT c, CAST(sum(n_tc) AS BIGINT) AS n_c FROM tc GROUP BY c),
+    v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab FROM toks),
+    scored AS (
+      SELECT tk.doc_id, tk.lang AS true_lang, cls.c,
+             CAST(sum(CAST(floor(ln(
+               (COALESCE(tc.n_tc, 0) + 1.0) / (ctot.n_c + v.vocab)
+             ) * {_NB_SCALE}) AS BIGINT)) AS BIGINT)
+             + CAST(floor(ln(CAST(cls.n_docs_c AS DOUBLE) / n_all.n_docs)
+                          * {_NB_SCALE}) AS BIGINT) AS score
+      FROM toks tk
+      CROSS JOIN cls
+      CROSS JOIN n_all CROSS JOIN v
+      JOIN ctot ON ctot.c = cls.c
+      LEFT JOIN tc ON tc.c = cls.c AND tc.t = tk.t
+      GROUP BY tk.doc_id, tk.lang, cls.c, cls.n_docs_c, n_all.n_docs,
+               ctot.n_c, v.vocab
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, c AS pred_lang FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, c) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT true_lang, pred_lang, count(*) AS n_docs
+    FROM pred GROUP BY true_lang, pred_lang
+    """,
+)
+def ext_quality_nb_classifier(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier, trained and
+    evaluated in one pass — the counts-based sibling of the logistic
+    quality classifier (fastText-style filters in corpus pipelines
+    are exactly this family): add-one-smoothed token likelihoods per
+    class, log-prior, argmax; output is the confusion matrix. Log
+    terms are scaled to INTEGER µnats before summing
+    (floor(ln(p)·1e7)), so per-(doc, class) scores are exact integer
+    sums — shuffle-order-invariant where a double sum would not be —
+    and the argmax is deterministic with a class-name tiebreak.
+
+    Shape at 100 TB: token explode rides the scan; the model IS two
+    count tables (class × vocab, class totals) built by hash
+    aggregates; scoring joins tokens to the model on the token key
+    and integer-sums per (doc, class) — no driver-side model object,
+    no iteration, fully incremental under new classes or docs.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("t"))
+    cls = docs.groupBy(F.col("lang").alias("c")).agg(
+        F.count("*").alias("n_docs_c")
+    )
+    n_docs = docs.count()
+    tc = toks.groupBy(F.col("lang").alias("c"), "t").agg(
+        F.count("*").alias("n_tc")
+    )
+    ctot = tc.groupBy("c").agg(F.sum("n_tc").alias("n_c"))
+    vocab = toks.select("t").distinct().count()
+    model = tc.join(ctot, "c")
+    pairs = toks.crossJoin(F.broadcast(cls.join(ctot, cls["c"] == ctot["c"]).select(cls["c"], "n_docs_c", "n_c")))
+    ll = (
+        pairs.join(
+            model.select(F.col("c").alias("mc"), F.col("t").alias("mt"), "n_tc"),
+            (F.col("c") == F.col("mc")) & (F.col("t") == F.col("mt")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            "c",
+            "n_docs_c",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("n_tc"), F.lit(0)) + 1.0)
+                    / (F.col("n_c") + F.lit(vocab))
+                )
+                * _NB_SCALE
+            )
+            .cast("long")
+            .alias("ilog"),
+        )
+    )
+    prior = F.floor(
+        F.log(F.col("n_docs_c").cast("double") / F.lit(n_docs)) * _NB_SCALE
+    ).cast("long")
+    scored = ll.groupBy("doc_id", "true_lang", "c", "n_docs_c").agg(
+        F.sum("ilog").alias("s")
+    ).select("doc_id", "true_lang", "c", (F.col("s") + prior).alias("score"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("c"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("true_lang", F.col("c").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").alias("n_docs")
+    )

@@ -118,6 +118,7 @@ _PRIORITY = [
     "agg_theta_set_ops",
     "join_as_of_forward",
     "cdc_multi_table_pipeline",
+    "ext_quality_nb_classifier",
     # r3-stale cohort (43)
     "agg_approx_quantile",
     "agg_approx_topk",
