@@ -2552,3 +2552,128 @@ def agg_theta_set_ops(spark, sf_dir):
             "est_inter", "est_union",
         )
     )
+
+
+@query(
+    "events_burst_detection",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hr
+    ),
+    base AS (
+      SELECT event_type, CAST(sum(n) // count(*) AS BIGINT) AS avg_n
+      FROM hc GROUP BY event_type
+    ),
+    ser AS (
+      SELECT hc.event_type, base.avg_n,
+             list(n ORDER BY hr) AS l,
+             CAST(count(*) AS BIGINT) AS n_hours
+      FROM hc JOIN base USING (event_type)
+      GROUP BY hc.event_type, base.avg_n
+    ),
+    -- hysteresis automaton folded left-to-right over the hourly
+    -- series; integer accumulator [in_burst, n_bursts, cur_len,
+    -- max_len, burst_hours]; enter at n >= 2*avg, exit at n < avg
+    fit AS (
+      SELECT event_type, avg_n, n_hours,
+             list_reduce(
+               list_prepend(CAST([0,0,0,0,0] AS BIGINT[]),
+                 list_transform(l, x -> [x, 0, 0, 0, 0])),
+               (acc, q) -> CASE
+                 WHEN acc[1] = 0 AND q[1] >= 2 * avg_n THEN
+                   [1, acc[2] + 1, CAST(1 AS BIGINT),
+                    CASE WHEN acc[4] < 1 THEN 1 ELSE acc[4] END,
+                    acc[5] + 1]
+                 WHEN acc[1] = 1 AND q[1] >= avg_n THEN
+                   [1, acc[2], acc[3] + 1,
+                    CASE WHEN acc[4] < acc[3] + 1 THEN acc[3] + 1
+                         ELSE acc[4] END,
+                    acc[5] + 1]
+                 ELSE [0, acc[2], CAST(0 AS BIGINT), acc[4], acc[5]]
+               END) AS s
+      FROM ser
+    )
+    SELECT event_type, n_hours, avg_n,
+           s[2] AS n_bursts, s[4] AS max_burst_hours, s[5] AS burst_hours
+    FROM fit
+    """,
+)
+def events_burst_detection(spark, sf_dir):
+    """Burst detection over each event type's hourly rate series — a
+    two-state hysteresis automaton (enter burst at rate >= 2x the
+    type's mean, stay while >= 1x, exit below it; the Kleinberg
+    burst-model shape with integer thresholds), reporting burst
+    count, longest burst and total burst hours — the incident-
+    detection sibling of the CUSUM and rate-anomaly lanes, and the
+    measurement behind alert 'for:' windows (prometheus-rules.yaml:
+    14,23,32: a threshold must hold for N minutes — i.e. a burst of
+    length N — before firing). A stateful sequential rule no
+    windowed SQL expresses; realized as the ordered integer-list
+    fold (bit-exact cross-engine: all comparisons and counters are
+    integers — no float boundary anywhere).
+
+    Scale shape: hourly pre-aggregate map-side; the fold input is one
+    element per hour per type, corpus-size independent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select("event_type", F.expr("ts_us div 3600000000").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+    ser = hc.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("hr", "n"))), lambda s: s["n"]
+        ).alias("l"),
+        F.count("*").alias("n_hours"),
+        F.expr("sum(n) div count(*)").alias("avg_n"),
+    )
+    avg = F.col("avg_n")
+
+    def _step(acc, x):
+        enter = (acc[0] == 0) & (x >= 2 * avg)
+        stay = (acc[0] == 1) & (x >= avg)
+        return (
+            F.when(
+                enter,
+                F.array(
+                    F.lit(1).cast("long"),
+                    acc[1] + 1,
+                    F.lit(1).cast("long"),
+                    F.greatest(acc[3], F.lit(1).cast("long")),
+                    acc[4] + 1,
+                ),
+            )
+            .when(
+                stay,
+                F.array(
+                    F.lit(1).cast("long"),
+                    acc[1],
+                    acc[2] + 1,
+                    F.greatest(acc[3], acc[2] + 1),
+                    acc[4] + 1,
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.lit(0).cast("long"),
+                    acc[1],
+                    F.lit(0).cast("long"),
+                    acc[3],
+                    acc[4],
+                )
+            )
+        )
+
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(5)])
+    fold = F.aggregate(F.col("l"), zero, _step)
+    return ser.select(
+        "event_type",
+        "n_hours",
+        "avg_n",
+        fold[1].alias("n_bursts"),
+        fold[3].alias("max_burst_hours"),
+        fold[4].alias("burst_hours"),
+    )

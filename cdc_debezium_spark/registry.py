@@ -119,6 +119,7 @@ _PRIORITY = [
     "join_as_of_forward",
     "cdc_multi_table_pipeline",
     "ext_quality_nb_classifier",
+    "events_burst_detection",
     # r3-stale cohort (43)
     "agg_approx_quantile",
     "agg_approx_topk",
