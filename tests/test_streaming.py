@@ -1461,3 +1461,81 @@ def test_scd2_history_sink_order_robust_under_mtime_ties(spark, sf_dir, tmp_path
     cols = ["pk", "ord2", "op", "val", "valid_from_us", "valid_to_us"]
     want = _rows(cdc.scd2(cdc.cdc_events(spark, sf_dir)), cols)
     assert _rows(sink.read_history(spark), cols) == want
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs the protobuf package "
+    "(google.protobuf) for its state-server wire protocol; absent on "
+    "this image and installs are prohibited — same env-blocker class "
+    "as the spark-avro jar. Verified: the TWS query plan builds and "
+    "the StreamingPythonRunner crashes at init with ImportError "
+    "google.protobuf.descriptor.",
+)
+def test_tws_processor_parity(spark, sf_dir, tmp_path):
+    """Spark 4's transformWithStateInPandas (the successor API to
+    applyInPandasWithState, with typed value/list/map state and
+    timers) must land the same per-key totals as the batch aggregate
+    — the TWS twin of udf_stateful_processor_roundtrip."""
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class Track(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self.state = handle.getValueState("agg", "n long, mx double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, mx = self.state.get() if self.state.exists() else (0, float("-inf"))
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self.state.update((n, mx))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n], "mx": [mx]})
+
+        def close(self):
+            pass
+
+    chunk_dir = str(tmp_path / "tws_chunks")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+    stream = read_event_stream(spark, chunk_dir)
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        Track(),
+        outputStructType="user_id long, n long, mx double",
+        outputMode="Append",
+        timeMode="None",
+    )
+    q = (
+        out.writeStream.queryName("tws_parity")
+        .outputMode("append")
+        .format("memory")
+        .option("checkpointLocation", str(tmp_path / "tws_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    import pyspark.sql.functions as F
+
+    got = _rows(
+        spark.table("tws_parity")
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n"), F.max("mx").alias("mx")),
+        ["user_id", "n", "mx"],
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = _rows(
+        ev.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.max("value").alias("mx")
+        ),
+        ["user_id", "n", "mx"],
+    )
+    assert got == want
