@@ -2497,3 +2497,71 @@ def cdc_multi_table_pipeline(spark, sf_dir):
     return per_tbl.join(latest, "tbl").select(
         "tbl", "n_events", "n_keys", "n_live_keys", "max_state_ts_us"
     )
+
+
+@query(
+    "cdc_log_continuity_audit",
+    oracle="""
+    WITH seq AS (
+      SELECT CASE WHEN event_type IN ('signup', 'error') THEN 'users'
+                  WHEN event_type IN ('click', 'view') THEN 'orders'
+                  ELSE 'payments' END AS tbl,
+             event_id AS ord
+      FROM events
+    ),
+    d AS (
+      SELECT tbl, ord,
+             ord - lag(ord) OVER (PARTITION BY tbl ORDER BY ord) AS delta
+      FROM seq
+    )
+    SELECT tbl,
+           count(*) AS n_events,
+           min(ord) AS first_ord,
+           max(ord) AS last_ord,
+           CAST(max(ord) - min(ord) + 1 - count(*) AS BIGINT) AS n_missing,
+           CAST(sum(CASE WHEN delta > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+           CAST(COALESCE(max(CASE WHEN delta > 1 THEN delta - 1 END), 0)
+                AS BIGINT) AS max_gap
+    FROM d GROUP BY tbl
+    """,
+)
+def cdc_log_continuity_audit(spark, sf_dir):
+    """Log-continuity (data-loss) audit — the operational check a CDC
+    consumer runs against its source ordinals (Debezium docs: GTID /
+    LSN gaps mean the replication slot lost events; the reference's
+    offset-flush window, prod-resources.yaml:14-20, makes gap
+    monitoring the consumer's only loss detector). Per routed table
+    (each table sees an interleaved SUBSET of the global sequence, so
+    gaps are structural and the audit is non-vacuous): event count,
+    ordinal bounds, total missing ordinals, gap count and widest gap
+    — the numbers that distinguish benign interleaving from loss when
+    compared across tables (every global ordinal must appear in
+    exactly one table: sum of n_events = global span).
+
+    Shape: one (table)-partitioned lag window and one table aggregate
+    sharing the same exchange — the cdc_order_audit family.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tbl = (
+        F.when(F.col("event_type").isin("signup", "error"), "users")
+        .when(F.col("event_type").isin("click", "view"), "orders")
+        .otherwise("payments")
+    )
+    seq = ev.select(tbl.alias("tbl"), F.col("event_id").alias("ord"))
+    w = Window.partitionBy("tbl").orderBy("ord")
+    d = seq.withColumn("delta", F.col("ord") - F.lag("ord").over(w))
+    gap = F.col("delta") > 1
+    return d.groupBy("tbl").agg(
+        F.count("*").alias("n_events"),
+        F.min("ord").alias("first_ord"),
+        F.max("ord").alias("last_ord"),
+        (F.max("ord") - F.min("ord") + 1 - F.count("*"))
+        .cast("long")
+        .alias("n_missing"),
+        F.sum(F.when(gap, 1).otherwise(0)).cast("long").alias("n_gaps"),
+        F.coalesce(F.max(F.when(gap, F.col("delta") - 1)), F.lit(0))
+        .cast("long")
+        .alias("max_gap"),
+    )

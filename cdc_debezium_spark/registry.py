@@ -120,6 +120,7 @@ _PRIORITY = [
     "cdc_multi_table_pipeline",
     "ext_quality_nb_classifier",
     "events_burst_detection",
+    "cdc_log_continuity_audit",
     # r3-stale cohort (43)
     "agg_approx_quantile",
     "agg_approx_topk",
