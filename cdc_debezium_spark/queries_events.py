@@ -2677,3 +2677,85 @@ def events_burst_detection(spark, sf_dir):
         fold[3].alias("max_burst_hours"),
         fold[4].alias("burst_hours"),
     )
+
+
+@query(
+    "events_assoc_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_b AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM baskets),
+    item AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_item
+      FROM baskets GROUP BY event_type
+    ),
+    pair AS (
+      SELECT a.event_type AS lhs, b.event_type AS rhs,
+             CAST(count(*) AS BIGINT) AS n_pair
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY lhs, rhs
+    )
+    SELECT p.lhs, p.rhs, p.n_pair,
+           floor(p.n_pair * 10000.0 / n_b.n + 0.5) / 10000.0 AS support,
+           floor(p.n_pair * 10000.0 / il.n_item + 0.5) / 10000.0 AS confidence,
+           floor((p.n_pair * CAST(n_b.n AS DOUBLE))
+                 / (il.n_item * CAST(ir.n_item AS DOUBLE))
+                 * 10000.0 + 0.5) / 10000.0 AS lift
+    FROM pair p
+    JOIN item il ON il.event_type = p.lhs
+    JOIN item ir ON ir.event_type = p.rhs
+    CROSS JOIN n_b
+    """,
+)
+def events_assoc_rules(spark, sf_dir):
+    """Frequent-itemset association rules over user behavior baskets
+    (basket = the SET of event types a user emits): pair support,
+    confidence(lhs→rhs) and lift — the market-basket analytics family
+    (Agrawal-Srikant a-priori, here at the 2-itemset level the
+    5-symbol alphabet makes exact). Lift below 1 over this fixture
+    flags anti-correlated behaviors (e.g. users who error rarely
+    purchase) — the cross-sell / churn-signal primitive the DW sink's
+    "aggregated data" arrow feeds (README.md:49,79-80).
+
+    Shape at 100 TB: baskets are a distinct-projection (map-side
+    combine); pair counts come from the basket SELF-JOIN keyed on the
+    user — co-partitioned, never cross-product — and the itemset
+    alphabet bounds the output, not the corpus. Ratios are
+    4dp-floored with identical operand order cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    n_b = baskets.select("user_id").distinct().count()
+    item = baskets.groupBy("event_type").agg(F.count("*").alias("n_item"))
+    a = baskets.select("user_id", F.col("event_type").alias("lhs"))
+    b = baskets.select("user_id", F.col("event_type").alias("rhs"))
+    pair = (
+        a.join(b, "user_id")
+        .where(F.col("lhs") < F.col("rhs"))
+        .groupBy("lhs", "rhs")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    il = item.select(F.col("event_type").alias("lhs"), F.col("n_item").alias("n_l"))
+    ir = item.select(F.col("event_type").alias("rhs"), F.col("n_item").alias("n_r"))
+    r4 = lambda c: F.floor(c * 10000.0 + F.lit(0.5)) / 10000.0  # noqa: E731
+    return (
+        pair.join(F.broadcast(il), "lhs")
+        .join(F.broadcast(ir), "rhs")
+        .select(
+            "lhs",
+            "rhs",
+            "n_pair",
+            (F.floor(F.col("n_pair") * 10000.0 / F.lit(n_b) + 0.5) / 10000.0).alias(
+                "support"
+            ),
+            (F.floor(F.col("n_pair") * 10000.0 / F.col("n_l") + 0.5) / 10000.0).alias(
+                "confidence"
+            ),
+            r4(
+                (F.col("n_pair") * F.lit(float(n_b)))
+                / (F.col("n_l") * F.col("n_r").cast("double"))
+            ).alias("lift"),
+        )
+    )

@@ -121,6 +121,7 @@ _PRIORITY = [
     "ext_quality_nb_classifier",
     "events_burst_detection",
     "cdc_log_continuity_audit",
+    "events_assoc_rules",
     # r3-stale cohort (43)
     "agg_approx_quantile",
     "agg_approx_topk",
