@@ -2759,3 +2759,134 @@ def events_assoc_rules(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "events_haar_energy",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hr
+    ),
+    ser AS (
+      SELECT event_type, list(n ORDER BY hr) AS l,
+             CAST(count(*) AS BIGINT) AS n_hours
+      FROM hc GROUP BY event_type
+    ),
+    p2 AS (
+      SELECT event_type, n_hours,
+             l[1:CAST(pow(2, floor(log2(n_hours))) AS BIGINT)] AS x0
+      FROM ser
+    ),
+    l1 AS (
+      SELECT event_type, n_hours,
+             list_transform(range(1, len(x0) // 2 + 1),
+                            i -> x0[2*i - 1] + x0[2*i]) AS a,
+             list_transform(range(1, len(x0) // 2 + 1),
+                            i -> x0[2*i - 1] - x0[2*i]) AS d
+      FROM p2
+    ),
+    l2 AS (
+      SELECT event_type, n_hours,
+             list_transform(range(1, len(a) // 2 + 1),
+                            i -> a[2*i - 1] + a[2*i]) AS a,
+             list_transform(range(1, len(a) // 2 + 1),
+                            i -> a[2*i - 1] - a[2*i]) AS d,
+             d AS d_prev
+      FROM l1
+    ),
+    l3 AS (
+      SELECT event_type, n_hours,
+             list_transform(range(1, len(a) // 2 + 1),
+                            i -> a[2*i - 1] - a[2*i]) AS d,
+             d AS d2, d_prev AS d1
+      FROM l2
+    ),
+    lv AS (
+      SELECT event_type, n_hours, 1 AS level, d1 AS d FROM l3
+      UNION ALL
+      SELECT event_type, n_hours, 2, d2 FROM l3
+      UNION ALL
+      SELECT event_type, n_hours, 3, d FROM l3
+    )
+    SELECT event_type, n_hours, CAST(level AS BIGINT) AS level,
+           CAST(len(d) AS BIGINT) AS n_coeffs,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(d, x -> x * x)), (acc, y) -> acc + y)
+                AS BIGINT) AS detail_energy
+    FROM lv
+    """,
+)
+def events_haar_energy(spark, sf_dir):
+    """Spectral decomposition of each stream's hourly rate series:
+    UNNORMALIZED Haar wavelet detail energy at dyadic scales 1-3
+    (2 h / 4 h / 8 h fluctuations). The unnormalized transform
+    (pairwise sums/differences, no /sqrt2) keeps every coefficient an
+    INTEGER, so energies are exact integer sums — bit-exact
+    cross-engine with no float anywhere. The energy-by-scale profile
+    is the monitoring diagnostic the flat rate alert can't give:
+    level-1-heavy means bursty/noisy traffic, level-3-heavy means
+    slow swings (capacity), and a shift between them flags a regime
+    change before the mean moves — complementing the burst automaton
+    and CUSUM lanes with a frequency-domain view.
+
+    Shape: the hourly pre-aggregate shrinks the corpus map-side; the
+    transform runs on one power-of-two prefix per series (bounded by
+    the time range, not the corpus) as three array passes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select("event_type", F.expr("ts_us div 3600000000").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+    ser = hc.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("hr", "n"))), lambda s: s["n"]
+        ).alias("l"),
+        F.count("*").alias("n_hours"),
+    )
+    p2 = ser.withColumn(
+        "x0",
+        F.expr("slice(l, 1, cast(pow(2, floor(log2(n_hours))) as int))"),
+    )
+
+    def down(col, op):
+        return F.transform(
+            F.sequence(F.lit(1), (F.size(col) / 2).cast("int")),
+            lambda i: op(
+                F.element_at(col, (2 * i - 1).cast("int")),
+                F.element_at(col, (2 * i).cast("int")),
+            ),
+        )
+
+    add = lambda a, b: a + b  # noqa: E731
+    sub = lambda a, b: a - b  # noqa: E731
+    l1 = p2.withColumn("a1", down(F.col("x0"), add)).withColumn(
+        "d1", down(F.col("x0"), sub)
+    )
+    l2 = l1.withColumn("a2", down(F.col("a1"), add)).withColumn(
+        "d2", down(F.col("a1"), sub)
+    )
+    l3 = l2.withColumn("d3", down(F.col("a2"), sub))
+    energy = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    rows = []
+    for lvl, c in ((1, "d1"), (2, "d2"), (3, "d3")):
+        rows.append(
+            l3.select(
+                "event_type",
+                "n_hours",
+                F.lit(lvl).cast("long").alias("level"),
+                F.size(c).cast("long").alias("n_coeffs"),
+                energy(F.col(c)).alias("detail_energy"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -122,6 +122,7 @@ _PRIORITY = [
     "events_burst_detection",
     "cdc_log_continuity_audit",
     "events_assoc_rules",
+    "events_haar_energy",
     # r3-stale cohort (43)
     "agg_approx_quantile",
     "agg_approx_topk",
