@@ -4322,3 +4322,92 @@ def ext_quality_nb_classifier(spark, sf_dir):
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count("*").alias("n_docs")
     )
+
+
+def _lpa_oracle() -> str:
+    # one synchronous LPA round as a SQL fragment: labels_in -> labels_out
+    def lpa_round(lab_in: str, lab_out: str) -> str:
+        return f"""
+    {lab_out}_cnt AS (
+      SELECT ed.u, l.lab, CAST(count(*) AS BIGINT) AS c
+      FROM ed JOIN {lab_in} l ON l.node = ed.v
+      GROUP BY ed.u, l.lab
+    ),
+    {lab_out}_pick AS (
+      SELECT u AS node, lab FROM (
+        SELECT u, lab,
+               row_number() OVER (PARTITION BY u ORDER BY c DESC, lab) AS rn
+        FROM {lab_out}_cnt) WHERE rn = 1
+    ),
+    {lab_out} AS (
+      SELECT n.node, COALESCE(p.lab, n.lab) AS lab
+      FROM {lab_in} n LEFT JOIN {lab_out}_pick p USING (node)
+    )"""
+
+    return f"""
+    WITH {SHINGLE_CTE},
+    {JACCARD_TAIL},
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM ver
+      WHERE ni / (na + nb - ni) >= 0.5
+    ),
+    ed AS (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM ed),
+    l0 AS (SELECT node, node AS lab FROM nodes),
+    {lpa_round('l0', 'l1')},
+    {lpa_round('l1', 'l2')}
+    SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM l2 GROUP BY lab
+    """
+
+
+@query("ext_graph_label_propagation", oracle=_lpa_oracle())
+def ext_graph_label_propagation(spark, sf_dir):
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    near-dup graph — the community-detection sibling of connected
+    components: where CC merges everything reachable, LPA's majority
+    vote splits weakly-bridged cliques apart, which on a dup graph
+    separates distinct template families that one stray shared pair
+    would otherwise fuse. Determinism (async LPA is famously order-
+    dependent): SYNCHRONOUS rounds (all nodes update from the same
+    previous labeling) with a fixed round count (2) and the
+    (count DESC, label ASC) tie-break, so both engines compute the
+    identical labeling. Output: community label -> member count over
+    the pair-graph nodes.
+
+    Shape: each round is one (node, neighbor-label) aggregate + one
+    per-node window over candidate labels — keyed on the node, edge-
+    bounded, never corpus-bounded; rounds compose as plan stages (no
+    driver loop; round count is a compile-time constant).
+    """
+    from pyspark.sql import Window
+
+    pairs = (
+        dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .persist()
+    )
+    ed = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    labels = ed.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(2):
+        nbr = ed.join(
+            labels.select(F.col("node").alias("v"), "lab"), "v"
+        ).groupBy("u", "lab").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("lab"))
+        pick = (
+            nbr.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), F.col("lab").alias("new_lab"))
+        )
+        labels = labels.join(pick, "node", "left").select(
+            "node", F.coalesce("new_lab", "lab").alias("lab")
+        )
+    return labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count("*").alias("n_members")
+    )

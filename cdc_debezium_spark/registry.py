@@ -123,6 +123,7 @@ _PRIORITY = [
     "cdc_log_continuity_audit",
     "events_assoc_rules",
     "events_haar_energy",
+    "ext_graph_label_propagation",
     # r3-stale cohort (43)
     "agg_approx_quantile",
     "agg_approx_topk",
