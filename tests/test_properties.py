@@ -361,3 +361,40 @@ def test_concurrent_lane_execution_parity(spark, sf_dir):
     assert not errors, errors
     for (key, slot), rows in results.items():
         assert rows == sequential[key], f"{key}[{slot}] diverged under concurrency"
+
+
+@given(EVENT_LOGS, st.randoms(use_true_random=False))
+@SETTINGS
+def test_p10_scd2_sink_batch_partition_invariant(spark, tmp_path_factory, rows, rnd):
+    """Scd2HistorySink commutativity, generalized beyond the
+    mtime-tie regression test: for ANY partition of the log into
+    batches, applied in ANY order, with random redelivery, the
+    maintained history equals the batch SCD2 window. Drives the
+    sink's foreachBatch callable directly (no streaming machinery)
+    so hypothesis can afford many examples."""
+    from cdc_debezium_spark.streaming.state import Scd2HistorySink
+
+    rows, df = _mk(spark, rows)
+    # random partition into 1-4 batches + redeliver a random subset
+    batches: list[list] = [[] for _ in range(rnd.randint(1, 4))]
+    for r in rows:
+        batches[rnd.randrange(len(batches))].append(r)
+    redelivered = [r for r in rows if rnd.random() < 0.3]
+    if redelivered:
+        batches.append(redelivered)
+    rnd.shuffle(batches)
+
+    path = str(tmp_path_factory.mktemp("scd2_prop"))
+    sink = Scd2HistorySink(path + "/state", keys=["pk"])
+    for i, b in enumerate(batch for batch in batches if batch):
+        sink(spark.createDataFrame(b, SCHEMA), i)
+
+    got = sorted(
+        (r.pk, r.ord2, r.ts_us, r.valid_from_us, r.valid_to_us)
+        for r in sink.read_history(spark).collect()
+    )
+    want = sorted(
+        (r.pk, r.ord2, r.ts_us, r.valid_from_us, r.valid_to_us)
+        for r in cdc.scd2(df).collect()
+    )
+    assert got == want
