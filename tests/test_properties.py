@@ -398,3 +398,44 @@ def test_p10_scd2_sink_batch_partition_invariant(spark, tmp_path_factory, rows, 
         for r in cdc.scd2(df).collect()
     )
     assert got == want
+
+
+@given(EVENT_LOGS)
+@SETTINGS
+def test_p11_asof_forward_matches_bruteforce(spark, rows):
+    """Forward as-of (earliest right row with ts >= left ts, ties by
+    ordinal) checked against a per-row Python brute force — guards the
+    negated-ordinate construction the lane uses (a sign slip there
+    would silently flip direction or boundary)."""
+    rows, df = _mk(spark, rows)
+    left = [r for r in rows if r[3] in ("c", "u")][:10]
+    right = [r for r in rows if r[3] == "d"]
+    if not left or not right:
+        return
+    lf = spark.createDataFrame(left, SCHEMA).select(
+        "pk", "ord2", (-F.col("ts_us")).alias("neg_ts"),
+        (-F.col("ord2")).alias("neg_ord"), "ts_us"
+    )
+    rf = spark.createDataFrame(right, SCHEMA).select(
+        "pk", (-F.col("ts_us")).alias("neg_ts"),
+        (-F.col("ord2")).alias("neg_ord"),
+        F.col("ts_us").alias("r_ts"), F.col("val").alias("r_val"),
+    )
+    out = cdc.asof_join(
+        lf, rf, on=["pk"],
+        left_order=["neg_ts", "neg_ord"],
+        right_order=["neg_ts", "neg_ord"],
+        right_value_cols=["r_ts", "r_val"],
+    )
+    got = {(r.pk, r.ord2): (r.asof_r_ts, r.asof_r_val) for r in out.collect()}
+    for pk, o, ts, _op, _v in left:
+        # brute force: earliest right with (ts, ord) ordering at or
+        # after the left ordinate under the SAME (neg_ts, neg_ord)
+        # total order the operator folds with
+        cands = sorted(
+            ((rts, ro, rv) for rpk, ro, rts, _rop, rv in right if rpk == pk
+             and (-rts, -ro) <= (-ts, -o)),
+            key=lambda t: (-t[0], -t[1]), reverse=True,
+        )
+        want = (cands[0][0], cands[0][2]) if cands else (None, None)
+        assert got[(pk, o)] == want, (pk, o, got[(pk, o)], want)
