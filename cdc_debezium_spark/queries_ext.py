@@ -4411,3 +4411,104 @@ def ext_graph_label_propagation(spark, sf_dir):
     return labels.groupBy(F.col("lab").alias("community")).agg(
         F.count("*").alias("n_members")
     )
+
+
+_WINNOW_W = 4  # winnowing window over the shingle-hash sequence
+
+
+@query(
+    "ext_dedup_winnowing",
+    oracle=f"""
+    WITH {TOK_CTE},
+    hwt_w AS (
+      SELECT doc_id, w, list_transform(w, t -> {duck_word_hash('t')}) AS hwl
+      FROM tok
+    ),
+    seq3 AS (  -- ORDERED shingle-hash sequence (positional, dupes kept)
+      SELECT doc_id,
+             list_transform(range(1, len(w) - 1),
+               i -> ((((((7::BIGINT) * 1000003 + hwl[i]) % 2147483647)
+                       * 1000003 + hwl[i + 1]) % 2147483647)
+                     * 1000003 + hwl[i + 2]) % 2147483647) AS s
+      FROM hwt_w
+    ),
+    win AS (
+      SELECT doc_id, s,
+             CASE WHEN len(s) >= {_WINNOW_W}
+                  THEN list_distinct(list_transform(
+                         range(1, len(s) - {_WINNOW_W} + 2),
+                         i -> list_min(s[i:i + {_WINNOW_W} - 1])))
+                  ELSE list_distinct(CASE WHEN len(s) > 0
+                                          THEN [list_min(s)] ELSE [] END)
+             END AS fps
+      FROM seq3
+    )
+    SELECT doc_id,
+           CAST(len(s) AS BIGINT) AS n_shingles,
+           CAST(GREATEST(len(s) - {_WINNOW_W} + 1,
+                         CASE WHEN len(s) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_windows,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           CASE WHEN len(fps) > 0 THEN list_min(fps) END AS min_fp
+    FROM win
+    """,
+)
+def ext_dedup_winnowing(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken
+    2003, the MOSS algorithm) — the GUARANTEE-bearing member of the
+    fingerprint family: select the minimum shingle hash in every
+    window of {_WINNOW_W} consecutive shingles; any substring match
+    of at least window+shingle-1 tokens between two documents is then
+    guaranteed to share a fingerprint (the rolling-hash lane
+    ext_text_fingerprint gives no such bound, and MinHash gives only
+    probabilistic recall). Per doc: shingle/window/fingerprint counts
+    and the minimum fingerprint — the density (n_fingerprints /
+    n_windows) is the storage-vs-guarantee dial a plagiarism or
+    near-dup index tunes.
+
+    Positional shingle SEQUENCE (dupes kept, order kept) — not the
+    distinct shingle SET the Jaccard lanes use — because winnowing's
+    guarantee is positional. All arithmetic is the integer
+    hash-combine family (ext/hashing.py), window minima via per-array
+    transforms in codegen: corpus-scan shaped, zero shuffles beyond
+    the scan.
+    """
+    from .ext.hashing import COMBINE, INIT, MOD, word_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    hw = F.transform(w, word_hash)
+    length = F.size(w) - 2
+    parts = [F.slice(hw, k + 1, F.greatest(length, F.lit(0))) for k in range(3)]
+    z = F.transform(
+        parts[0], lambda x: (F.lit(INIT).cast("long") * COMBINE + x) % MOD
+    )
+    for p in parts[1:]:
+        z = F.zip_with(z, p, lambda acc, x: (acc * COMBINE + x) % MOD)
+    s = F.when(F.size(w) >= 3, z).otherwise(F.array().cast("array<long>"))
+    d = docs.select("doc_id", s.alias("s"))
+    m = F.size("s")
+    fps_full = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), m - _WINNOW_W + 1),
+            lambda i: F.array_min(F.slice("s", i, _WINNOW_W)),
+        )
+    )
+    fps_short = F.array_distinct(
+        F.when(m > 0, F.array(F.array_min("s"))).otherwise(
+            F.array().cast("array<long>")
+        )
+    )
+    fps = F.when(m >= _WINNOW_W, fps_full).otherwise(fps_short)
+    out = d.select(
+        "doc_id",
+        m.cast("long").alias("n_shingles"),
+        F.greatest(
+            m - _WINNOW_W + 1, F.when(m > 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_windows"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.when(F.size(fps) > 0, F.array_min(fps)).alias("min_fp"),
+    )
+    return out

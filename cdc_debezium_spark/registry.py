@@ -124,6 +124,7 @@ _PRIORITY = [
     "events_assoc_rules",
     "events_haar_energy",
     "ext_graph_label_propagation",
+    "ext_dedup_winnowing",
     # r3-stale cohort (43)
     "agg_approx_quantile",
     "agg_approx_topk",
