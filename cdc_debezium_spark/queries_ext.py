@@ -4512,3 +4512,124 @@ def ext_dedup_winnowing(spark, sf_dir):
         F.when(F.size(fps) > 0, F.array_min(fps)).alias("min_fp"),
     )
     return out
+
+
+_KNN_K = 5
+
+
+@query(
+    "ext_similarity_knn_hubness",
+    oracle=f"""
+    WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+    sliced AS (
+      SELECT emb.vec_id, emb.embedding FROM embeddings emb, cnt
+      WHERE cnt.n <= 2000
+         OR ({duck_word_hash("emb.vec_id::VARCHAR")})
+            % CAST(ceil(cnt.n / 2000.0) AS BIGINT) = 0
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM sliced),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+      FROM e
+    ),
+    edges AS (
+      SELECT u, v FROM (
+        SELECT a.vec_id AS u, b.vec_id AS v,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {DUCK_DOT} / (a.nrm * b.nrm) DESC, b.vec_id) AS rank
+        FROM n a JOIN n b ON b.vec_id != a.vec_id)
+      WHERE rank <= {_KNN_K}
+    ),
+    ind AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY v),
+    mut AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_mut
+      FROM edges e1 JOIN edges e2 ON e2.u = e1.v AND e2.v = e1.u
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM n) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           CAST((SELECT n_mut FROM mut) // 2 AS BIGINT) AS n_mutual,
+           floor((SELECT n_mut FROM mut) * 10000.0
+                 / (SELECT count(*) FROM edges) + 0.5) / 10000.0
+             AS reciprocity,
+           (SELECT max(d) FROM ind) AS max_in_degree
+    """,
+)
+def ext_similarity_knn_hubness(spark, sf_dir):
+    """kNN-graph geometry diagnostic: reciprocity and hubness of the
+    k={_KNN_K} cosine nearest-neighbor graph — the embedding-quality
+    check run BEFORE building an ANN index or SemDeDup clustering on
+    a corpus. Low reciprocity (few mutual edges) and a high-in-degree
+    hub are the classic symptoms of hubness (Radovanović et al. 2010):
+    in degraded or high-dimensional-degenerate embedding spaces a few
+    points become everyone's neighbor, which silently poisons both
+    kNN retrieval quality and density-based dedup. Runs exact
+    all-pairs on the deterministic hash-sampled slice (the embedding
+    reference-lane pattern — bounded at ~2000² regardless of SF, both
+    engines select the identical slice).
+
+    Reciprocity here = fraction of directed kNN edges whose reverse
+    edge also exists; n_mutual counts unordered mutual pairs.
+    """
+    from .ext.hashing import word_hash
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    if n_total > 2000:
+        d = -(-n_total // 2000)
+        emb = emb.where(word_hash(F.col("vec_id").cast("string")) % F.lit(d) == 0)
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    from pyspark.sql import Window
+
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("cos"), F.asc("v"))
+    edges = (
+        v.alias("a")
+        .join(v.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("u"),
+            F.col("b.vec_id").alias("v"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+        .select("u", "v")
+        .persist()
+    )
+    nodes = v.agg(F.count("*").alias("n_nodes"))
+    ne = edges.agg(F.count("*").alias("n_edges"))
+    mut = (
+        edges.alias("e1")
+        .join(
+            edges.alias("e2"),
+            (F.col("e2.u") == F.col("e1.v")) & (F.col("e2.v") == F.col("e1.u")),
+        )
+        .agg(F.count("*").alias("n_mut"))
+    )
+    ind = edges.groupBy("v").agg(F.count("*").alias("d")).agg(
+        F.max("d").alias("max_in_degree")
+    )
+    return (
+        nodes.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(mut))
+        .crossJoin(F.broadcast(ind))
+        .select(
+            "n_nodes",
+            "n_edges",
+            (F.col("n_mut") / 2).cast("long").alias("n_mutual"),
+            (
+                F.floor(F.col("n_mut") * 10000.0 / F.col("n_edges") + 0.5) / 10000.0
+            ).alias("reciprocity"),
+            "max_in_degree",
+        )
+    )

@@ -125,6 +125,7 @@ _PRIORITY = [
     "events_haar_energy",
     "ext_graph_label_propagation",
     "ext_dedup_winnowing",
+    "ext_similarity_knn_hubness",
     # r3-stale cohort (43)
     "agg_approx_quantile",
     "agg_approx_topk",
