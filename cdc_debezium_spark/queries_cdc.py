@@ -2565,3 +2565,68 @@ def cdc_log_continuity_audit(spark, sf_dir):
         .cast("long")
         .alias("max_gap"),
     )
+
+
+@query(
+    "cdc_wire_size_audit",
+    oracle="""
+    WITH wire AS (
+      SELECT event_type,
+             length(to_json(struct_pack(
+               event_id := event_id,
+               user_id := user_id,
+               event_type := event_type,
+               ts_us := epoch_us(ts),
+               props := props))) AS n_bytes
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+           CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+           floor(quantile_cont(n_bytes, 0.5) * 10.0 + 0.5) / 10.0 AS p50_bytes,
+           floor(quantile_cont(n_bytes, 0.95) * 10.0 + 0.5) / 10.0 AS p95_bytes
+    FROM wire GROUP BY event_type
+    """,
+)
+def cdc_wire_size_audit(spark, sf_dir):
+    """Wire-size audit of the serialized JSON envelope per stream —
+    the measurement behind the broker/producer byte budgets the
+    reference tunes (Kafka max.request.size / max.message.bytes; the
+    12-partition layout at prod-resources.yaml:94-95 assumes messages
+    stay well under segment limits): exact min/max and R-7 p50/p95 of
+    the message size a JsonConverter-style payload actually produces.
+    The doubles column is deliberately excluded from the measured
+    payload — engines format float literals differently, and the lane
+    audits SIZES, not values; every serialized field has an
+    engine-identical text form (integers, strings), so the byte
+    counts are exact cross-engine.
+
+    Shape: to_json + length in codegen on the scan, one per-type
+    exact-percentile aggregate. At 100 TB you run the sketch
+    percentile (agg_approx_quantile_prod) and keep this exact form
+    for per-partition audits.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wire = ev.select(
+        "event_type",
+        F.length(
+            F.to_json(
+                F.struct(
+                    F.col("event_id"),
+                    F.col("user_id"),
+                    F.col("event_type"),
+                    F.col("ts_us"),
+                    F.col("props"),
+                )
+            )
+        ).alias("n_bytes"),
+    )
+    r1 = lambda c: F.floor(c * 10.0 + F.lit(0.5)) / 10.0  # noqa: E731
+    return wire.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("n_bytes").cast("long").alias("min_bytes"),
+        F.max("n_bytes").cast("long").alias("max_bytes"),
+        r1(F.expr("percentile(n_bytes, 0.5)")).alias("p50_bytes"),
+        r1(F.expr("percentile(n_bytes, 0.95)")).alias("p95_bytes"),
+    )

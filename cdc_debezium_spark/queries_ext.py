@@ -4633,3 +4633,59 @@ def ext_similarity_knn_hubness(spark, sf_dir):
             "max_in_degree",
         )
     )
+
+
+@query(
+    "ext_text_lexical_richness",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(text, ' ')) AS t
+      FROM documents
+    ),
+    tc AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY source, t
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           floor(count(*) * 10000.0 / sum(n) + 0.5) / 10000.0 AS ttr,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           floor(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 10000.0 / count(*)
+                 + 0.5) / 10000.0 AS hapax_frac
+    FROM tc GROUP BY source
+    """,
+)
+def ext_text_lexical_richness(spark, sf_dir):
+    """Lexical-richness profile per source: type-token ratio and
+    hapax-legomena fraction — the corpus-health gauges beside the
+    Zipf fit and entropy lanes (template floods collapse TTR; OCR
+    noise and boilerplate stuffing inflate hapax mass; both shifts
+    flag a source before the quality classifier sees a single
+    document). One token hash-aggregate per (source, type), then a
+    per-source roll-up — ratios are integer-over-integer, 4dp-floored
+    identically on both engines.
+
+    Shape at 100 TB: the (source, token) aggregate partial-combines
+    map-side; output is source-bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("n"))
+    )
+    return tc.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        (F.floor(F.count("*") * 10000.0 / F.sum("n") + 0.5) / 10000.0).alias("ttr"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("n") == 1, 1).otherwise(0)) * 10000.0
+                / F.count("*")
+                + 0.5
+            )
+            / 10000.0
+        ).alias("hapax_frac"),
+    )

@@ -126,6 +126,8 @@ _PRIORITY = [
     "ext_graph_label_propagation",
     "ext_dedup_winnowing",
     "ext_similarity_knn_hubness",
+    "ext_text_lexical_richness",
+    "cdc_wire_size_audit",
     # r3-stale cohort (43)
     "agg_approx_quantile",
     "agg_approx_topk",
