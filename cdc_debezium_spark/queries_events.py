@@ -2890,3 +2890,105 @@ def events_haar_energy(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+_MK_ITERS = 20  # stationary-distribution power iterations
+
+
+def _markov_oracle() -> str:
+    # pi_new[j] = sum_i pi[i] * P[i*5+j], i ascending — the identical
+    # 5-term left-to-right sum the Spark-side driver fold uses
+    terms = lambda j: " + ".join(  # noqa: E731
+        f"acc[{i + 1}] * P[{i * 5 + j}]" for i in range(5)
+    )
+    newpi = "[" + ", ".join(terms(j + 1) for j in range(5)) + "]"
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    types AS (
+      SELECT DISTINCT event_type AS t FROM events
+    ),
+    cells AS (
+      SELECT a.t AS ft, b.t AS tt,
+             COALESCE(tr.n, 0) AS n,
+             sum(COALESCE(tr.n, 0)) OVER (PARTITION BY a.t) AS row_n
+      FROM types a CROSS JOIN types b
+      LEFT JOIN trans tr ON tr.from_type = a.t AND tr.to_type = b.t
+    ),
+    mat AS (
+      SELECT list(CAST(n AS DOUBLE) / row_n ORDER BY ft, tt) AS P
+      FROM cells
+    ),
+    tl AS (SELECT list(t ORDER BY t) AS ts FROM types),
+    fold AS (
+      SELECT list_reduce(
+               list_prepend(CAST([0.2, 0.2, 0.2, 0.2, 0.2] AS DOUBLE[]),
+                 list_transform(range(1, {_MK_ITERS} + 1),
+                                x -> CAST([0,0,0,0,0] AS DOUBLE[]))),
+               (acc, step) -> {newpi}) AS pi
+      FROM mat
+    )
+    SELECT tl.ts[i] AS event_type,
+           floor(fold.pi[i] * 10000.0 + 0.5) / 10000.0 AS stationary_p
+    FROM fold, tl, (SELECT unnest(range(1, 6)) AS i)
+    """
+
+
+@query("events_markov_stationary", oracle=_markov_oracle())
+def events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the user-behavior Markov chain —
+    the long-run occupancy the transition matrix
+    (events_transition_matrix) converges to: where users spend their
+    journeys at equilibrium, the summary a funnel report reads first.
+    Computed by {_MK_ITERS} power iterations pi <- pi*P from the
+    uniform start; the 5x5 row-stochastic matrix is alphabet-bounded,
+    so the counts collect is the k-centroids class of bounded driver
+    materialization (25 cells) and the iteration is 500 multiplies —
+    the corpus-scale work is exactly one window + one aggregate. Both
+    engines fold the identical 5-term left-to-right sums, so the
+    doubles agree bit-for-bit before the 4dp floor.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    trans = seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    types = sorted(r.event_type for r in ev.select("event_type").distinct().collect())
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    counts = [[0] * k for _ in range(k)]
+    for r in trans.collect():  # bounded: k*k cells (k = event alphabet)
+        counts[idx[r.event_type]][idx[r.next_type]] = r.n
+    P = [
+        [c / rs if (rs := sum(row)) else 0.0 for c in row]
+        for row in counts
+    ]
+    pi = [1.0 / k] * k  # uniform start (k=5 -> the oracle's 0.2 literal)
+    for _ in range(_MK_ITERS):
+        new_pi = []
+        for j in range(k):
+            # left-to-right 5-term sum, identical association order to
+            # the oracle's acc[1]*P[..] + ... + acc[5]*P[..]
+            s = pi[0] * P[0][j]
+            for i in range(1, k):
+                s = s + pi[i] * P[i][j]
+            new_pi.append(s)
+        pi = new_pi
+    import math
+
+    rows = [(t, math.floor(pi[idx[t]] * 10000.0 + 0.5) / 10000.0) for t in types]
+    return spark.createDataFrame(rows, "event_type string, stationary_p double")

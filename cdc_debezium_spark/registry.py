@@ -128,6 +128,7 @@ _PRIORITY = [
     "ext_similarity_knn_hubness",
     "ext_text_lexical_richness",
     "cdc_wire_size_audit",
+    "events_markov_stationary",
     # r3-stale cohort (43)
     "agg_approx_quantile",
     "agg_approx_topk",
