@@ -121,6 +121,31 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Emission contract (r7 verdict item 2): the driver captures only a
+    # bounded TAIL of stdout, and BENCH_r07 lost its headline when the
+    # single line (medians + cold + spread + loadavg x 34 queries)
+    # outgrew that capture. The compact headline object is therefore
+    # printed as the FINAL stdout line; the per-query cold/spread/load
+    # detail goes to an EARLIER stdout line and to a committed detail
+    # file (bench_detail.json) for the judge.
+    detail = {
+        "metric": "headline_suite_detail",
+        "queries_cold": cold,
+        "queries_spread": spread,
+        "loadavg_1m": {
+            "start": load_start,
+            "end": round(os.getloadavg()[0], 2),
+        },
+        "sf": sf,
+    }
+    detail_path = os.path.join(_REPO, "bench_detail.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout copy below still lands
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
@@ -128,12 +153,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "queries_cold": cold,
-                "queries_spread": spread,
-                "loadavg_1m": {
-                    "start": load_start,
-                    "end": round(os.getloadavg()[0], 2),
-                },
+                "detail": "bench_detail.json",
                 "sf": sf,
             }
         )

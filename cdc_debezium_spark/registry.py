@@ -30,111 +30,91 @@ def query(key: str, oracle: str | None = None):
     return deco
 
 
-# Must-check-first order for a count-budgeted driver sample. Round-7
-# final layout: the r6 verdict's ask #6 is explicit — CORRECTNESS_r07
-# must green the FULL r2-stale cohort (26 keys) — so that cohort leads.
-# The round added 42 never-driver-sampled keys, more than any budget
-# beyond the cohort can cover; the 24 whose claims most need an
-# EXTERNAL row follow (the executed sink protocols that closed the r6
-# "missing" item, the recall-report family, the sketch batch, and the
-# streaming-runtime gate lanes — the round's headline), then the
-# remaining new keys (format/SMT/diagnostic lanes, all additionally
-# verified by the committed 261-key sf0.01 mirror), then the r3-stale
-# cohort. A 50-key budget covers the cohort + the 24; a 68-key budget
-# covers every new key.
+# Round whose committed CORRECTNESS files informed the current
+# _PRIORITY layout. tests/test_registry_staleness.py recomputes the
+# staleness cohorts from CORRECTNESS_r01.._PRIORITY_BUILT_FROM and
+# fails if the layout stops leading with the oldest debt, or if this
+# marker falls >1 round behind the newest committed file (the rebuild
+# ratchet).
+_PRIORITY_BUILT_FROM = 7
+
+# Key-tiering policy (staleness is a policy, not an accident):
+#   hot  — CDC spine, streaming-runtime roundtrips, executed sink
+#          protocols: must have a driver row every 1-2 rounds; when not
+#          leading _PRIORITY they still enter via the non-ext tail.
+#   warm — operator families (relational/scalar/events/ext dedup+sim):
+#          rotate so no key exceeds ~3 rounds without a driver row.
+#   cold — mature diagnostics/recall reports: allow up to 5 rounds,
+#          backed each round by the committed full-registry sf0.01
+#          mirror (SURVEY §7.7g).
+# tests/test_registry_staleness.py recomputes staleness from the
+# committed CORRECTNESS_r0*.json files and enforces the rotation:
+# _PRIORITY must lead with every never-sampled key, then the stalest
+# cohort, so any count-budgeted driver prefix retires the oldest debt.
+#
+# Round-8 layout (from CORRECTNESS_r01..r07): 31 never-driver-sampled
+# keys (all late-r7 batches) lead — the r7 verdict ask #1 — then the
+# 43-key r3-stale cohort ordered so its verdict-named members and the
+# flagship TPC-H shapes fall inside a 50-key budget (31 + 19). The
+# r4/r5/r6/r7 cohorts follow via load_all()'s tail ordering.
 _PRIORITY = [
-    # r2-stale cohort (26) — verdict ask #6, must all get r7 rows
-    "ext_embedding_quantize",
-    "ext_multimodal_frames",
-    "ext_multimodal_patches",
-    "ext_sample_cluster_balanced",
-    "ext_sample_hash",
-    "ext_sample_mixture",
-    "ext_sample_stratified",
-    "ext_similarity_ivf",
-    "ext_similarity_ivf_trained",
-    "ext_similarity_range",
-    "ext_similarity_topk",
-    "ext_text_bpe_tokens",
-    "ext_text_charngrams",
-    "ext_text_chunks",
-    "ext_text_entropy",
-    "ext_text_fingerprint",
-    "ext_text_langid",
-    "ext_text_quality_rules",
-    "ext_text_repetition",
-    "ext_text_scrub",
-    "ext_text_stats",
-    "ext_text_tfidf",
-    "ext_text_vocab",
-    "json_map_explode",
-    "type_coercion",
-    "window_distribution",
-    # top new r7 keys (24): executed sink protocols, recall family,
-    # sketches, streaming-runtime gates
-    "cdc_es_bulk_roundtrip",
-    "cdc_clickhouse_replacing_roundtrip",
-    "cdc_redis_latest_kv_roundtrip",
-    "ext_similarity_ivf_recall",
-    "ext_similarity_rp_lsh_recall",
-    "ext_similarity_ivfpq_recall",
-    "agg_count_min_sketch",
-    "agg_hll_sketch",
-    "agg_kmv_distinct",
-    "agg_quantile_sampled",
-    "join_bloom_prefilter",
-    "ext_dedup_semantic",
-    "cdc_stream_latest_state_roundtrip",
-    "agg_tumbling_window_stream_roundtrip",
-    "agg_session_window_stream_roundtrip",
-    "agg_sliding_window_stream_roundtrip",
-    "events_late_data_drop_roundtrip",
-    "join_stream_static_enrich_roundtrip",
-    "join_stream_stream_roundtrip",
-    "cdc_scd2_stream_roundtrip",
-    "cdc_checkpoint_resume_roundtrip",
-    "udf_stateful_processor_roundtrip",
-    "events_stream_progress_audit",
-    "cdc_schema_evolution_roundtrip",
-    # remaining new r7 keys (18): SMT depth, formats, diagnostics —
-    # mirror-verified; next round's rotation leads with any unsampled
-    "cdc_logical_table_router",
+    # --- never driver-sampled (31): must ALL get a CORRECTNESS_r08 row ---
+    "agg_decimal_exact",
+    "agg_theta_set_ops",
     "cdc_content_based_router",
     "cdc_header_enrich",
+    "cdc_log_continuity_audit",
+    "cdc_logical_table_router",
+    "cdc_multi_table_pipeline",
     "cdc_partition_routing",
     "cdc_timezone_convert",
+    "cdc_wire_size_audit",
+    "events_assoc_rules",
+    "events_burst_detection",
+    "events_haar_energy",
     "events_holt_winters",
-    "agg_decimal_exact",
     "events_mad_outliers",
-    "ext_text_zipf_fit",
-    "scan_csv_roundtrip",
-    "scan_orc_roundtrip",
-    "scan_jsonl_roundtrip",
-    "xml_wire_roundtrip",
+    "events_markov_stationary",
+    "ext_dedup_winnowing",
     "ext_dq_expectations",
+    "ext_graph_label_propagation",
     "ext_graph_triangles",
     "ext_privacy_k_anon",
-    "join_geo_cell",
-    "agg_theta_set_ops",
-    "join_as_of_forward",
-    "cdc_multi_table_pipeline",
     "ext_quality_nb_classifier",
-    "events_burst_detection",
-    "cdc_log_continuity_audit",
-    "events_assoc_rules",
-    "events_haar_energy",
-    "ext_graph_label_propagation",
-    "ext_dedup_winnowing",
     "ext_similarity_knn_hubness",
     "ext_text_lexical_richness",
-    "cdc_wire_size_audit",
-    "events_markov_stationary",
-    # r3-stale cohort (43)
+    "ext_text_zipf_fit",
+    "join_as_of_forward",
+    "join_geo_cell",
+    "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip",
+    "scan_orc_roundtrip",
+    "xml_wire_roundtrip",
+    # --- r3-stale cohort (43): last driver row in CORRECTNESS_r03 ---
+    "agg_grouping_sets",
+    "udaf_grouped_agg",
+    "cdc_agg_view",
+    "tpch_q5",
+    "tpch_q21",
+    "tpch_q3",
+    "tpch_q18",
+    "tpch_q10",
+    "tpch_q6",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q22",
+    "tpch_q4",
     "agg_approx_quantile",
     "agg_approx_topk",
-    "agg_grouping_sets",
     "agg_theta_sketch_distinct",
-    "cdc_agg_view",
     "cdc_compaction_stats",
     "cdc_schema_drift_stats",
     "cdc_snapshot_diff",
@@ -154,25 +134,6 @@ _PRIORITY = [
     "ext_text_bpe_pairs",
     "ext_text_chunk_dedup",
     "ext_text_dedup_report",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "udaf_grouped_agg",
 ]
 
 
