@@ -787,9 +787,11 @@ def udf_stateful_processor_roundtrip(spark, sf_dir):
     across micro-batches, emitting the cumulative row each time the
     key appears; the final emission per key (highest n_events) must
     equal the batch aggregate. Rows inside a micro-batch arrive in
-    arbitrary order, so the processor sorts its group slice by
-    (ts_us, event_id) before folding — the same per-key total-order
-    discipline every CDC kernel uses.
+    arbitrary order AND one key's rows may span several Arrow chunks
+    in arbitrary chunk order, so the state itself carries the last
+    event's (ts_us, event_id) watermark and last_val only advances
+    past it — the same per-key total-order discipline every CDC
+    kernel uses, made chunk-order-proof (r7 ADVICE medium).
 
     Completes the gated streaming surface set: built-in stateful ops
     (windows, dedup, joins), sink-side state (upsert/SCD2), and now
@@ -806,14 +808,25 @@ def udf_stateful_processor_roundtrip(spark, sf_dir):
     from .streaming.replay import read_event_stream, write_event_chunks
 
     def track(key, pdfs, state: GroupState):
+        # One key's micro-batch rows can be split across several Arrow
+        # chunks delivered in ARBITRARY order, so "last chunk's last
+        # row" is not the last event. The state carries the current
+        # last event's (ts_us, event_id) and last_val only advances
+        # when a chunk's max-order row exceeds that watermark — chunk
+        # arrival order can no longer leak into the answer.
         (uid,) = key
-        n, mx, last = state.get if state.exists else (0, float("-inf"), 0.0)
+        if state.exists:
+            n, mx, last, lts, leid = state.get
+        else:
+            n, mx, last, lts, leid = 0, float("-inf"), 0.0, -1, -1
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_us", "event_id"])
             n += len(pdf)
             mx = max(mx, float(pdf["value"].max()))
-            last = float(pdf["value"].iloc[-1])
-        state.update((n, mx, last))
+            top = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
+            if (int(top["ts_us"]), int(top["event_id"])) > (lts, leid):
+                lts, leid = int(top["ts_us"]), int(top["event_id"])
+                last = float(top["value"])
+        state.update((n, mx, last, lts, leid))
         yield pd.DataFrame(
             {"user_id": [uid], "n_events": [n], "max_val": [mx], "last_val": [last]}
         )
@@ -826,7 +839,8 @@ def udf_stateful_processor_roundtrip(spark, sf_dir):
             track,
             outputStructType="user_id long, n_events long, max_val double, "
             "last_val double",
-            stateStructType="n long, mx double, last double",
+            stateStructType="n long, mx double, last double, "
+            "lts long, leid long",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -261,6 +261,16 @@ class EsBulkSink:
                 # 15 significant digits — enough to drift 1 ulp and
                 # break value-exact readback).
                 ids = pdf[key_col].astype(str)
+                # Keys are usually digit/word-safe, so the vectorized
+                # concat below skips json escaping — but a quote,
+                # backslash, or control char in a key would emit
+                # malformed NDJSON and fail the whole partition POST.
+                # Escape only the rows a fast vectorized regex flags.
+                unsafe = ids.str.contains(r'["\\\x00-\x1f]', regex=True)
+                if unsafe.any():
+                    ids = ids.mask(
+                        unsafe, ids[unsafe].map(lambda s: json.dumps(s)[1:-1])
+                    )
                 vers = pdf[ver_col].astype("int64").astype(str)
                 metas = (
                     '{"_id":"' + ids + '","version":' + vers
