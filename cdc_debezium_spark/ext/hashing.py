@@ -9,6 +9,15 @@ arithmetic, expressible as a higher-order-function fold on both sides:
     h(s) = fold(c in chars(s)) acc -> (acc*31 + ascii(c)) mod (2^31 - 1),
     acc0 = 7
 
+SHINGLE hashes live in a 61-bit space (mod 2^61-1, Mersenne): at
+10^9-10^10 distinct shingles a 31-bit space saturates (birthday
+collisions inflate candidate mass and intersection counts), while
+2^61 keeps expected collisions in the tens even at 100 TB. All
+61-bit arithmetic is built from linear forms whose every
+intermediate stays < 2^63 — DuckDB raises on BIGINT overflow and
+Spark wraps silently, so overflow-free construction is what keeps
+the two engines bit-identical.
+
 Every constant here has a mirror in the DuckDB SQL fragments below;
 keep them in lockstep. At 100 TB this hash runs inside whole-stage
 codegen (no Python), so it is also the *fast* path, not just the
@@ -23,9 +32,34 @@ from pyspark.sql import Column
 MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime); keeps acc*31+c < 2^36
 INIT = 7
 
-# MinHash seed pairs (a_j odd, b_j arbitrary): sig_j = min (a_j*h + b_j) mod MOD.
-# 8 signatures, banded 4x2 for LSH candidate generation.
+M61 = (1 << 61) - 1  # 2^61 - 1 (Mersenne prime): the shingle-hash space
+_L31 = 1 << 31  # lo/hi split for overflow-free linear forms mod M61
+
+# Per-position shingle coefficients: odd 29-bit multipliers, so
+# coef * word_hash < 2^61 and each fold step acc + coef*h (acc < M61)
+# stays < 2^62 for ANY shingle width n — never overflows int64.
+SHINGLE_COEF: list[int] = [
+    ((0x9E3779B1 * (k + 1)) % (1 << 29)) | 1 for k in range(16)
+]
+
+# Affine seed pairs (a_j odd, b_j arbitrary) over 31-bit inputs:
+# kept for the count-min / bloom lanes whose keys are < 2^31.
 MINHASH_SEEDS: list[tuple[int, int]] = [(2 * j + 1, 101 * j + 17) for j in range(8)]
+
+# MinHash permutations over 61-bit shingle hashes. (a*h+b) mod M61
+# would overflow int64 for h near 2^61, so each perm is a 2-universal
+# linear form over h's (lo, hi) 31/30-bit split:
+#   perm_j(h) = (a_j*(h & (2^31-1)) + b_j*(h >> 31) + d_j) mod M61
+# with a_j, b_j odd < 2^30: every term < 2^61, the sum < 2^63 — exact
+# on both engines. 8 perms, banded 4x2 for LSH candidate generation.
+MINHASH_SEEDS61: list[tuple[int, int, int]] = [
+    (
+        ((0x9E3779B1 * (2 * j + 1)) % (1 << 30)) | 1,
+        ((0x85EBCA77 * (2 * j + 1)) % (1 << 30)) | 1,
+        101 * j + 17,
+    )
+    for j in range(8)
+]
 N_BANDS = 4
 ROWS_PER_BAND = 2
 
@@ -40,9 +74,6 @@ def char_hash(col: Column | str) -> Column:
         F.lit(INIT).cast("long"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(MOD).cast("long"),
     )
-
-
-COMBINE = 1_000_003  # word-hash -> shingle-hash combiner (prime)
 
 
 def word_hash(col: Column | str) -> Column:
@@ -65,29 +96,41 @@ def duck_word_hash(expr: str) -> str:
 
 
 def shingle_hashes(words: Column, n: int = 3) -> Column:
-    """Array of distinct shingle hashes from a token-array column.
+    """Array of distinct 61-bit shingle hashes from a token-array column.
 
     Hashes each WORD once (md5-prefix, codegen builtins), then combines
-    n word-hashes per shingle with a polynomial — O(words + shingles)
-    per document; shingle strings are never materialized.
+    n word-hashes per shingle with a position-weighted linear form mod
+    2^61-1 — O(words + shingles) per document; shingle strings are
+    never materialized, and every fold step stays < 2^62 (no int64
+    overflow on either engine).
     Mirror: duck_shingle_hashes() over an `hwl` word-hash list.
     """
     hw = F.transform(words, word_hash)
     length = F.size(words) - (n - 1)
     parts = [F.slice(hw, k + 1, length) for k in range(n)]
-    z = F.transform(parts[0], lambda x: (F.lit(INIT).cast("long") * COMBINE + x) % MOD)
-    for p in parts[1:]:
-        z = F.zip_with(z, p, lambda acc, x: (acc * COMBINE + x) % MOD)
+    z = F.transform(
+        parts[0],
+        lambda x: (F.lit(INIT).cast("long") + F.lit(SHINGLE_COEF[0]) * x) % M61,
+    )
+    for k, p in enumerate(parts[1:], 1):
+        z = F.zip_with(z, p, _shingle_step(SHINGLE_COEF[k]))
     return F.when(F.size(words) >= n, F.array_distinct(z)).otherwise(
         F.array().cast("array<long>")
     )
+
+
+def _shingle_step(coef: int):
+    """2-arg zip_with lambda for one shingle-fold step (a closure, NOT
+    a default arg — PySpark counts lambda parameters to bind HOF
+    variables, so a bound default would be mistaken for a third arg)."""
+    return lambda acc, x: (acc + F.lit(coef) * x) % M61
 
 
 def duck_shingle_hashes(words_expr: str, n: int = 3) -> str:
     """DuckDB fragment: distinct shingle hashes of a token-list expr."""
     acc = f"{INIT}::BIGINT"
     for k in range(n):
-        acc = f"(({acc}) * {COMBINE} + hwl[i + {k}]) % {MOD}"
+        acc = f"(({acc}) + {SHINGLE_COEF[k]} * hwl[i + {k}]) % {M61}"
     return (
         f"list_distinct(list_transform(range(1, len({words_expr}) - {n - 2}), "
         f"i -> {acc}))"
@@ -95,9 +138,12 @@ def duck_shingle_hashes(words_expr: str, n: int = 3) -> str:
 
 
 def minhash_col(hash_col: Column, j: int) -> Column:
-    """j-th minhash permutation of a shingle-hash column (pre-min)."""
-    a, b = MINHASH_SEEDS[j]
-    return (hash_col * a + b) % F.lit(MOD).cast("long")
+    """j-th minhash permutation of a 61-bit shingle-hash column
+    (pre-min): the overflow-free split-linear form (MINHASH_SEEDS61)."""
+    a, b, d = MINHASH_SEEDS61[j]
+    lo = hash_col.bitwiseAND(F.lit(_L31 - 1))
+    hi = F.shiftright(hash_col, 31)
+    return (lo * a + hi * b + d) % F.lit(M61).cast("long")
 
 
 def round4(col: Column) -> Column:
@@ -127,5 +173,8 @@ def duck_char_hash(expr: str) -> str:
 
 
 def duck_minhash(hash_expr: str, j: int) -> str:
-    a, b = MINHASH_SEEDS[j]
-    return f"(({hash_expr}) * {a} + {b}) % {MOD}"
+    a, b, d = MINHASH_SEEDS61[j]
+    return (
+        f"((({hash_expr}) & {_L31 - 1}) * {a} + "
+        f"(({hash_expr}) >> 31) * {b} + {d}) % {M61}"
+    )

@@ -813,19 +813,33 @@ def rp_lsh_pairs(
             .select("vec_a", "vec_b", round4(F.col("cos")).alias("cosine"))
         )
     # OR-amplification: candidates from every table, deduped once,
-    # then one exact verify per distinct candidate
+    # then one exact verify per distinct candidate. The bucketed frame
+    # is cached only for the L bucket joins: the candidate list is
+    # materialized eagerly (localCheckpoint) so the cache can be
+    # dropped before returning — otherwise every sweep invocation
+    # leaks its cached partitions into executor storage (r7 advice).
     v = v.persist()
-    cand = None
-    for t in range(tables):
-        a = v.select(F.col(f"bucket_{t}").alias("bk"), F.col("vec_id").alias("vec_a"))
-        bb = v.select(F.col(f"bucket_{t}").alias("bk"), F.col("vec_id").alias("vec_b"))
-        p = (
-            a.join(bb, "bk")
-            .where(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b")
-        )
-        cand = p if cand is None else cand.union(p)
-    cand = cand.distinct()
+    try:
+        cand = None
+        for t in range(tables):
+            a = v.select(
+                F.col(f"bucket_{t}").alias("bk"), F.col("vec_id").alias("vec_a")
+            )
+            bb = v.select(
+                F.col(f"bucket_{t}").alias("bk"), F.col("vec_id").alias("vec_b")
+            )
+            p = (
+                a.join(bb, "bk")
+                .where(F.col("vec_a") < F.col("vec_b"))
+                .select("vec_a", "vec_b")
+            )
+            cand = p if cand is None else cand.union(p)
+        cand = cand.distinct().localCheckpoint()
+    finally:
+        v.unpersist()
+    # verify re-derives (vec_id, v, norm) from the base scan — one
+    # extra column-pruned pass, cheaper than pinning the bucketed
+    # frame in storage past the function's return
     va = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                   F.col("norm").alias("na"))
     vb = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),

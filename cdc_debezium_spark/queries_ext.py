@@ -14,12 +14,14 @@ import pyspark.sql.functions as F
 
 from .ext import dedup, multimodal, sampling, similarity, text
 from .ext.hashing import (
-    MINHASH_SEEDS,
-    MOD,
+    M61,
+    MINHASH_SEEDS61,
     N_BANDS,
     ROWS_PER_BAND,
+    SHINGLE_COEF,
     SIMHASH_BITS,
     duck_char_hash,
+    duck_minhash,
     duck_shingle_hashes,
     duck_word_hash,
 )
@@ -212,7 +214,7 @@ def ext_dedup_containment(spark, sf_dir):
 def _duck_span_acc(n: int) -> str:
     acc = "7::BIGINT"
     for k in range(n):
-        acc = f"(({acc}) * 1000003 + hwl[i + {k}]) % {MOD}"
+        acc = f"(({acc}) + {SHINGLE_COEF[k]} * hwl[i + {k}]) % {M61}"
     return acc
 
 
@@ -270,8 +272,8 @@ def ext_dedup_spans(spark, sf_dir):
 
 def _duck_sig_cols() -> str:
     return ", ".join(
-        f"min((h * {a} + {b}) % {MOD}) AS m{j}"
-        for j, (a, b) in enumerate(MINHASH_SEEDS)
+        f"min({duck_minhash('h', j)}) AS m{j}"
+        for j in range(len(MINHASH_SEEDS61))
     )
 
 
@@ -3717,6 +3719,16 @@ def ext_similarity_rp_lsh_recall(spark, sf_dir):
     truth = dedup.embedding_near_dupes(emb, 0.4, max_rows=None).select(
         "vec_a", "vec_b", F.lit(1).alias("is_true")
     ).persist()
+    out = _rp_recall_sweep(emb, truth)
+    # the report is a handful of rows: materialize it (localCheckpoint)
+    # so the truth cache can be released instead of leaking into
+    # executor storage on every sweep invocation (r7 advice)
+    out = out.localCheckpoint()
+    truth.unpersist()
+    return out
+
+
+def _rp_recall_sweep(emb, truth):
     out = None
     for bits, tables in _RP_RECALL_CONFIGS:
         found = similarity.rp_lsh_pairs(
@@ -4427,9 +4439,7 @@ _WINNOW_W = 4  # winnowing window over the shingle-hash sequence
     seq3 AS (  -- ORDERED shingle-hash sequence (positional, dupes kept)
       SELECT doc_id,
              list_transform(range(1, len(w) - 1),
-               i -> ((((((7::BIGINT) * 1000003 + hwl[i]) % 2147483647)
-                       * 1000003 + hwl[i + 1]) % 2147483647)
-                     * 1000003 + hwl[i + 2]) % 2147483647) AS s
+               i -> {_duck_span_acc(3)}) AS s
       FROM hwt_w
     ),
     win AS (
@@ -4473,7 +4483,7 @@ def ext_dedup_winnowing(spark, sf_dir):
     transforms in codegen: corpus-scan shaped, zero shuffles beyond
     the scan.
     """
-    from .ext.hashing import COMBINE, INIT, MOD, word_hash
+    from .ext.hashing import INIT, _shingle_step, word_hash
 
     docs = load_table(spark, sf_dir, "documents")
     w = F.split("text", " ")
@@ -4481,10 +4491,11 @@ def ext_dedup_winnowing(spark, sf_dir):
     length = F.size(w) - 2
     parts = [F.slice(hw, k + 1, F.greatest(length, F.lit(0))) for k in range(3)]
     z = F.transform(
-        parts[0], lambda x: (F.lit(INIT).cast("long") * COMBINE + x) % MOD
+        parts[0],
+        lambda x: (F.lit(INIT).cast("long") + F.lit(SHINGLE_COEF[0]) * x) % M61,
     )
-    for p in parts[1:]:
-        z = F.zip_with(z, p, lambda acc, x: (acc * COMBINE + x) % MOD)
+    for k, p in enumerate(parts[1:], 1):
+        z = F.zip_with(z, p, _shingle_step(SHINGLE_COEF[k]))
     s = F.when(F.size(w) >= 3, z).otherwise(F.array().cast("array<long>"))
     d = docs.select("doc_id", s.alias("s"))
     m = F.size("s")

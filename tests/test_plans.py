@@ -248,16 +248,16 @@ def test_bucketed_lsh_index_probe_single_exchange(spark, sf_dir):
     old_docs = docs.where(F.col("doc_id") % 2 == 0)
     new_docs = docs.where(F.col("doc_id") % 2 == 1)
     index_rows = dedup.minhash_band_rows(dedup.minhash_signatures(old_docs))
-    write_bucketed_table(index_rows, "lsh_index", ["band", "k"], 8)
+    write_bucketed_table(index_rows, "lsh_index", ["band", "k0", "k1"], 8)
 
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         batch_rows = dedup.minhash_band_rows(
             dedup.minhash_signatures(new_docs)
-        ).repartition(8, "band", "k")  # the batch pays its one shuffle here
+        ).repartition(8, "band", "k0", "k1")  # the batch pays its one shuffle here
         probe = batch_rows.alias("a").join(
-            spark.table("lsh_index").alias("b"), ["band", "k"]
+            spark.table("lsh_index").alias("b"), ["band", "k0", "k1"]
         )
         # the join must add ZERO exchanges beyond what computing the
         # batch's own band rows already costs — the bucketed index side
