@@ -61,6 +61,34 @@ sh AS (
 
 NGRAM_MAX_DF = 1000  # mirror of dedup.ngram_jaccard_pairs(max_df=...)
 
+# Shared survivor edge list for the graph family (r7 verdict item 4):
+# six lanes (clusters, canonical, cluster_sizes, graph_degree,
+# triangles, label_propagation) consume the SAME (fixture, threshold)
+# near-dup pair graph, but each used to re-pay the full candidate
+# pipeline — at sf1 ~13 s of every graph lane's cost was the shared
+# pipeline and ~1-10 s the lane's own algebra. The first consumer in a
+# process materializes the survivor pairs once (localCheckpoint:
+# executor-local blocks, process-scoped — unlike an on-disk scratch
+# table it can never go stale across code versions or concurrent
+# sweeps); the rest read the materialized frame. The detector lane
+# ext_dedup_ngram does NOT use the cache: its benched subject IS the
+# pipeline, and the recall report keeps its own fresh truth leg by the
+# same honesty rule. Keyed by applicationId so a restarted session
+# never serves another session's checkpoint blocks.
+_PAIR_CACHE: dict = {}
+
+
+def _survivor_pairs(spark, sf_dir: str, threshold: float = 0.5):
+    """(doc_a, doc_b, jaccard) survivor near-dup pairs, materialized
+    once per (session, fixture, threshold) and shared."""
+    key = (spark.sparkContext.applicationId, sf_dir, threshold)
+    df = _PAIR_CACHE.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        df = dedup.ngram_jaccard_pairs(docs, threshold).localCheckpoint()
+        _PAIR_CACHE[key] = df
+    return df
+
 # Capped two-phase pair pipeline (mirrors dedup.ngram_jaccard_pairs):
 # shingles above the doc-frequency cap are excluded from candidate
 # generation; candidates verify with exact full-set Jaccard.
@@ -1446,9 +1474,9 @@ def ext_dedup_clusters(spark, sf_dir):
     """Near-dup clusters: connected components over the exact-Jaccard
     pair graph; each member maps to its cluster's canonical (min) id —
     the keep-one-per-cluster step of corpus dedup. Oracle: recursive
-    transitive closure in DuckDB."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.near_dup_clusters(dedup.ngram_jaccard_pairs(docs, 0.5))
+    transitive closure in DuckDB. Edges come from the shared
+    materialized survivor list (_survivor_pairs)."""
+    return dedup.near_dup_clusters(_survivor_pairs(spark, sf_dir, 0.5))
 
 
 @query(
@@ -1666,9 +1694,10 @@ def ext_text_tfidf(spark, sf_dir):
 def ext_dedup_canonical(spark, sf_dir):
     """Survivor selection over near-dup clusters: keep the longest
     document per cluster (ties to lowest id) — the manifest that turns
-    the pair graph into keep/drop decisions."""
+    the pair graph into keep/drop decisions. Edges from the shared
+    materialized survivor list (_survivor_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.select_canonical(docs, dedup.ngram_jaccard_pairs(docs, 0.5))
+    return dedup.select_canonical(docs, _survivor_pairs(spark, sf_dir, 0.5))
 
 
 @query(
@@ -2697,8 +2726,7 @@ def ext_dedup_cluster_sizes(spark, sf_dir):
     template spam). Shape: the component labels' two tiny rollups —
     all cost is in the clustering itself.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    labels = dedup.near_dup_clusters(dedup.ngram_jaccard_pairs(docs, 0.5))
+    labels = dedup.near_dup_clusters(_survivor_pairs(spark, sf_dir, 0.5))
     cl = labels.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
     return cl.groupBy("cluster_size").agg(
         F.count("*").alias("n_clusters"),
@@ -3433,8 +3461,9 @@ def ext_dedup_graph_degree(spark, sf_dir):
     treats high-degree nodes differently from pairwise dups). Shape:
     the pair lanes' output rolled up twice — all cost is candidate
     generation, shared with the other ngram lanes; the histogram adds
-    two tiny keyed aggregates."""
-    pairs = dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+    two tiny keyed aggregates (read from the shared materialized
+    survivor list)."""
+    pairs = _survivor_pairs(spark, sf_dir, 0.5)
     deg = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -4069,13 +4098,12 @@ def ext_graph_triangles(spark, sf_dir):
     pair pipeline's internal persists make the three edge references
     one computation); the triangle join runs on the survivor-sized
     edge list, never the corpus."""
-    # persist the survivor-sized edge list: it feeds five plan legs
-    # (degree union x2, three triangle-join legs) and is tiny compared
-    # to the candidate pipeline that produces it
-    pairs = (
-        dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .persist()
+    # the shared materialized survivor list already holds the edges
+    # (localCheckpoint blocks), so the five plan legs (degree union x2,
+    # three triangle-join legs) read materialized data — no per-lane
+    # persist, no re-run of the candidate pipeline
+    pairs = _survivor_pairs(spark, sf_dir, 0.5).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     deg = (
         pairs.select(F.col("a").alias("x"))
@@ -4396,10 +4424,11 @@ def ext_graph_label_propagation(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    pairs = (
-        dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .persist()
+    # edges read from the shared materialized survivor list — the
+    # rounds re-reference them many times, but the blocks are already
+    # localCheckpointed so no per-lane persist is needed
+    pairs = _survivor_pairs(spark, sf_dir, 0.5).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     ed = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
