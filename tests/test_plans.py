@@ -692,3 +692,24 @@ def test_r7_router_lanes_single_aggregate_exchange(spark, sf_dir):
         assert n <= max_shuffles, f"{key}: {n} shuffles"
         plan = _physical(df)
         assert "CartesianProduct" not in plan, key
+
+
+def test_tpch_join_heavy_exchange_budgets(spark, sf_dir):
+    """Exchange-budget pins for the three most join-heavy TPC-H
+    shapes (r7 verdict item 6): q5 (6-table cycle), q9 (5-table +
+    part filter), q21 (lineitem self-joins + exists/not-exists).
+    At the test SF every dimension side must broadcast, so the only
+    exchanges are the aggregation shuffles (q21's two lineitem
+    self-join legs add theirs). A count above the pin means a
+    dimension fell out of broadcast or a join reordered into an
+    extra repartition — the silent 100x regression class at scale."""
+    for key, max_shuffles in (
+        ("tpch_q5", 1),
+        ("tpch_q9", 1),
+        ("tpch_q21", 3),
+    ):
+        df = registry.QUERIES[key](spark, sf_dir)
+        n = count_shuffles(df)
+        assert n <= max_shuffles, f"{key}: {n} shuffles"
+        assert uses_broadcast(df), f"{key}: no broadcast in plan"
+        assert "CartesianProduct" not in _physical(df), key
