@@ -130,6 +130,7 @@ def main() -> None:
     # file (bench_detail.json) for the judge.
     detail = {
         "metric": "headline_suite_detail",
+        "queries": timings,
         "queries_cold": cold,
         "queries_spread": spread,
         "loadavg_1m": {
@@ -146,13 +147,17 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: the stdout copy below still lands
     print(json.dumps(detail))
+    # The FINAL line stays under ~200 bytes — r7's loss was a tail
+    # capture of unknown (small) size, so even the 34-entry median map
+    # (~1 KB) is a truncation risk. Medians live in the detail file
+    # (committed) and the detail stdout line above.
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries_n": len(timings),
                 "detail": "bench_detail.json",
                 "sf": sf,
             }
