@@ -173,8 +173,10 @@ def duck_char_hash(expr: str) -> str:
 
 
 def duck_minhash(hash_expr: str, j: int) -> str:
+    # ::BIGINT up front: DuckDB types small literals / INT32 columns as
+    # INT32, and the 30-bit multipliers overflow INT32 multiplication
     a, b, d = MINHASH_SEEDS61[j]
     return (
-        f"((({hash_expr}) & {_L31 - 1}) * {a} + "
-        f"(({hash_expr}) >> 31) * {b} + {d}) % {M61}"
+        f"((({hash_expr})::BIGINT & {_L31 - 1}) * {a} + "
+        f"(({hash_expr})::BIGINT >> 31) * {b} + {d}) % {M61}"
     )

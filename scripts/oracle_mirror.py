@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Full-registry oracle mirror: run EVERY registered key's Spark query
+AND its DuckDB oracle side-by-side at a fixture dir (default sf0.01 —
+the driver's own correctness scale) via testing.compare_query, the
+SAME normalization/compare discipline the pytest gate and the driver
+use (hand-rolled str() compares false-alarm on datetime/decimal
+dtypes; been there).
+
+Output: one JSON line {"sf_dir", "passed": N, "failed": {key: why},
+"rows_only": [key...]} plus a FAIL line per failure on stderr.
+
+Usage: python scripts/oracle_mirror.py [sf_dir] [key_prefix]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from cdc_debezium_spark import registry  # noqa: E402
+from cdc_debezium_spark.session import get_spark  # noqa: E402
+from cdc_debezium_spark.testing import compare_query  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    prefix = sys.argv[2] if len(sys.argv) > 2 else ""
+    spark = get_spark(app_name="oracle-mirror")
+    registry.load_all()
+
+    passed, failed, rows_only = 0, {}, []
+    for key in sorted(registry.QUERIES):
+        if not key.startswith(prefix):
+            continue
+        try:
+            if key not in registry.ORACLES:
+                n = registry.QUERIES[key](spark, sf_dir).count()
+                assert n >= 0
+                rows_only.append(key)
+                continue
+            compare_query(spark, key, sf_dir)
+            passed += 1
+        except Exception as ex:  # noqa: BLE001
+            failed[key] = f"{type(ex).__name__}: {str(ex)[:160]}"
+            print(f"FAIL {key}: {failed[key]}", file=sys.stderr, flush=True)
+
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "passed": passed,
+                "failed": failed,
+                "rows_only": rows_only,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

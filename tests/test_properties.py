@@ -439,3 +439,126 @@ def test_p11_asof_forward_matches_bruteforce(spark, rows):
         )
         want = (cands[0][0], cands[0][2]) if cands else (None, None)
         assert got[(pk, o)] == want, (pk, o, got[(pk, o)], want)
+
+
+# --- P8: the 61-bit shingle/minhash hash family (round 8) -------------------
+#
+# The r8 widening moved shingles to mod 2^61-1 arithmetic built ONLY
+# from linear forms whose intermediates stay < 2^63 — DuckDB raises on
+# BIGINT overflow and Spark wraps silently, so the overflow-free
+# construction IS the cross-engine equality guarantee. This pins it:
+# a pure-Python big-int reference (no overflow possible) must agree
+# with the Spark HOF fold, the window-lead fold, and DuckDB, on
+# arbitrary token streams.
+
+
+def _py_word_hash(tok: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+
+def _py_shingle_hashes(tokens: list[str], n: int = 3) -> set[int]:
+    from cdc_debezium_spark.ext.hashing import INIT, M61, SHINGLE_COEF
+
+    hw = [_py_word_hash(t) for t in tokens]
+    out = set()
+    for i in range(len(hw) - n + 1):
+        acc = INIT
+        for k in range(n):
+            step = acc + SHINGLE_COEF[k] * hw[i + k]
+            assert step < (1 << 63), "intermediate overflows int64"
+            acc = step % M61
+        out.add(acc)
+    return out
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abcdef ghij", min_size=0, max_size=8),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=6,
+    ),
+    n=st.integers(min_value=2, max_value=5),
+)
+def test_p8_shingle_hash_three_ways(spark, docs, n):
+    """Spark HOF fold == window-lead fold == DuckDB == big-int Python
+    on arbitrary token lists, for any shingle width 2..5."""
+    import duckdb
+
+    from cdc_debezium_spark.ext import dedup
+    from cdc_debezium_spark.ext.hashing import duck_word_hash, duck_shingle_hashes, shingle_hashes
+
+    # tokens as the engine sees them: split on single spaces
+    texts = [" ".join(t.replace(" ", "_") or "x" for t in d) for d in docs]
+    sdf = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    # HOF fold over split tokens
+    hof = {
+        r["doc_id"]: set(r["s"])
+        for r in sdf.select(
+            "doc_id", shingle_hashes(F.split("text", " "), n).alias("s")
+        ).collect()
+    }
+    # window-lead fold (the row-shaped pipeline the dedup lanes use)
+    rows = dedup._shingle_hash_rows(sdf, n=n).collect()
+    lead = {}
+    for r in rows:
+        lead.setdefault(r["doc_id"], set()).add(r["shash"])
+    # DuckDB mirror
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    duck = {
+        did: set(s)
+        for did, s in con.execute(
+            f"""
+            SELECT doc_id, {duck_shingle_hashes('w', n)} FROM (
+              SELECT doc_id, w,
+                     list_transform(w, t -> {duck_word_hash('t')}) AS hwl
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM t)
+            )"""
+        ).fetchall()
+    }
+    for did, text in enumerate(texts):
+        ref = _py_shingle_hashes(text.split(" "), n)
+        assert hof.get(did, set()) == ref, f"HOF fold diverges doc {did}"
+        assert lead.get(did, set()) == ref, f"lead fold diverges doc {did}"
+        assert duck.get(did, set()) == ref, f"DuckDB diverges doc {did}"
+        for h in ref:
+            assert 0 <= h < (1 << 61)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(h=st.integers(min_value=0, max_value=(1 << 61) - 2),
+       j=st.integers(min_value=0, max_value=7))
+def test_p8_minhash_perm_three_ways(spark, h, j):
+    """The split-linear 61-bit minhash perm: Spark column expression ==
+    DuckDB fragment == big-int Python, with every intermediate < 2^63."""
+    import duckdb
+
+    from cdc_debezium_spark.ext.hashing import (
+        M61, MINHASH_SEEDS61, duck_minhash, minhash_col,
+    )
+
+    a, b, d = MINHASH_SEEDS61[j]
+    lo, hi = h & ((1 << 31) - 1), h >> 31
+    raw = lo * a + hi * b + d
+    assert raw < (1 << 63), "perm intermediate overflows int64"
+    ref = raw % M61
+    got_duck = duckdb.connect().execute(
+        f"SELECT {duck_minhash(str(h), j)}"
+    ).fetchone()[0]
+    assert got_duck == ref
+    got_spark = (
+        spark.range(1)
+        .select(minhash_col(F.lit(h).cast("long"), j).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert got_spark == ref
