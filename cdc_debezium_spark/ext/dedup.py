@@ -40,6 +40,7 @@ from .hashing import (
     minhash_col,
     round4,
     word_hash,
+    word_hash48,
 )
 from .text import shingles_col, tokens_col
 
@@ -259,7 +260,7 @@ def _shingle_hash_rows(
     """
     words = docs.select(
         "doc_id", F.posexplode(tokens_col()).alias("pos", "t")
-    ).select("doc_id", "pos", word_hash(F.col("t")).alias("h0"))
+    ).select("doc_id", "pos", word_hash48(F.col("t")).alias("h0"))
     win = Window.partitionBy("doc_id").orderBy("pos")
     acc = F.lit(INIT).cast("long")
     for k in range(n):
@@ -297,7 +298,7 @@ def duplicated_spans(docs: DataFrame, n: int = 8) -> DataFrame:
     """
     words = docs.select(
         "doc_id", F.posexplode(tokens_col()).alias("pos", "t")
-    ).select("doc_id", "pos", word_hash(F.col("t")).alias("h0"))
+    ).select("doc_id", "pos", word_hash48(F.col("t")).alias("h0"))
     win = Window.partitionBy("doc_id").orderBy("pos")
     acc = F.lit(INIT).cast("long")
     for k in range(n):

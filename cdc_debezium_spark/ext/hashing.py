@@ -35,12 +35,15 @@ INIT = 7
 M61 = (1 << 61) - 1  # 2^61 - 1 (Mersenne prime): the shingle-hash space
 _L31 = 1 << 31  # lo/hi split for overflow-free linear forms mod M61
 
-# Per-position shingle coefficients: odd 29-bit multipliers, so
-# coef * word_hash < 2^61 and each fold step acc + coef*h (acc < M61)
-# stays < 2^62 for ANY shingle width n — never overflows int64.
+# Per-position shingle coefficients: DISTINCT odd 13-bit multipliers,
+# so coef * word_hash48 < 2^13 * 2^48 = 2^61 and each fold step
+# acc + coef*h (acc < M61) stays < 2^62 for ANY shingle width n —
+# never overflows int64. Distinctness matters: equal coefficients at
+# two positions would make the fold symmetric in them (ABC == CBA).
 SHINGLE_COEF: list[int] = [
-    ((0x9E3779B1 * (k + 1)) % (1 << 29)) | 1 for k in range(16)
+    ((0x9E3779B1 * (k + 1)) % (1 << 13)) | 1 for k in range(16)
 ]
+assert len(set(SHINGLE_COEF)) == len(SHINGLE_COEF)
 
 # Affine seed pairs (a_j odd, b_j arbitrary) over 31-bit inputs:
 # kept for the count-min / bloom lanes whose keys are < 2^31.
@@ -95,6 +98,29 @@ def duck_word_hash(expr: str) -> str:
     )
 
 
+def word_hash48(col: Column | str) -> Column:
+    """48-bit token hash for the SHINGLE path (first 12 hex md5 chars).
+
+    The 32-bit word_hash is fine for buckets and bit sampling, but a
+    100 TB vocabulary (IDs, typos, hapaxes) reaches 10^8-10^9 distinct
+    tokens — at 2^32 that is guaranteed mass collision (each token ~0.1
+    expected collision partners), which leaks false equality into the
+    shingle space the r8 widening just cleaned. 2^48 keeps expected
+    colliding word PAIRS in the low thousands at 10^9 vocab, and
+    13-bit SHINGLE_COEF keeps coef*h < 2^61 in the fold.
+    Mirror: duck_word_hash48().
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def duck_word_hash48(expr: str) -> str:
+    return (
+        f"list_reduce(list_transform(string_split(substr(md5({expr}), 1, 12), ''), "
+        "c -> strpos('0123456789abcdef', c) - 1), (a, x) -> a * 16 + x)::BIGINT"
+    )
+
+
 def shingle_hashes(words: Column, n: int = 3) -> Column:
     """Array of distinct 61-bit shingle hashes from a token-array column.
 
@@ -103,9 +129,9 @@ def shingle_hashes(words: Column, n: int = 3) -> Column:
     2^61-1 — O(words + shingles) per document; shingle strings are
     never materialized, and every fold step stays < 2^62 (no int64
     overflow on either engine).
-    Mirror: duck_shingle_hashes() over an `hwl` word-hash list.
+    Mirror: duck_shingle_hashes() over an `hwl` word_hash48 list.
     """
-    hw = F.transform(words, word_hash)
+    hw = F.transform(words, word_hash48)
     length = F.size(words) - (n - 1)
     parts = [F.slice(hw, k + 1, length) for k in range(n)]
     z = F.transform(

@@ -24,6 +24,7 @@ from .ext.hashing import (
     duck_minhash,
     duck_shingle_hashes,
     duck_word_hash,
+    duck_word_hash48,
 )
 from .registry import query
 from .sources.catalog import load_table
@@ -51,7 +52,7 @@ SHINGLE_CTE = (
     TOK_CTE
     + f""",
 hwt_sh AS (
-  SELECT doc_id, w, list_transform(w, t -> {duck_word_hash('t')}) AS hwl
+  SELECT doc_id, w, list_transform(w, t -> {duck_word_hash48('t')}) AS hwl
   FROM tok
 ),
 sh AS (
@@ -167,7 +168,7 @@ def ext_text_langid(spark, sf_dir):
     WITH {TOK_CTE},
     hwt AS (
       SELECT doc_id, text, w,
-             list_transform(w, t -> {duck_word_hash('t')}) AS hwl
+             list_transform(w, t -> {duck_word_hash48('t')}) AS hwl
       FROM tok
     ),
     shh AS (
@@ -255,7 +256,7 @@ SPAN_N = 8
       SELECT doc_id, regexp_split_to_array(text, ' ') AS w FROM documents
     ),
     hw AS (
-      SELECT doc_id, list_transform(w, t -> {duck_word_hash('t')}) AS hwl,
+      SELECT doc_id, list_transform(w, t -> {duck_word_hash48('t')}) AS hwl,
              len(w) AS nw
       FROM tok
     ),
@@ -319,7 +320,7 @@ def _duck_band_cond() -> str:
     WITH {TOK_CTE},
     hwt AS (
       SELECT doc_id, w,
-             list_transform(w, t -> {duck_word_hash('t')}) AS hwl
+             list_transform(w, t -> {duck_word_hash48('t')}) AS hwl
       FROM tok
     ),
     shh AS (
@@ -361,7 +362,7 @@ def ext_dedup_minhash(spark, sf_dir):
     WITH {TOK_CTE},
     hwt AS (
       SELECT doc_id, w,
-             list_transform(w, t -> {duck_word_hash('t')}) AS hwl
+             list_transform(w, t -> {duck_word_hash48('t')}) AS hwl
       FROM tok
     ),
     shh AS (
@@ -399,7 +400,7 @@ def ext_dedup_minhash_incremental(spark, sf_dir):
     WITH {TOK_CTE},
     hwt AS (
       SELECT doc_id, w,
-             list_transform(w, t -> {duck_word_hash('t')}) AS hwl
+             list_transform(w, t -> {duck_word_hash48('t')}) AS hwl
       FROM tok
     ),
     shh AS (
@@ -2992,7 +2993,7 @@ def ext_text_kn_logprob(spark, sf_dir):
     WITH {TOK_CTE},
     hwt AS (
       SELECT doc_id, w,
-             list_transform(w, t -> {duck_word_hash('t')}) AS hwl
+             list_transform(w, t -> {duck_word_hash48('t')}) AS hwl
       FROM tok
     ),
     shh AS (
@@ -3482,7 +3483,7 @@ def ext_dedup_graph_degree(spark, sf_dir):
       SELECT doc_a, doc_b FROM ver WHERE ni / (na + nb - ni) >= 0.5
     ),
     hwt AS (
-      SELECT doc_id, w, list_transform(w, t -> {duck_word_hash('t')}) AS hwl
+      SELECT doc_id, w, list_transform(w, t -> {duck_word_hash48('t')}) AS hwl
       FROM tok
     ),
     shh AS (SELECT doc_id, {duck_shingle_hashes('w')} AS s FROM hwt),
@@ -4462,7 +4463,7 @@ _WINNOW_W = 4  # winnowing window over the shingle-hash sequence
     oracle=f"""
     WITH {TOK_CTE},
     hwt_w AS (
-      SELECT doc_id, w, list_transform(w, t -> {duck_word_hash('t')}) AS hwl
+      SELECT doc_id, w, list_transform(w, t -> {duck_word_hash48('t')}) AS hwl
       FROM tok
     ),
     seq3 AS (  -- ORDERED shingle-hash sequence (positional, dupes kept)
@@ -4512,11 +4513,11 @@ def ext_dedup_winnowing(spark, sf_dir):
     transforms in codegen: corpus-scan shaped, zero shuffles beyond
     the scan.
     """
-    from .ext.hashing import INIT, _shingle_step, word_hash
+    from .ext.hashing import INIT, _shingle_step, word_hash48
 
     docs = load_table(spark, sf_dir, "documents")
     w = F.split("text", " ")
-    hw = F.transform(w, word_hash)
+    hw = F.transform(w, word_hash48)
     length = F.size(w) - 2
     parts = [F.slice(hw, k + 1, F.greatest(length, F.lit(0))) for k in range(3)]
     z = F.transform(

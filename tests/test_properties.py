@@ -455,7 +455,8 @@ def test_p11_asof_forward_matches_bruteforce(spark, rows):
 def _py_word_hash(tok: str) -> int:
     import hashlib
 
-    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+    # 48-bit shingle-path word hash (hashing.word_hash48)
+    return int(hashlib.md5(tok.encode()).hexdigest()[:12], 16)
 
 
 def _py_shingle_hashes(tokens: list[str], n: int = 3) -> set[int]:
@@ -491,7 +492,11 @@ def test_p8_shingle_hash_three_ways(spark, docs, n):
     import duckdb
 
     from cdc_debezium_spark.ext import dedup
-    from cdc_debezium_spark.ext.hashing import duck_word_hash, duck_shingle_hashes, shingle_hashes
+    from cdc_debezium_spark.ext.hashing import (
+        duck_shingle_hashes,
+        duck_word_hash48,
+        shingle_hashes,
+    )
 
     # tokens as the engine sees them: split on single spaces
     texts = [" ".join(t.replace(" ", "_") or "x" for t in d) for d in docs]
@@ -520,7 +525,7 @@ def test_p8_shingle_hash_three_ways(spark, docs, n):
             f"""
             SELECT doc_id, {duck_shingle_hashes('w', n)} FROM (
               SELECT doc_id, w,
-                     list_transform(w, t -> {duck_word_hash('t')}) AS hwl
+                     list_transform(w, t -> {duck_word_hash48('t')}) AS hwl
               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM t)
             )"""
         ).fetchall()
