@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 
 from .hashing import (
     INIT,
+    _check_shingle_width,
     M61,
     MINHASH_SEEDS61,
     N_BANDS,
@@ -261,6 +262,7 @@ def _shingle_hash_rows(
     words = docs.select(
         "doc_id", F.posexplode(tokens_col()).alias("pos", "t")
     ).select("doc_id", "pos", word_hash48(F.col("t")).alias("h0"))
+    _check_shingle_width(n)
     win = Window.partitionBy("doc_id").orderBy("pos")
     acc = F.lit(INIT).cast("long")
     for k in range(n):
@@ -299,6 +301,7 @@ def duplicated_spans(docs: DataFrame, n: int = 8) -> DataFrame:
     words = docs.select(
         "doc_id", F.posexplode(tokens_col()).alias("pos", "t")
     ).select("doc_id", "pos", word_hash48(F.col("t")).alias("h0"))
+    _check_shingle_width(n)
     win = Window.partitionBy("doc_id").orderBy("pos")
     acc = F.lit(INIT).cast("long")
     for k in range(n):
@@ -458,8 +461,12 @@ def incremental_minhash_candidates(
     candidates (each pair fires exactly once, when its later document
     arrives) — driver-verified by ext_dedup_minhash_incremental's
     oracle and pinned by a pytest. In production the index rows live
-    in a bucketed table keyed (band, k) (one shuffle-free probe per
-    batch); here foreachBatch + localCheckpoint stands in.
+    in a bucketed table keyed (band, k0, k1) (one shuffle-free probe
+    per batch); here foreachBatch + localCheckpoint stands in. NOTE
+    (r8): the band key split from one packed long `k` into the
+    (k0, k1) pair when signatures widened to 61 bits — an index
+    persisted under the old schema must be rebuilt from its corpus,
+    not unioned with new rows.
     """
     new_rows = minhash_band_rows(minhash_signatures(new_docs, n))
     all_rows = new_rows if index is None else index.unionByName(new_rows)

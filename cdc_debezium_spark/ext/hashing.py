@@ -40,10 +40,20 @@ _L31 = 1 << 31  # lo/hi split for overflow-free linear forms mod M61
 # acc + coef*h (acc < M61) stays < 2^62 for ANY shingle width n —
 # never overflows int64. Distinctness matters: equal coefficients at
 # two positions would make the fold symmetric in them (ABC == CBA).
+# Width cap: 64 positions — every fold entry point raises a clear
+# ValueError past it (_check_shingle_width) instead of an IndexError.
 SHINGLE_COEF: list[int] = [
-    ((0x9E3779B1 * (k + 1)) % (1 << 13)) | 1 for k in range(16)
+    ((0x9E3779B1 * (k + 1)) % (1 << 13)) | 1 for k in range(64)
 ]
 assert len(set(SHINGLE_COEF)) == len(SHINGLE_COEF)
+
+
+def _check_shingle_width(n: int) -> None:
+    if not 1 <= n <= len(SHINGLE_COEF):
+        raise ValueError(
+            f"shingle width n={n} outside 1..{len(SHINGLE_COEF)} "
+            "(the per-position coefficient family SHINGLE_COEF)"
+        )
 
 # Affine seed pairs (a_j odd, b_j arbitrary) over 31-bit inputs:
 # kept for the count-min / bloom lanes whose keys are < 2^31.
@@ -131,6 +141,7 @@ def shingle_hashes(words: Column, n: int = 3) -> Column:
     overflow on either engine).
     Mirror: duck_shingle_hashes() over an `hwl` word_hash48 list.
     """
+    _check_shingle_width(n)
     hw = F.transform(words, word_hash48)
     length = F.size(words) - (n - 1)
     parts = [F.slice(hw, k + 1, length) for k in range(n)]
@@ -154,6 +165,7 @@ def _shingle_step(coef: int):
 
 def duck_shingle_hashes(words_expr: str, n: int = 3) -> str:
     """DuckDB fragment: distinct shingle hashes of a token-list expr."""
+    _check_shingle_width(n)
     acc = f"{INIT}::BIGINT"
     for k in range(n):
         acc = f"(({acc}) + {SHINGLE_COEF[k]} * hwl[i + {k}]) % {M61}"

@@ -81,12 +81,24 @@ _PAIR_CACHE: dict = {}
 
 def _survivor_pairs(spark, sf_dir: str, threshold: float = 0.5):
     """(doc_a, doc_b, jaccard) survivor near-dup pairs, materialized
-    once per (session, fixture, threshold) and shared."""
-    key = (spark.sparkContext.applicationId, sf_dir, threshold)
+    once per (session, fixture, threshold) and shared.
+
+    persist + eager count, NOT localCheckpoint: persist keeps the
+    lineage, so on a real cluster a lost executor's blocks recompute
+    transparently — a localCheckpoint here would truncate lineage and
+    turn one executor loss into 'checkpoint block not found' for every
+    later graph lane in the session. Entries keyed by dead
+    applicationIds are evicted so a long-lived multi-session process
+    doesn't accumulate unreachable frames."""
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _PAIR_CACHE if k[0] != app_id]:
+        del _PAIR_CACHE[k]
+    key = (app_id, sf_dir, threshold)
     df = _PAIR_CACHE.get(key)
     if df is None:
         docs = load_table(spark, sf_dir, "documents")
-        df = dedup.ngram_jaccard_pairs(docs, threshold).localCheckpoint()
+        df = dedup.ngram_jaccard_pairs(docs, threshold).persist()
+        df.count()  # materialize once, before fan-out to six lanes
         _PAIR_CACHE[key] = df
     return df
 
@@ -3749,12 +3761,15 @@ def ext_similarity_rp_lsh_recall(spark, sf_dir):
     truth = dedup.embedding_near_dupes(emb, 0.4, max_rows=None).select(
         "vec_a", "vec_b", F.lit(1).alias("is_true")
     ).persist()
-    out = _rp_recall_sweep(emb, truth)
-    # the report is a handful of rows: materialize it (localCheckpoint)
-    # so the truth cache can be released instead of leaking into
-    # executor storage on every sweep invocation (r7 advice)
-    out = out.localCheckpoint()
-    truth.unpersist()
+    try:
+        out = _rp_recall_sweep(emb, truth)
+        # the report is a handful of rows: materialize it
+        # (localCheckpoint) so the truth cache can be released instead
+        # of leaking into executor storage per sweep invocation (r7
+        # advice) — and release it on the exception path too
+        out = out.localCheckpoint()
+    finally:
+        truth.unpersist()
     return out
 
 

@@ -822,7 +822,11 @@ def udf_stateful_processor_roundtrip(spark, sf_dir):
         for pdf in pdfs:
             n += len(pdf)
             mx = max(mx, float(pdf["value"].max()))
-            top = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
+            # O(k) argmax of (ts_us, event_id) — a full chunk sort to
+            # read one row would be O(k log k) + a copy per chunk per
+            # key on the hot path
+            at_max = pdf[pdf["ts_us"] == pdf["ts_us"].max()]
+            top = at_max.loc[at_max["event_id"].idxmax()]
             if (int(top["ts_us"]), int(top["event_id"])) > (lts, leid):
                 lts, leid = int(top["ts_us"]), int(top["event_id"])
                 last = float(top["value"])

@@ -69,15 +69,18 @@ def test_concurrent_appends_both_rebase(spark, tmp_path):
     results, errors = {}, {}
 
     def worker(name, pk):
-        t = TxTable(spark, path)
-        df = spark.createDataFrame([(pk, name)], "pk long, v string")
-        staged = t._stage(df)  # stage before the barrier: both threads
-        barrier.wait()         # then race latest_version + _try_commit
-        while True:
-            v = t.latest_version() + 1
-            if t._try_commit(v, staged, []):
-                results[name] = v
-                return
+        try:
+            t = TxTable(spark, path)
+            df = spark.createDataFrame([(pk, name)], "pk long, v string")
+            staged = t._stage(df)  # stage before the barrier: both
+            barrier.wait()         # then race latest_version+_try_commit
+            while True:
+                v = t.latest_version() + 1
+                if t._try_commit(v, staged, []):
+                    results[name] = v
+                    return
+        except Exception as ex:  # noqa: BLE001 - surfaced by assert
+            errors[name] = f"{type(ex).__name__}: {ex}"
 
     threads = [
         threading.Thread(target=lambda: worker("a", 1)),
@@ -88,7 +91,7 @@ def test_concurrent_appends_both_rebase(spark, tmp_path):
     for th in threads:
         th.join(WAIT)
         assert not th.is_alive(), "append worker deadlocked"
-    assert not errors
+    assert not errors, errors
     assert sorted(results.values()) == [1, 2]  # both committed, no gap
     t = TxTable(spark, path)
     assert _rows(t) == {(0, "base"), (1, "a"), (2, "b")}
@@ -107,17 +110,21 @@ def test_upsert_conflicts_when_append_interleaves(spark, tmp_path):
     )
     read_done, resume = threading.Event(), threading.Event()
     gated = GatedTable(spark, path, read_done=read_done, resume=resume)
-    outcome = {}
+    outcome, errors = {}, {}
 
     def upserter():
         src = spark.createDataFrame([(1, "new", "u", 10, 0)], cdc)
         try:
-            gated.upsert(src, keys=("pk",), order=("ts_us", "ord2"))
-            outcome["first"] = "committed"
-        except CommitConflict:
-            outcome["first"] = "conflict"
-            gated.upsert(src, keys=("pk",), order=("ts_us", "ord2"))
-            outcome["retry"] = "committed"
+            try:
+                gated.upsert(src, keys=("pk",), order=("ts_us", "ord2"))
+                outcome["first"] = "committed"
+            except CommitConflict:
+                outcome["first"] = "conflict"
+                gated.upsert(src, keys=("pk",), order=("ts_us", "ord2"))
+                outcome["retry"] = "committed"
+        except Exception as ex:  # noqa: BLE001 - surfaced by assert
+            errors["upserter"] = f"{type(ex).__name__}: {ex}"
+            resume.set()  # never leave the main thread blocked
 
     th = threading.Thread(target=upserter)
     th.start()
@@ -129,6 +136,7 @@ def test_upsert_conflicts_when_append_interleaves(spark, tmp_path):
     resume.set()
     th.join(WAIT)
     assert not th.is_alive(), "upsert worker deadlocked"
+    assert not errors, errors
     # the contract: stale read MUST conflict (never silently clobber
     # the interleaved append), and the retry folds both in
     assert outcome == {"first": "conflict", "retry": "committed"}
@@ -147,7 +155,7 @@ def test_concurrent_upserts_one_wins_one_conflicts(spark, tmp_path):
         )
     )
     barrier = threading.Barrier(2, timeout=WAIT)
-    outcome = {}
+    outcome, errors = {}, {}
 
     class BarrierTable(TxTable):
         def latest_version(self):
@@ -164,11 +172,16 @@ def test_concurrent_upserts_one_wins_one_conflicts(spark, tmp_path):
             "pk long, v string, op string, ts_us long, ord2 long",
         )
         try:
-            t.upsert(src, keys=("pk",), order=("ts_us", "ord2"))
-            outcome[name] = "committed"
-        except CommitConflict:
-            outcome[name] = "conflict"
-            TxTable(spark, path).upsert(src, keys=("pk",), order=("ts_us", "ord2"))
+            try:
+                t.upsert(src, keys=("pk",), order=("ts_us", "ord2"))
+                outcome[name] = "committed"
+            except CommitConflict:
+                outcome[name] = "conflict"
+                TxTable(spark, path).upsert(
+                    src, keys=("pk",), order=("ts_us", "ord2")
+                )
+        except Exception as ex:  # noqa: BLE001 - surfaced by assert
+            errors[name] = f"{type(ex).__name__}: {ex}"
 
     threads = [
         threading.Thread(target=worker, args=("a", 2)),
@@ -179,6 +192,7 @@ def test_concurrent_upserts_one_wins_one_conflicts(spark, tmp_path):
     for th in threads:
         th.join(WAIT)
         assert not th.is_alive(), "upsert worker deadlocked"
+    assert not errors, errors
     assert sorted(outcome.values()) == ["committed", "conflict"]
     assert _rows(TxTable(spark, path)) == {
         (1, "seed"), (2, "a"), (3, "b"),
