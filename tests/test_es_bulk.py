@@ -136,3 +136,26 @@ def test_es_sink_stream_parity_any_order(spark, sf_dir, tmp_path):
         assert got == want
     finally:
         srv.close()
+
+
+def test_hostile_string_ids_roundtrip(spark):
+    """Keys containing quotes, backslashes, control chars, and unicode
+    must survive the vectorized bulk-metadata path (the fast concat
+    skips json escaping for safe ids and escapes only regex-flagged
+    rows — this pins both branches in one batch, against the real
+    server's json.loads)."""
+    hostile = [
+        'plain',
+        'has"quote',
+        "back\\slash",
+        "tab\there",
+        "new\nline",
+        'both"\\and\x01ctl',
+        "uni-\u00e9\u4e2d",
+    ]
+    rows = [(k, i + 1, "u", float(i)) for i, k in enumerate(hostile)]
+    df = spark.createDataFrame(rows, "pk string, ver long, op string, val double")
+    with EsBulkServer() as srv:
+        EsBulkSink(srv.url, "hostile", key_col="pk", version_col="ver")(df)
+        got = {h["_id"]: h["_source"]["val"] for h in search_all(srv.url, "hostile")}
+    assert got == {k: float(i) for i, k in enumerate(hostile)}
