@@ -567,3 +567,21 @@ def test_p8_minhash_perm_three_ways(spark, h, j):
         .collect()[0]["m"]
     )
     assert got_spark == ref
+
+
+def test_p8_shingle_width_guard(spark):
+    """Widths outside the coefficient family raise a clear ValueError
+    at plan-build time (not IndexError mid-expression-build)."""
+    import pytest
+
+    from cdc_debezium_spark.ext.hashing import (
+        SHINGLE_COEF, duck_shingle_hashes, shingle_hashes,
+    )
+
+    top = len(SHINGLE_COEF)
+    assert duck_shingle_hashes("w", top)  # the cap itself is valid
+    for bad in (0, top + 1):
+        with pytest.raises(ValueError, match="shingle width"):
+            shingle_hashes(F.array(F.lit("a")), bad)
+        with pytest.raises(ValueError, match="shingle width"):
+            duck_shingle_hashes("w", bad)
