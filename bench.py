@@ -17,6 +17,11 @@ MEDIAN OF 3 steady passes (after one untimed-ly separate cold pass,
 kept as `queries_cold`), and the 1-minute load average is recorded at
 start and end — BENCH_r06 carried a 4.7x phantom regression on an
 untouched code path because a single pass ran under load.
+
+Suite split (judge r8 item 2): HEADLINE is production lanes only;
+dual-pipeline recall/truth lanes live in DIAGNOSTICS, timed with the
+same protocol but emitted as a separate `diagnostics` section of
+bench_detail.json and excluded from headline_suite_wall.
 """
 
 from __future__ import annotations
@@ -66,16 +71,74 @@ HEADLINE = [
     "ext_text_kn_logprob",   # §2.G Kneser-Ney smoothed LM scoring (r5)
     "ext_eval_overlap_report",  # §2.G train/eval n-gram overlap (r5)
     "ext_similarity_rp_lsh",  # §2.G sign-random-projection LSH ANN (r6)
-    "ext_dedup_minhash_recall",  # §2.G LSH recall vs exact truth (r6)
-    "ext_similarity_ivf_recall",  # §2.G IVF recall vs exact truth (r7)
     "tpch_q5",               # flagship 6-table snowflake join
     "tpch_q6",               # flagship scan-filter-agg (I/O-bound shape)
     "tpch_q18",              # flagship HAVING semi-join
 ]
 
+# Diagnostics suite (r8 verdict item 2): dual-pipeline truth/recall
+# lanes run a detector AND an exact-truth leg AND the recall join —
+# by design ~5x the production lane they grade, so keeping them in
+# the headline buries real regressions in their noise. They are timed
+# separately and emitted as a distinct section of bench_detail.json;
+# they never count toward headline_suite_wall. Skip entirely with
+# SPARK_GRAFT_DIAGNOSTICS=0 for fast iteration.
+DIAGNOSTICS = [
+    "ext_dedup_minhash_recall",   # LSH recall vs exact ngram truth (r6)
+    "ext_similarity_ivf_recall",  # IVF recall vs exact brute truth (r7)
+    "ext_similarity_rp_lsh_recall",  # RP-LSH recall vs exact truth (r6)
+]
+
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _run_suite(spark, sf_dir: str, keys: list[str], tag: str):
+    """cold pass + median-of-3 steady passes per key.
+
+    Returns (timings, cold, spread, paid_pair_cache). A key is marked
+    in paid_pair_cache when one of its passes materialized the shared
+    survivor-pair cache (queries_ext.PAIR_CACHE_EVENTS grew) — those
+    medians include the shared pipeline cost and are not comparable
+    with runs where another lane already paid it (r8 ADVICE)."""
+    from cdc_debezium_spark import queries_ext
+
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    paid: list[str] = []
+    for key in keys:
+        fn = registry.QUERIES.get(key)
+        if fn is None:
+            continue
+        # One cold run per query (JIT/codegen compile), then THREE
+        # timed steady-state runs with caches cleared between; the
+        # recorded number is the median, so one co-scheduled burst of
+        # machine load can't fabricate a per-query regression.
+        events_before = len(queries_ext.PAIR_CACHE_EVENTS)
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        cold[key] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        passes = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            passes.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        if len(queries_ext.PAIR_CACHE_EVENTS) > events_before:
+            paid.append(key)
+        passes.sort()
+        dt = round(passes[1], 3)
+        timings[key] = dt
+        spread[key] = round(passes[2] - passes[0], 3)
+        print(
+            f"# [{tag}] {key}: {dt:.3f}s median (min {passes[0]:.3f} "
+            f"max {passes[2]:.3f} cold {cold[key]:.3f})",
+            file=sys.stderr,
+        )
+    return timings, cold, spread, paid
 
 
 def main() -> None:
@@ -88,38 +151,19 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     load_start = round(os.getloadavg()[0], 2)
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    spread: dict[str, float] = {}
-    total = 0.0
-    for key in HEADLINE:
-        fn = registry.QUERIES.get(key)
-        if fn is None:
-            continue
-        # One cold run per query (JIT/codegen compile), then THREE
-        # timed steady-state runs with caches cleared between; the
-        # recorded number is the median, so one co-scheduled burst of
-        # machine load can't fabricate a per-query regression.
-        t0 = time.perf_counter()
-        _materialize(fn(spark, sf_dir))
-        cold[key] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
-        passes = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _materialize(fn(spark, sf_dir))
-            passes.append(time.perf_counter() - t0)
-            spark.catalog.clearCache()
-        passes.sort()
-        dt = round(passes[1], 3)
-        timings[key] = dt
-        spread[key] = round(passes[2] - passes[0], 3)
-        total += dt
-        print(
-            f"# {key}: {dt:.3f}s median (min {passes[0]:.3f} max {passes[2]:.3f}"
-            f" cold {cold[key]:.3f})",
-            file=sys.stderr,
-        )
+    timings, cold, spread, paid = _run_suite(spark, sf_dir, HEADLINE, "headline")
+    total = round(sum(timings.values()), 3)
+
+    diag: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_DIAGNOSTICS", "1") != "0":
+        d_t, d_c, d_s, d_p = _run_suite(spark, sf_dir, DIAGNOSTICS, "diag")
+        diag = {
+            "queries": d_t,
+            "queries_cold": d_c,
+            "queries_spread": d_s,
+            "paid_pair_cache": d_p,
+            "wall": round(sum(d_t.values()), 3),
+        }
 
     # Emission contract (r7 verdict item 2): the driver captures only a
     # bounded TAIL of stdout, and BENCH_r07 lost its headline when the
@@ -133,6 +177,8 @@ def main() -> None:
         "queries": timings,
         "queries_cold": cold,
         "queries_spread": spread,
+        "paid_pair_cache": paid,
+        "diagnostics": diag,
         "loadavg_1m": {
             "start": load_start,
             "end": round(os.getloadavg()[0], 2),

@@ -68,15 +68,23 @@ NGRAM_MAX_DF = 1000  # mirror of dedup.ngram_jaccard_pairs(max_df=...)
 # near-dup pair graph, but each used to re-pay the full candidate
 # pipeline — at sf1 ~13 s of every graph lane's cost was the shared
 # pipeline and ~1-10 s the lane's own algebra. The first consumer in a
-# process materializes the survivor pairs once (localCheckpoint:
-# executor-local blocks, process-scoped — unlike an on-disk scratch
-# table it can never go stale across code versions or concurrent
-# sweeps); the rest read the materialized frame. The detector lane
+# process materializes the survivor pairs once (persist + eager
+# count(), lineage retained — see _survivor_pairs for why NOT
+# localCheckpoint); the rest read the materialized frame. The detector lane
 # ext_dedup_ngram does NOT use the cache: its benched subject IS the
 # pipeline, and the recall report keeps its own fresh truth leg by the
 # same honesty rule. Keyed by applicationId so a restarted session
 # never serves another session's checkpoint blocks.
 _PAIR_CACHE: dict = {}
+
+# Bench honesty (r8 ADVICE): sharing the pair pipeline makes per-key
+# timings order-dependent — whichever graph lane runs first in a
+# session absorbs the ~13 s candidate-pipeline cost. Every
+# materialization appends its cache key here so a bench/sweep can
+# diff the length around a timed region and mark which lane paid
+# (bench_detail "paid_pair_cache"), keeping per-key numbers
+# comparable across runs.
+PAIR_CACHE_EVENTS: list = []
 
 
 def _survivor_pairs(spark, sf_dir: str, threshold: float = 0.5):
@@ -100,6 +108,7 @@ def _survivor_pairs(spark, sf_dir: str, threshold: float = 0.5):
         df = dedup.ngram_jaccard_pairs(docs, threshold).persist()
         df.count()  # materialize once, before fan-out to six lanes
         _PAIR_CACHE[key] = df
+        PAIR_CACHE_EVENTS.append(key)
     return df
 
 # Capped two-phase pair pipeline (mirrors dedup.ngram_jaccard_pairs):
@@ -4115,9 +4124,9 @@ def ext_graph_triangles(spark, sf_dir):
     one computation); the triangle join runs on the survivor-sized
     edge list, never the corpus."""
     # the shared materialized survivor list already holds the edges
-    # (localCheckpoint blocks), so the five plan legs (degree union x2,
-    # three triangle-join legs) read materialized data — no per-lane
-    # persist, no re-run of the candidate pipeline
+    # (persist + eager count, lineage retained), so the five plan legs
+    # (degree union x2, three triangle-join legs) read cached blocks —
+    # no per-lane persist, no re-run of the candidate pipeline
     pairs = _survivor_pairs(spark, sf_dir, 0.5).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
@@ -4441,8 +4450,9 @@ def ext_graph_label_propagation(spark, sf_dir):
     from pyspark.sql import Window
 
     # edges read from the shared materialized survivor list — the
-    # rounds re-reference them many times, but the blocks are already
-    # localCheckpointed so no per-lane persist is needed
+    # rounds re-reference them many times, but the frame is already
+    # persisted (eager count, lineage retained) so no per-lane persist
+    # is needed
     pairs = _survivor_pairs(spark, sf_dir, 0.5).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )

@@ -813,7 +813,11 @@ def udf_stateful_processor_roundtrip(spark, sf_dir):
         # row" is not the last event. The state carries the current
         # last event's (ts_us, event_id) and last_val only advances
         # when a chunk's max-order row exceeds that watermark — chunk
-        # arrival order can no longer leak into the answer.
+        # arrival order can no longer leak into the answer. NOTE (r8):
+        # this widened stateStructType from (n, mx, last) to
+        # (n, mx, last, lts, leid) — a checkpoint written under the
+        # old 3-field state schema cannot be resumed; start from a
+        # fresh checkpoint dir (this lane always does: tempfile base).
         (uid,) = key
         if state.exists:
             n, mx, last, lts, leid = state.get

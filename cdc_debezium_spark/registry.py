@@ -36,7 +36,7 @@ def query(key: str, oracle: str | None = None):
 # fails if the layout stops leading with the oldest debt, or if this
 # marker falls >1 round behind the newest committed file (the rebuild
 # ratchet).
-_PRIORITY_BUILT_FROM = 7
+_PRIORITY_BUILT_FROM = 8
 
 # Key-tiering policy (staleness is a policy, not an accident):
 #   hot  — CDC spine, streaming-runtime roundtrips, executed sink
@@ -52,66 +52,20 @@ _PRIORITY_BUILT_FROM = 7
 # _PRIORITY must lead with every never-sampled key, then the stalest
 # cohort, so any count-budgeted driver prefix retires the oldest debt.
 #
-# Round-8 layout (from CORRECTNESS_r01..r07): 31 never-driver-sampled
-# keys (all late-r7 batches) lead — the r7 verdict ask #1 — then the
-# 43-key r3-stale cohort ordered so its verdict-named members and the
-# flagship TPC-H shapes fall inside a 50-key budget (31 + 19). The
-# r4/r5/r6/r7 cohorts follow via load_all()'s tail ordering.
+# Round-9 layout (from CORRECTNESS_r01..r08): new round-9 keys lead
+# (never driver-sampled — the breadth guard requires them in the lead
+# block), then the 24-key r3-stale residue the r8 verdict named
+# ("What's wrong" #1), then the full 50-key r4 cohort ordered so the
+# TPC-H flagships (q1/q7/q8/q9) and sink/SMT spine fall inside a
+# 50-key driver budget (new + 24 + ~25). The r5/r6/r7/r8 cohorts
+# follow via load_all()'s tail ordering. Target after this round:
+# max driver staleness <= r5 across all 274+ keys.
 _PRIORITY = [
-    # --- never driver-sampled (31): must ALL get a CORRECTNESS_r08 row ---
-    "agg_decimal_exact",
-    "agg_theta_set_ops",
-    "cdc_content_based_router",
-    "cdc_header_enrich",
-    "cdc_log_continuity_audit",
-    "cdc_logical_table_router",
-    "cdc_multi_table_pipeline",
-    "cdc_partition_routing",
-    "cdc_timezone_convert",
-    "cdc_wire_size_audit",
-    "events_assoc_rules",
-    "events_burst_detection",
-    "events_haar_energy",
-    "events_holt_winters",
-    "events_mad_outliers",
-    "events_markov_stationary",
-    "ext_dedup_winnowing",
-    "ext_dq_expectations",
-    "ext_graph_label_propagation",
-    "ext_graph_triangles",
-    "ext_privacy_k_anon",
-    "ext_quality_nb_classifier",
-    "ext_similarity_knn_hubness",
-    "ext_text_lexical_richness",
-    "ext_text_zipf_fit",
-    "join_as_of_forward",
-    "join_geo_cell",
-    "scan_csv_roundtrip",
-    "scan_jsonl_roundtrip",
-    "scan_orc_roundtrip",
-    "xml_wire_roundtrip",
-    # --- r3-stale cohort (43): last driver row in CORRECTNESS_r03 ---
-    "agg_grouping_sets",
-    "udaf_grouped_agg",
-    "cdc_agg_view",
-    "tpch_q5",
-    "tpch_q21",
-    "tpch_q3",
-    "tpch_q18",
-    "tpch_q10",
-    "tpch_q6",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q22",
+    # --- never driver-sampled (new in round 9) ---
+    "avro_schema_evolution_roundtrip",
+    # --- r3-stale residue (24): last driver row in CORRECTNESS_r03 ---
     "tpch_q4",
+    "tpch_q22",
     "agg_approx_quantile",
     "agg_approx_topk",
     "agg_theta_sketch_distinct",
@@ -134,6 +88,59 @@ _PRIORITY = [
     "ext_text_bpe_pairs",
     "ext_text_chunk_dedup",
     "ext_text_dedup_report",
+    # --- r4 cohort (50): flagships first so they make the budget cut ---
+    "tpch_q1",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "avro_roundtrip",
+    "cdc_outbox_router",
+    "cdc_incremental_snapshot",
+    "cdc_mask_columns",
+    "cdc_order_audit",
+    "cdc_transaction_metadata",
+    "cdc_dlq_split",
+    "join_skew_salted",
+    "join_shuffle_hash",
+    "agg_percentiles_exact",
+    "agg_argminmax",
+    "agg_histogram",
+    "agg_weighted",
+    "window_ntile",
+    "scalar_bitwise",
+    "layout_zorder",
+    "ext_dedup_exact_normalized",
+    "ext_dedup_embedding_ann",
+    "ext_similarity_ivf_prod",
+    "ext_pack_sequences_sharded",
+    "ext_retrieval_bm25",
+    # --- r4 cohort continues (outside a 50-key budget, retired if the
+    #     driver samples deeper; otherwise they lead round 10) ---
+    "events_distribution_drift",
+    "events_metric_correlation",
+    "events_series_sax",
+    "events_series_similarity",
+    "events_transition_matrix",
+    "events_user_lifetime",
+    "ext_dedup_cluster_sizes",
+    "ext_dedup_levenshtein",
+    "ext_mixture_token_budget",
+    "ext_multimodal_audio_stats",
+    "ext_multimodal_features",
+    "ext_multimodal_real_header",
+    "ext_multimodal_resize",
+    "ext_multimodal_scan",
+    "ext_multimodal_video_frames",
+    "ext_pack_length_buckets",
+    "ext_pack_sequences",
+    "ext_quality_classifier",
+    "ext_retrieval_fusion",
+    "ext_sample_topk_hash",
+    "ext_source_quality_prior",
+    "ext_text_bigram_logprob",
+    "ext_text_collocations",
+    "ext_text_oov_rate",
+    "ext_text_unigram_logprob",
 ]
 
 

@@ -7,7 +7,11 @@ use (hand-rolled str() compares false-alarm on datetime/decimal
 dtypes; been there).
 
 Output: one JSON line {"sf_dir", "passed": N, "failed": {key: why},
-"rows_only": [key...]} plus a FAIL line per failure on stderr.
+"rows_only_executed": [key...]} plus a FAIL line per failure on stderr.
+Keys without a registered oracle are EXECUTE-ONLY smoke checks (the
+query ran and produced a frame) — they are NOT correctness-verified
+here and are reported under a separate field so the grouping can't be
+read as oracle-green.
 
 Usage: python scripts/oracle_mirror.py [sf_dir] [key_prefix]
 """
@@ -39,8 +43,9 @@ def main() -> None:
             continue
         try:
             if key not in registry.ORACLES:
-                n = registry.QUERIES[key](spark, sf_dir).count()
-                assert n >= 0
+                # execute-only: proves the plan runs end-to-end, NOT
+                # that the values are right (no oracle to compare to)
+                registry.QUERIES[key](spark, sf_dir).count()
                 rows_only.append(key)
                 continue
             compare_query(spark, key, sf_dir)
@@ -55,7 +60,7 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "passed": passed,
                 "failed": failed,
-                "rows_only": rows_only,
+                "rows_only_executed": rows_only,
             }
         )
     )

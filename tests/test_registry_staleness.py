@@ -104,6 +104,26 @@ def test_priority_budget_goes_to_stalest(loaded):
     )
 
 
+def test_driver_sample_breadth(loaded):
+    # r8 verdict ask #8: the committed CORRECTNESS_r0*.json union must
+    # cover every registry key — a key with no driver row ever is only
+    # tolerable while it leads _PRIORITY (i.e. it is queued to be
+    # sampled next round). This locks the r8 state (274/274 covered)
+    # so a future key addition can't silently join a never-sampled
+    # class that nothing retires.
+    union: set[str] = set()
+    for keys in loaded.values():
+        union |= keys
+    uncovered = [k for k in registry.QUERIES if k not in union]
+    prio = [k for k in registry.QUERIES if k in registry._PRIORITY]
+    lead = set(prio[: len(uncovered)])
+    strays = [k for k in uncovered if k not in lead]
+    assert not strays, (
+        "registry keys with no driver CORRECTNESS row that do not lead "
+        f"_PRIORITY: {sorted(strays)} — add them to the lead block"
+    )
+
+
 def test_registry_orders_priority_first(loaded):
     keys = list(registry.QUERIES)
     prio = [k for k in registry._PRIORITY if k in registry.QUERIES]
