@@ -108,6 +108,37 @@ def test_registry_backed_wire_decode_end_to_end(spark, registry):
     assert got == {1: ("a", None, sid1), 2: ("b", 1.5, sid2)}
 
 
+def test_evolution_gate_rejects_required_add(registry):
+    """Negative path of avro_schema_evolution_roundtrip's producer
+    gate: a DDL-derived v2 whose new column is encoded as REQUIRED
+    (no null union) must fail the BACKWARD check — old records carry
+    no value for it, so a v2 reader cannot decode v1 data. The lane
+    itself always derives ALTER-added columns as optional; this pins
+    the gate that would catch a future mapping regression."""
+    c = SchemaRegistryClient(registry.url)
+    c.register("events-value", V1)
+    bad_v2 = V1 + [("region", "string")]  # required: no default branch
+    good_v2 = V1 + [("region", ["null", "string"])]
+    assert c.is_compatible("events-value", bad_v2) is False
+    assert c.is_compatible("events-value", good_v2) is True
+
+
+def test_ddl_folds_into_optional_avro_field():
+    """The composition seam the evolution lane relies on: apply_ddl
+    adds the column to the consumer StructType, and the lane maps any
+    beyond-v1 column to a nullable Avro union."""
+    from pyspark.sql.types import StringType, StructType
+
+    from cdc_debezium_spark.sources.debezium import apply_ddl
+
+    base = StructType.fromDDL("id long, name string")
+    evolved = apply_ddl(
+        base, "ALTER TABLE public.orders ADD COLUMN region varchar(8)"
+    )
+    added = [f for f in evolved.fields if f.name == "region"]
+    assert len(added) == 1 and isinstance(added[0].dataType, StringType)
+
+
 def test_client_caches_immutable_ids(registry):
     c1 = SchemaRegistryClient(registry.url)
     sid = c1.register("t-value", V1)
