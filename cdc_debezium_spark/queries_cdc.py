@@ -2098,17 +2098,13 @@ def cdc_stream_latest_state_roundtrip(spark, sf_dir):
     import shutil
     import tempfile
 
-    from .streaming.replay import read_event_stream, write_event_chunks
+    from .streaming.replay import event_chunks_cached, read_event_stream
     from .streaming.state import ParquetUpsertSink, run_upsert_stream
 
     base = tempfile.mkdtemp(prefix="cdc_stream_gate_")
-    chunks, state, cp = (
-        f"{base}/chunks",
-        f"{base}/state",
-        f"{base}/cp",
-    )
+    state, cp = f"{base}/state", f"{base}/cp"
     try:
-        write_event_chunks(spark, sf_dir, chunks, n_chunks=4, repeat=2)
+        chunks = event_chunks_cached(spark, sf_dir, n_chunks=4, repeat=2)
         stream = cdc.to_cdc(read_event_stream(spark, chunks))
         sink = ParquetUpsertSink(state, keys=["pk"], order=["ts_us", "ord2"])
         q = run_upsert_stream(stream, sink, cp)
@@ -2363,13 +2359,13 @@ def cdc_checkpoint_resume_roundtrip(spark, sf_dir):
     import tempfile
     import time
 
-    from .streaming.replay import read_event_stream, write_event_chunks
+    from .streaming.replay import event_chunks_cached, read_event_stream
     from .streaming.state import ParquetUpsertSink, run_upsert_stream
 
     base = tempfile.mkdtemp(prefix="cdc_resume_gate_")
-    chunks, state, cp = f"{base}/chunks", f"{base}/state", f"{base}/cp"
+    state, cp = f"{base}/state", f"{base}/cp"
     try:
-        write_event_chunks(spark, sf_dir, chunks, n_chunks=4)
+        chunks = event_chunks_cached(spark, sf_dir, n_chunks=4)
         sink = ParquetUpsertSink(state, keys=["pk"], order=["ts_us", "ord2"])
 
         # incarnation 1: process at least one micro-batch, then "crash"
@@ -2429,7 +2425,7 @@ def cdc_scd2_stream_roundtrip(spark, sf_dir):
     import shutil
     import tempfile
 
-    from .streaming.replay import read_event_stream, write_event_chunks
+    from .streaming.replay import event_chunks_cached, read_event_stream
     from .streaming.state import Scd2HistorySink, run_upsert_stream
 
     # history is LOG-sized (every event keeps a row) — never collect
@@ -2439,14 +2435,63 @@ def cdc_scd2_stream_roundtrip(spark, sf_dir):
     shutil.rmtree(state, ignore_errors=True)
     base = tempfile.mkdtemp(prefix="cdc_scd2_gate_")
     try:
-        write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=4, repeat=2)
-        stream = cdc.to_cdc(read_event_stream(spark, f"{base}/chunks"))
+        chunks = event_chunks_cached(spark, sf_dir, n_chunks=4, repeat=2)
+        stream = cdc.to_cdc(read_event_stream(spark, chunks))
         sink = Scd2HistorySink(state, keys=["pk"])
         q = run_upsert_stream(stream, sink, f"{base}/cp")
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError(
                 "cdc_scd2_stream_roundtrip: stream did not drain in 300s"
+            )
+        return sink.read_history(spark).select(
+            "pk", "ord2", "op", "val", "valid_from_us", "valid_to_us"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "cdc_scd2_stream_delta_roundtrip",
+    oracle=CDC_CTE
+    + """
+    SELECT pk, ord2, op, val,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER (PARTITION BY pk ORDER BY ts_us, ord2) AS valid_to_us
+    FROM cdc_events
+    """,
+)
+def cdc_scd2_stream_delta_roundtrip(spark, sf_dir):
+    """B7 on the STREAMING runtime via the merge-on-read sink — the
+    scale path the r8-verdict-#7 profiling mandated. Same chunked
+    at-least-once replay and the SAME oracle as
+    cdc_scd2_stream_roundtrip, but per micro-batch the sink only
+    APPENDS the deduped batch (O(batch), no read of prior state);
+    redelivered rows are absorbed by the read-side (pk, ord2) dedup
+    and intervals derive with ONE lead() window at read. Compaction
+    every 3 batches exercises the delta->base fold mid-stream, so the
+    final read crosses a compacted base AND live deltas. Measured at
+    sf1: stream drain 29.7 s (copy-on-write) -> see SCALE.md §Round-9
+    for the delta figure; per-batch cost is flat in state size, the
+    property that survives 100 TB."""
+    import shutil
+    import tempfile
+
+    from .streaming.replay import event_chunks_cached, read_event_stream
+    from .streaming.state import Scd2DeltaHistorySink, run_upsert_stream
+
+    state = _format_lane_dir("scd2_stream_delta", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="cdc_scd2_delta_gate_")
+    try:
+        chunks = event_chunks_cached(spark, sf_dir, n_chunks=4, repeat=2)
+        stream = cdc.to_cdc(read_event_stream(spark, chunks))
+        sink = Scd2DeltaHistorySink(state, keys=["pk"], compact_every=3)
+        q = run_upsert_stream(stream, sink, f"{base}/cp")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "cdc_scd2_stream_delta_roundtrip: stream did not drain in 300s"
             )
         return sink.read_history(spark).select(
             "pk", "ord2", "op", "val", "valid_from_us", "valid_to_us"

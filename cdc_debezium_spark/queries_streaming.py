@@ -174,12 +174,12 @@ def agg_tumbling_window_stream_roundtrip(spark, sf_dir):
     import tempfile
     import uuid
 
-    from .streaming.replay import read_event_stream, write_event_chunks
+    from .streaming.replay import event_chunks_cached, read_event_stream
 
     base = tempfile.mkdtemp(prefix="stream_wagg_gate_")
     try:
-        write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=4, repeat=2)
-        stream = read_event_stream(spark, f"{base}/chunks")
+        chunks = event_chunks_cached(spark, sf_dir, n_chunks=4, repeat=2)
+        stream = read_event_stream(spark, chunks)
         agg = (
             stream.dropDuplicates(["event_id"])
             .withColumn("ts", F.timestamp_micros("ts_us"))
@@ -265,11 +265,11 @@ def join_stream_static_enrich_roundtrip(spark, sf_dir):
 
     from pyspark.sql import Window
 
-    from .streaming.replay import read_event_stream, write_event_chunks
+    from .streaming.replay import event_chunks_cached, read_event_stream
 
     base = tempfile.mkdtemp(prefix="stream_enrich_gate_")
     try:
-        write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=4)
+        chunks = event_chunks_cached(spark, sf_dir, n_chunks=4)
         ev = load_table(spark, sf_dir, "events")
         w = Window.partitionBy("user_id").orderBy(
             F.desc("ts_us"), F.desc("event_id")
@@ -279,7 +279,7 @@ def join_stream_static_enrich_roundtrip(spark, sf_dir):
             .where(F.col("rn") == 1)
             .select("user_id", F.col("value").alias("profile_val"))
         )
-        stream = read_event_stream(spark, f"{base}/chunks")
+        stream = read_event_stream(spark, chunks)
         enriched = stream.join(F.broadcast(dim), "user_id").select(
             "event_type",
             F.when(F.col("profile_val") >= 50.0, "high")
@@ -352,18 +352,18 @@ def join_stream_stream_roundtrip(spark, sf_dir):
     import shutil
     import tempfile
 
-    from .streaming.replay import read_event_stream, write_event_chunks
+    from .streaming.replay import event_chunks_cached, read_event_stream
 
     base = tempfile.mkdtemp(prefix="stream_ssjoin_gate_")
     try:
-        write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=4)
+        chunks = event_chunks_cached(spark, sf_dir, n_chunks=4)
         clicks = (
-            read_event_stream(spark, f"{base}/chunks")
+            read_event_stream(spark, chunks)
             .where(F.col("event_type") == "click")
             .select(F.col("user_id").alias("c_user"), F.col("ts_us").alias("c_ts"))
         )
         purchases = (
-            read_event_stream(spark, f"{base}/chunks")
+            read_event_stream(spark, chunks)
             .where(F.col("event_type") == "purchase")
             .select(F.col("user_id").alias("p_user"), F.col("ts_us").alias("p_ts"))
         )
@@ -438,12 +438,12 @@ def agg_session_window_stream_roundtrip(spark, sf_dir):
     import tempfile
     import uuid
 
-    from .streaming.replay import read_event_stream, write_event_chunks
+    from .streaming.replay import event_chunks_cached, read_event_stream
 
     base = tempfile.mkdtemp(prefix="stream_sess_gate_")
     try:
-        write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=4)
-        stream = read_event_stream(spark, f"{base}/chunks").withColumn(
+        chunks = event_chunks_cached(spark, sf_dir, n_chunks=4)
+        stream = read_event_stream(spark, chunks).withColumn(
             "ts", F.timestamp_micros("ts_us")
         )
         agg = (
@@ -659,12 +659,12 @@ def agg_sliding_window_stream_roundtrip(spark, sf_dir):
     import tempfile
     import uuid
 
-    from .streaming.replay import read_event_stream, write_event_chunks
+    from .streaming.replay import event_chunks_cached, read_event_stream
 
     base = tempfile.mkdtemp(prefix="stream_slide_gate_")
     try:
-        write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=4)
-        stream = read_event_stream(spark, f"{base}/chunks").withColumn(
+        chunks = event_chunks_cached(spark, sf_dir, n_chunks=4)
+        stream = read_event_stream(spark, chunks).withColumn(
             "ts", F.timestamp_micros("ts_us")
         )
         agg = (
@@ -735,12 +735,12 @@ def events_stream_progress_audit(spark, sf_dir):
     import tempfile
     import uuid
 
-    from .streaming.replay import read_event_stream, write_event_chunks
+    from .streaming.replay import event_chunks_cached, read_event_stream
 
     base = tempfile.mkdtemp(prefix="stream_prog_gate_")
     try:
-        write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=4)
-        stream = read_event_stream(spark, f"{base}/chunks")
+        chunks = event_chunks_cached(spark, sf_dir, n_chunks=4)
+        stream = read_event_stream(spark, chunks)
         name = f"prog_{uuid.uuid4().hex[:12]}"
         q = (
             stream.writeStream.queryName(name)
@@ -805,7 +805,7 @@ def udf_stateful_processor_roundtrip(spark, sf_dir):
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from .streaming.replay import read_event_stream, write_event_chunks
+    from .streaming.replay import event_chunks_cached, read_event_stream
 
     def track(key, pdfs, state: GroupState):
         # One key's micro-batch rows can be split across several Arrow
@@ -841,8 +841,8 @@ def udf_stateful_processor_roundtrip(spark, sf_dir):
 
     base = tempfile.mkdtemp(prefix="stream_state_udf_gate_")
     try:
-        write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=4)
-        stream = read_event_stream(spark, f"{base}/chunks")
+        chunks = event_chunks_cached(spark, sf_dir, n_chunks=4)
+        stream = read_event_stream(spark, chunks)
         emitted = stream.groupBy("user_id").applyInPandasWithState(
             track,
             outputStructType="user_id long, n_events long, max_val double, "
