@@ -482,6 +482,89 @@ def test_transform_with_state_latest_value(spark, sf_dir, tmp_path):
     assert final == {u: (o, v) for u, (o, v) in batch.items()}
 
 
+def test_scd2_delta_sink_matches_copy_on_write(spark, sf_dir, tmp_path):
+    """The merge-on-read sink must land the identical history the
+    copy-on-write sink derives, including mid-stream compaction and
+    at-least-once redelivery (r8 verdict #7)."""
+    from cdc_debezium_spark.streaming.state import (
+        Scd2DeltaHistorySink,
+        Scd2HistorySink,
+    )
+
+    chunk_dir = str(tmp_path / "chunks")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=4, repeat=2)
+    cols = ["pk", "ord2", "op", "val", "valid_from_us", "valid_to_us"]
+
+    cow = Scd2HistorySink(str(tmp_path / "cow"), keys=["pk"])
+    q = run_upsert_stream(
+        cdc.to_cdc(read_event_stream(spark, chunk_dir)), cow, str(tmp_path / "cp1")
+    )
+    assert q.awaitTermination(120)
+
+    mor = Scd2DeltaHistorySink(str(tmp_path / "mor"), keys=["pk"], compact_every=3)
+    q = run_upsert_stream(
+        cdc.to_cdc(read_event_stream(spark, chunk_dir)), mor, str(tmp_path / "cp2")
+    )
+    assert q.awaitTermination(120)
+
+    assert _rows(mor.read_history(spark), cols) == _rows(
+        cow.read_history(spark), cols
+    )
+
+
+def test_scd2_delta_sink_crash_between_base_swap_and_delta_removal(
+    spark, sf_dir, tmp_path
+):
+    """Compaction crash-safety: duplicates left by a crash between the
+    base swap and delta removal (simulated by re-adding a folded delta
+    after compact) must be absorbed by the read-side (pk, ord2) dedup —
+    same history, no double rows."""
+    import shutil
+
+    from cdc_debezium_spark.streaming.state import Scd2DeltaHistorySink
+
+    chunk_dir = str(tmp_path / "chunks")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=3)
+    sink = Scd2DeltaHistorySink(str(tmp_path / "mor"), keys=["pk"])
+    q = run_upsert_stream(
+        cdc.to_cdc(read_event_stream(spark, chunk_dir)), sink, str(tmp_path / "cp")
+    )
+    assert q.awaitTermination(120)
+    cols = ["pk", "ord2", "op", "val", "valid_from_us", "valid_to_us"]
+    want = _rows(sink.read_history(spark), cols)
+
+    # stash one delta, compact, then restore it — the crash window
+    deltas = sink._delta_glob()
+    assert deltas, "stream should have left live deltas"
+    stash = str(tmp_path / "stash")
+    shutil.copytree(deltas[0], stash)
+    sink.compact(spark)
+    assert not sink._delta_glob()
+    shutil.copytree(stash, deltas[0])
+
+    assert _rows(sink.read_history(spark), cols) == want
+    # a second compaction folds the orphan delta away for good
+    sink.compact(spark)
+    assert not sink._delta_glob()
+    assert _rows(sink.read_history(spark), cols) == want
+
+
+def test_scd2_delta_sink_rerun_batch_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch re-run after a crash re-appends the same batch id;
+    the overwrite of the per-batch delta dir plus read-side dedup keep
+    the history unchanged."""
+    from cdc_debezium_spark.streaming.state import Scd2DeltaHistorySink
+
+    ev = cdc.cdc_events(spark, sf_dir).limit(500).cache()
+    sink = Scd2DeltaHistorySink(str(tmp_path / "mor"), keys=["pk"])
+    sink(ev, 0)
+    cols = ["pk", "ord2", "op", "val", "valid_from_us", "valid_to_us"]
+    want = _rows(sink.read_history(spark), cols)
+    sink(ev, 0)  # crash re-run of the same micro-batch
+    assert _rows(sink.read_history(spark), cols) == want
+    ev.unpersist()
+
+
 def test_upsert_sink_compaction_preserves_state(spark, sf_dir, tmp_path):
     """Compaction must shrink the file count without changing a single
     row of state."""
