@@ -48,85 +48,107 @@ def _stride(df, col):
     return int(df[col].max()) + 1
 
 
-def generate(out_dir: str, copies: int = 10) -> None:
+def generate(out_dir: str, copies: int = 10, tables: set | None = None) -> None:
+    """tables=None writes everything; pass e.g. {"documents",
+    "embeddings"} for a family-scoped decade fixture (the sf10 dedup/
+    ANN rehearsal doesn't need 100 copies of lineitem)."""
     os.makedirs(out_dir, exist_ok=True)
 
+    def want(t):
+        return tables is None or t in tables
+
     for t in ("region", "nation"):  # broadcast dims: fixed at every scale
-        pq.write_table(pa.Table.from_pandas(_read(t), preserve_index=False),
-                       f"{out_dir}/{t}.parquet")
-
-    cust = _read("customer")
-    supp = _read("supplier")
-    part = _read("part")
-    orders = _read("orders")
-    li = _read("lineitem")
-    ev = _read("events")
-    docs = _read("documents")
-    emb = _read("embeddings")
-
-    kc, ks, kp = _stride(cust, "c_custkey"), _stride(supp, "s_suppkey"), _stride(part, "p_partkey")
-    ko, ke, ku = _stride(orders, "o_orderkey"), _stride(ev, "event_id"), _stride(ev, "user_id")
-    kd, kv = _stride(docs, "doc_id"), _stride(emb, "vec_id")
-
-    plans = {
-        "customer": (cust, {"c_custkey": kc}),
-        "supplier": (supp, {"s_suppkey": ks}),
-        "part": (part, {"p_partkey": kp}),
-        "orders": (orders, {"o_orderkey": ko, "o_custkey": kc}),
-        "lineitem": (li, {"l_orderkey": ko, "l_partkey": kp, "l_suppkey": ks}),
-        "events": (ev, {"event_id": ke, "user_id": ku}),
-    }
-    for name, (df, shifts) in plans.items():
-        out = []
-        for i in range(copies):
-            c = df.copy()
-            for col, stride in shifts.items():
-                c[col] = c[col] + i * stride
-            out.append(c)
-        import pandas as pd
-
-        pq.write_table(
-            pa.Table.from_pandas(pd.concat(out, ignore_index=True), preserve_index=False),
-            f"{out_dir}/{name}.parquet",
-        )
-        print(f"{name}: {len(df)} -> {len(df) * copies}", file=sys.stderr)
+        if want(t):
+            pq.write_table(pa.Table.from_pandas(_read(t), preserve_index=False),
+                           f"{out_dir}/{t}.parquet")
 
     import pandas as pd
 
-    doc_copies = []
-    for i in range(copies):
-        c = docs.copy()
-        c["doc_id"] = c["doc_id"] + i * kd
-        if i > 0:
-            tag = str(i)
-            c["text"] = c["text"].map(
-                lambda s: " ".join(tag + w for w in s.split(" "))
+    if any(want(t) for t in ("customer", "supplier", "part", "orders",
+                             "lineitem", "events")):
+        cust = _read("customer")
+        supp = _read("supplier")
+        part = _read("part")
+        orders = _read("orders")
+        li = _read("lineitem")
+        ev = _read("events")
+        kc, ks, kp = _stride(cust, "c_custkey"), _stride(supp, "s_suppkey"), _stride(part, "p_partkey")
+        ko, ke, ku = _stride(orders, "o_orderkey"), _stride(ev, "event_id"), _stride(ev, "user_id")
+        plans = {
+            "customer": (cust, {"c_custkey": kc}),
+            "supplier": (supp, {"s_suppkey": ks}),
+            "part": (part, {"p_partkey": kp}),
+            "orders": (orders, {"o_orderkey": ko, "o_custkey": kc}),
+            "lineitem": (li, {"l_orderkey": ko, "l_partkey": kp, "l_suppkey": ks}),
+            "events": (ev, {"event_id": ke, "user_id": ku}),
+        }
+        for name, (df, shifts) in plans.items():
+            if not want(name):
+                continue
+            out = []
+            for i in range(copies):
+                c = df.copy()
+                for col, stride in shifts.items():
+                    c[col] = c[col] + i * stride
+                out.append(c)
+            pq.write_table(
+                pa.Table.from_pandas(pd.concat(out, ignore_index=True), preserve_index=False),
+                f"{out_dir}/{name}.parquet",
             )
-        c["n_chars"] = c["text"].str.len().astype("int64")
-        doc_copies.append(c)
-    pq.write_table(
-        pa.Table.from_pandas(pd.concat(doc_copies, ignore_index=True), preserve_index=False),
-        f"{out_dir}/documents.parquet",
-    )
-    print(f"documents: {len(docs)} -> {len(docs) * copies}", file=sys.stderr)
+            print(f"{name}: {len(df)} -> {len(df) * copies}", file=sys.stderr)
 
-    mat = np.array(list(emb["embedding"]), dtype=np.float64)
-    emb_copies = []
-    for i in range(copies):
-        c = emb.copy()
-        c["vec_id"] = c["vec_id"] + i * kv
-        rolled = np.roll(mat, 7 * i, axis=1)
-        c["embedding"] = [row.tolist() for row in rolled]
-        emb_copies.append(c)
-    pq.write_table(
-        pa.Table.from_pandas(pd.concat(emb_copies, ignore_index=True), preserve_index=False),
-        f"{out_dir}/embeddings.parquet",
-    )
-    print(f"embeddings: {len(emb)} -> {len(emb) * copies}", file=sys.stderr)
+    if want("documents"):
+        docs = _read("documents")
+        kd = _stride(docs, "doc_id")
+        doc_copies = []
+        for i in range(copies):
+            c = docs.copy()
+            c["doc_id"] = c["doc_id"] + i * kd
+            if i > 0:
+                tag = str(i)
+                c["text"] = c["text"].map(
+                    lambda s: " ".join(tag + w for w in s.split(" "))
+                )
+            c["n_chars"] = c["text"].str.len().astype("int64")
+            doc_copies.append(c)
+        pq.write_table(
+            pa.Table.from_pandas(pd.concat(doc_copies, ignore_index=True), preserve_index=False),
+            f"{out_dir}/documents.parquet",
+        )
+        print(f"documents: {len(docs)} -> {len(docs) * copies}", file=sys.stderr)
+
+    if want("embeddings"):
+        emb = _read("embeddings")
+        kv = _stride(emb, "vec_id")
+        mat = np.array(list(emb["embedding"]), dtype=np.float64)
+        dims = mat.shape[1]
+        emb_copies = []
+        for i in range(copies):
+            c = emb.copy()
+            c["vec_id"] = c["vec_id"] + i * kv
+            rolled = np.roll(mat, 7 * i, axis=1)
+            # roll is mod dims, so copies i and i+dims would be exact
+            # duplicates (spurious cross-copy near-dups past 64
+            # copies). Compose a per-copy diagonal ±1 (orthogonal —
+            # in-copy cosines untouched) that changes with i // dims;
+            # identity for i < dims, so <=64-copy fixtures (sf1) are
+            # byte-identical to the historical scheme.
+            if i >= dims:
+                sign = np.ones(dims)
+                sign[:: 2] = -1.0 if (i // dims) % 2 else 1.0
+                rolled = rolled * sign
+            c["embedding"] = [row.tolist() for row in rolled]
+            emb_copies.append(c)
+        pq.write_table(
+            pa.Table.from_pandas(pd.concat(emb_copies, ignore_index=True), preserve_index=False),
+            f"{out_dir}/embeddings.parquet",
+        )
+        print(f"embeddings: {len(emb)} -> {len(emb) * copies}", file=sys.stderr)
 
 
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "scale", "sf1")
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    generate(out, copies)
+    tables = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    generate(out, copies, tables)
     print(f"wrote {out}")

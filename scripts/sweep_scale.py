@@ -5,7 +5,11 @@ with a per-key wall cap enforced via Spark job-group cancellation.
 Catches lanes that blow up at scale OUTSIDE the bench headline.
 
 Output: one JSON line {"sf_dir", "timings": {key: sec}, "errors":
-{key: msg}, "timeouts": [key...]}.
+{key: msg}, "timeouts": [key...], "paid_materialization": {key:
+[cache...]}} — the last field marks lanes whose timing includes a
+shared-cache materialization (survivor-pair edge list, chunk fixture):
+those per-key numbers are order-dependent and not comparable with runs
+where another lane paid first (r8 ADVICE).
 """
 
 from __future__ import annotations
@@ -34,10 +38,17 @@ def main() -> None:
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
 
+    from cdc_debezium_spark import queries_ext
+    from cdc_debezium_spark.streaming import replay
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     timeouts: list[str] = []
+    paid: dict[str, list] = {}
     sc = spark.sparkContext
+
+    def cache_marks():
+        return len(queries_ext.PAIR_CACHE_EVENTS), len(replay.CHUNK_CACHE_EVENTS)
 
     for key in sorted(registry.QUERIES)[lo:hi]:
         fn = registry.QUERIES[key]
@@ -51,11 +62,18 @@ def main() -> None:
             except Exception as ex:  # noqa: BLE001
                 done["err"] = f"{type(ex).__name__}: {str(ex)[:200]}"
 
+        p0, c0 = cache_marks()
         t0 = time.perf_counter()
         th = threading.Thread(target=run, daemon=True)
         th.start()
         th.join(cap)
         dt = round(time.perf_counter() - t0, 3)
+        p1, c1 = cache_marks()
+        marks = (["pair_cache"] if p1 > p0 else []) + (
+            ["chunk_fixture"] if c1 > c0 else []
+        )
+        if marks:
+            paid[key] = marks
         if th.is_alive():
             sc.cancelJobGroup(key)
             th.join(30)
@@ -76,6 +94,7 @@ def main() -> None:
                 "timings": timings,
                 "errors": errors,
                 "timeouts": timeouts,
+                "paid_materialization": paid,
             }
         )
     )
