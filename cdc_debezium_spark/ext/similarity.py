@@ -722,9 +722,25 @@ def rp_planes(bits: int, dim: int) -> list[list[float]]:
     return out
 
 
+def rp_lsh_bits_for(n: int, target_occupancy: int = 64) -> int:
+    """Scale-aware hyperplane count: the r9 sf10 rehearsal measured the
+    fixed-8-bit configuration going QUADRATIC (bucket space 2^8 is
+    constant, so occupancy grows with the corpus and candidate work =
+    sum of bucket-size squares grew 100x for 10x vectors — wall
+    7.3 s → 672 s). Keeping expected occupancy constant needs
+    bits = log2(n / occupancy); every +4 bits costs ~x0.5 per-table
+    recall at cos 0.9 (p_collide = (1-θ/π)^bits), which the `tables`
+    OR-amplification buys back — the constant-recall scaling rule is
+    (bits += log2 growth, tables x2 per ~4 bits), sized empirically by
+    the ext_similarity_rp_lsh_recall report lane."""
+    import math
+
+    return max(8, math.ceil(math.log2(max(n, 1) / target_occupancy)))
+
+
 def rp_lsh_pairs(
     emb: DataFrame,
-    bits: int = 8,
+    bits: int | str = 8,
     threshold: float = 0.4,
     dim: int | None = None,
     tables: int = 1,
@@ -762,7 +778,15 @@ def rp_lsh_pairs(
     report measured single-table 8-bit recall at 0.017 for threshold
     0.4 — amplification is not optional at that operating point; the
     report's config sweep is how (bits, L) gets chosen.
+
+    ``bits="auto"`` sizes the bucket space from the corpus count
+    (rp_lsh_bits_for): one extra count() scan at index-build time buys
+    constant expected occupancy, the property the r9 sf10 rehearsal
+    showed the fixed default loses (quadratic candidates past ~10x the
+    tuning scale). Pass explicit bits when the corpus size is known.
     """
+    if bits == "auto":
+        bits = rp_lsh_bits_for(emb.count())
     if dim is None:
         first = emb.select(F.size("embedding").alias("d")).head(1)
         if not first:

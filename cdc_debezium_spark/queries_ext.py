@@ -3454,12 +3454,18 @@ def ext_similarity_rp_lsh(spark, sf_dir):
     """Sign-random-projection LSH near-dup pairs (Charikar 2002) — the
     training-free ANN family next to IVF (trained centroids) and
     MinHash (token sets): one codegen scan assigns each vector its
-    8-bit hyperplane-sign bucket, candidates share a bucket (join work
+    hyperplane-sign bucket, candidates share a bucket (join work
     = sum of bucket squares, never corpus²), exact float64 cosine
     verifies candidates only. Deterministic hyperplanes (md5-derived)
-    make the index pure code — nothing to train, persist, or ship."""
+    make the index pure code — nothing to train, persist, or ship.
+
+    bits="auto" sizes the bucket space from the corpus (r9 sf10
+    rehearsal: fixed 8 bits went quadratic — 672 s for 10x data; auto
+    12 bits restored ~linear, 70 s). At every oracle scale
+    (sf<=0.01: n<=2000) auto resolves to the 8-bit floor, so the
+    static _RP_BITS oracle stays bit-identical."""
     return similarity.rp_lsh_pairs(
-        load_table(spark, sf_dir, "embeddings"), bits=_RP_BITS, threshold=0.4
+        load_table(spark, sf_dir, "embeddings"), bits="auto", threshold=0.4
     )
 
 

@@ -927,3 +927,30 @@ def test_bpe_train_matches_reference_trainer(spark):
                                  "doc_id long, text string")
     got = [(r.lhs, r.rhs, r.n) for r in bpe_train(docs, n_merges=8).collect()]
     assert got == reference(texts, 8)
+
+
+def test_rp_lsh_auto_bits_keeps_occupancy_constant(spark, sf_dir):
+    """r9 sf10 rehearsal finding: fixed 8-bit buckets go quadratic at
+    10x the tuning scale (2^8 bucket space is constant). bits='auto'
+    must size the space from the corpus so expected occupancy stays at
+    the target, and must be a no-op at the tuning scale."""
+    from cdc_debezium_spark.ext.similarity import rp_lsh_bits_for, rp_lsh_pairs
+    from cdc_debezium_spark.sources.catalog import load_table
+
+    assert rp_lsh_bits_for(2_000) == 8       # floor: never below default
+    assert rp_lsh_bits_for(20_000) == 9      # sf1 decade
+    assert rp_lsh_bits_for(200_000) == 12    # sf10 decade
+    assert rp_lsh_bits_for(200_000_000) == 22  # 100 TB-ish corpus
+    # occupancy invariant: n / 2^bits stays within [target/2, target]
+    for n in (10**4, 10**6, 10**9):
+        bits = rp_lsh_bits_for(n)
+        assert 32 <= n / (1 << bits) <= 64
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got_auto = sorted(
+        (r.vec_a, r.vec_b) for r in rp_lsh_pairs(emb, bits="auto").collect()
+    )
+    got_fixed = sorted(
+        (r.vec_a, r.vec_b) for r in rp_lsh_pairs(emb, bits=8).collect()
+    )
+    assert got_auto == got_fixed  # below the floor, auto == default
