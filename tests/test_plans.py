@@ -489,6 +489,15 @@ def test_avro_roundtrip_is_shuffle_free(spark, sf_dir):
     assert count_shuffles(df) == 0
 
 
+def test_avro_schema_evolution_is_shuffle_free(spark, sf_dir):
+    """The mixed-id evolution roundtrip is two narrow encode legs, a
+    union, and one Arrow-batched decode — zero exchanges, same wire-
+    codec contract as avro_roundtrip; a shuffle here would serialize
+    the topic twice at 100 TB."""
+    df = registry.QUERIES["avro_schema_evolution_roundtrip"](spark, sf_dir)
+    assert count_shuffles(df) == 0
+
+
 def test_oov_rate_broadcasts_vocab(spark, sf_dir):
     """The k-row vocab must broadcast to the exploded token stream —
     a shuffle join there would re-shuffle every token occurrence in
