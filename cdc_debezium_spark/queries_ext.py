@@ -1605,6 +1605,57 @@ def ext_dedup_embedding_ann(spark, sf_dir):
     )
 
 
+@query(
+    "ext_dedup_embedding_ann_trained",
+    oracle=f"""
+    WITH {EMB_CTE},
+    {_KMQ_CTES},
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_duck_dot('c', 'n')} / (c.nrm * n.nrm) DESC, c.cell
+               ) AS rn
+        FROM n CROSS JOIN {_KMQ_FINAL} c)
+      WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    p AS (
+      SELECT cd.vec_a, cd.vec_b,
+             {_duck_dot('va', 'vb')} / (va.nrm * vb.nrm) AS c
+      FROM cand cd
+      JOIN n va ON va.vec_id = cd.vec_a
+      JOIN n vb ON vb.vec_id = cd.vec_b
+    )
+    SELECT vec_a, vec_b, floor((c) * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM p WHERE c >= 0.4
+    """,
+)
+def ext_dedup_embedding_ann_trained(spark, sf_dir):
+    """Embedding near-dup over TRAINED k-means cells — the production
+    centroid path the r9 sf10 rehearsal mandated: with the strided
+    placeholder centroids, within-copy recall fell 401→149 pairs/copy
+    at sf10 because denser random centroids fragment top-4 assignment;
+    trained Voronoi cells keep near-dup co-assignment stable as the
+    corpus grows (SCALE.md §Round-9, named ceiling #2). Training is
+    the quantized integer-update lane (plain hash aggregate, no
+    collect_list — kmeans_centroids(exact=False), k-row driver state,
+    the MLlib shape); candidates and exact verify are the same
+    machinery as ext_dedup_embedding_ann. The oracle re-runs the
+    identical quantized k-means (the ivf_prod CTE chain), so centroid
+    training AND the bucketed near-dup contract are value-hash
+    verified end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(
+        emb, k=16, iters=2, exact=False, cache_key=sf_dir
+    )
+    return dedup.embedding_near_dupes_ann(emb, 0.4, nassign=4, cents=cents)
+
+
 # --- round-2 additions: scrub / chunk / tfidf / canonical / range ----------
 
 @query(
