@@ -119,14 +119,51 @@ CENT_SCHEMA = "cell LONG, cv ARRAY<DOUBLE>, cnorm DOUBLE"
 def _assign_packed(v: DataFrame, cents: DataFrame, extra: list[str]) -> DataFrame:
     """Nearest-centroid assignment against a packed centroid set.
 
-    The k centroids are packed into ONE row (k * dim doubles — bounded
-    regardless of corpus size) and cross-joined as a broadcast:
-    assignment is then a NARROW per-vector pass. Centroid VALUES flow
-    as data (not literals) so codegen compiles one small generic
-    expression, not a k*dim-literal tree. array_min over (-cos, cell)
-    structs = the same (cos desc, cell asc) argmax a struct-MIN
-    aggregate computes, with the identical float sequence (dot, then
-    one division) so oracle CTE chains stay bit-exact."""
+    Default path: the Arrow-batched numpy kernel (the assign_cells
+    kernel, nassign=1) — the r9 decade run showed the HOF-fold
+    expression evaluates INTERPRETED (~6µs per 64-dim dot), which at
+    trained-k scale (k = n/128) turns one Lloyd assignment pass into
+    n*k interpreted folds: ~30 min/iteration at sf10. The kernel is
+    BIT-EXACT with the fold (one dimension at a time across the batch
+    — the same left-to-right IEEE sequence per pair; stable argsort
+    over cell-ascending centroids = array_min over (-cos, cell)
+    structs), so every k-means oracle stays value-hash identical.
+
+    Fallback (empty centroid set): the packed-expression path — k
+    centroids in ONE broadcast row, narrow per-vector array_min pass,
+    the identical float sequence."""
+    import numpy as np
+    import pandas as pd
+
+    crows = sorted(cents.collect(), key=lambda r: r["cell"])
+    if crows:
+        C = np.array([r["cv"] for r in crows], dtype=np.float64)
+        cn = np.array([r["cnorm"] for r in crows], dtype=np.float64)
+        cell_ids = np.array([r["cell"] for r in crows], dtype=np.int64)
+
+        def run(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                acc = np.zeros((len(pdf), C.shape[0]), dtype=np.float64)
+                for d in range(C.shape[1]):
+                    acc = acc + A[:, d][:, None] * C[:, d][None, :]
+                nc = -(acc / (cn[None, :] * pdf["norm"].to_numpy()[:, None]))
+                best = np.argmin(nc, axis=1)  # ties -> lowest index =
+                # lowest cell (cell-ascending), matching array_min
+                out = {"vec_id": pdf["vec_id"].to_numpy()}
+                for c in extra:
+                    out[c] = pdf[c]
+                out["cell"] = cell_ids[best]
+                yield pd.DataFrame(out)
+
+        types = {"v": "array<double>", "qv": "array<long>"}
+        ddl = "vec_id long, " + ", ".join(
+            f"{c} {types[c]}" for c in extra
+        ) + ", cell long"
+        return v.mapInPandas(run, ddl)
+
     packed = cents.agg(
         F.collect_list(F.struct("cell", "cv", "cnorm")).alias("cents")
     )

@@ -1648,10 +1648,18 @@ def ext_dedup_embedding_ann_trained(spark, sf_dir):
     machinery as ext_dedup_embedding_ann. The oracle re-runs the
     identical quantized k-means (the ivf_prod CTE chain), so centroid
     training AND the bucketed near-dup contract are value-hash
-    verified end-to-end."""
+    verified end-to-end.
+
+    k scales with the corpus (n // 128, floor 16 — constant expected
+    occupancy, the same rule that fixed the rp_lsh quadratic): at both
+    oracle scales (sf0.001: 200 vecs, sf0.01: 2000 vecs) the floor
+    resolves to the static oracle's k=16, so the CTE chain stays
+    bit-identical; at decade scales the cell count grows with the data
+    instead of occupancy."""
     emb = load_table(spark, sf_dir, "embeddings")
+    k = max(16, emb.count() // 128)
     cents = similarity.kmeans_centroids(
-        emb, k=16, iters=2, exact=False, cache_key=sf_dir
+        emb, k=k, iters=2, exact=False, cache_key=sf_dir
     )
     return dedup.embedding_near_dupes_ann(emb, 0.4, nassign=4, cents=cents)
 
