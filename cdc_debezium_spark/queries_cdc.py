@@ -2452,6 +2452,57 @@ def cdc_scd2_stream_roundtrip(spark, sf_dir):
 
 
 @query(
+    "cdc_stream_latest_state_delta_roundtrip",
+    oracle=CDC_CTE
+    + """
+    SELECT pk, ts_us, val
+    FROM (
+      SELECT * FROM cdc_events
+      QUALIFY row_number() OVER (PARTITION BY pk ORDER BY ts_us DESC, ord2 DESC) = 1
+    )
+    WHERE op <> 'd'
+    """,
+)
+def cdc_stream_latest_state_delta_roundtrip(spark, sf_dir):
+    """E1/E7/E10 via the merge-on-read upsert sink (compacted-topic
+    analog): the same chunked at-least-once replay and the SAME oracle
+    as cdc_stream_latest_state_roundtrip, but each micro-batch only
+    APPENDS (O(batch)); the latest-per-key window runs once at read,
+    and compaction every 3 batches folds state down to one row per key
+    (true log compaction — state size is #keys, not log size), firing
+    mid-stream so the final read crosses a compacted base AND live
+    deltas. Tombstones are retained through compaction and filtered by
+    read_live, the retention contract of the copy-on-write twin."""
+    import shutil
+    import tempfile
+
+    from .streaming.replay import event_chunks_cached, read_event_stream
+    from .streaming.state import DeltaUpsertSink, run_upsert_stream
+
+    state = _format_lane_dir("latest_state_delta", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="cdc_latest_delta_gate_")
+    try:
+        chunks = event_chunks_cached(spark, sf_dir, n_chunks=4, repeat=2)
+        stream = cdc.to_cdc(read_event_stream(spark, chunks))
+        sink = DeltaUpsertSink(
+            state, keys=["pk"], order=["ts_us", "ord2"], compact_every=3
+        )
+        q = run_upsert_stream(stream, sink, f"{base}/cp")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "cdc_stream_latest_state_delta_roundtrip: stream did not "
+                "drain in 300s"
+            )
+        out = sink.read_live(spark).select("pk", "ts_us", "val")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
     "cdc_scd2_stream_delta_roundtrip",
     oracle=CDC_CTE
     + """

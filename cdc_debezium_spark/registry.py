@@ -64,6 +64,7 @@ _PRIORITY = [
     # --- never driver-sampled (new in round 9) ---
     "avro_schema_evolution_roundtrip",
     "cdc_scd2_stream_delta_roundtrip",
+    "cdc_stream_latest_state_delta_roundtrip",
     "ext_dedup_embedding_ann_trained",
     # --- r3-stale residue (24): last driver row in CORRECTNESS_r03 ---
     "tpch_q4",

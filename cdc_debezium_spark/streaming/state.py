@@ -888,6 +888,111 @@ class Scd2HistorySink:
         return spark.read.parquet(self.path).drop(BUCKET_COL)
 
 
+class DeltaUpsertSink:
+    """Merge-on-read latest-state sink — the compacted-topic analog of
+    ParquetUpsertSink, built on the same delta/base layout as
+    Scd2DeltaHistorySink (r9: the copy-on-write upsert path re-reads
+    and rewrites touched buckets per batch; with uniform keys that is
+    state-sized work per batch, the shape the scd2 profiling showed
+    dominates the streaming family's cost).
+
+      * per batch: APPEND the batch — O(batch), no read of prior
+        state, no window on the hot path;
+      * at read: ONE latest-per-key window over base + deltas
+        (tombstones retained in state, filtered by read_live — the
+        same retention contract as ParquetUpsertSink);
+      * compaction: fold base + deltas down to one row per key (true
+        Kafka-log-compaction semantics: state size becomes #keys, not
+        log size) and drop the deltas.
+
+    Idempotence is order-theoretic: latest-per-key is a max over
+    (order) per key, so duplicate rows (redelivery, crash re-runs,
+    deltas surviving a compaction crash window) never change the max,
+    and a late row older than a compacted winner loses the window —
+    the same commutativity argument as the copy-on-write sink, with
+    the merge moved from write time to read/compaction time."""
+
+    def __init__(
+        self,
+        path: str,
+        keys: Sequence[str] = ("pk",),
+        order: Sequence[str] = ("ts_us", "ord2"),
+        op_col: str = "op",
+        drop_deleted: bool = True,
+        compact_every: int = 0,
+    ) -> None:
+        self.path = path
+        self.keys = list(keys)
+        self.order = list(order)
+        self.op_col = op_col
+        self.drop_deleted = drop_deleted
+        self.compact_every = compact_every
+        self._batches_seen = 0
+
+    def _delta_glob(self) -> list[str]:
+        import glob as _glob
+
+        return sorted(_glob.glob(os.path.join(self.path, "delta_*")))
+
+    def _base(self) -> str:
+        return os.path.join(self.path, "base")
+
+    def _all_rows(self, spark: SparkSession) -> DataFrame | None:
+        parts = self._delta_glob()
+        if os.path.isdir(self._base()):
+            parts = [self._base(), *parts]
+        if not parts:
+            return None
+        return spark.read.parquet(*parts)
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.write.mode("overwrite")
+            .parquet(os.path.join(self.path, f"delta_{batch_id:012d}"))
+        )
+        self._batches_seen += 1
+        if self.compact_every and self._batches_seen % self.compact_every == 0:
+            self.compact(batch.sparkSession)
+
+    def current_state(self, spark: SparkSession) -> DataFrame | None:
+        rows = self._all_rows(spark)
+        if rows is None:
+            return None
+        return latest_state(
+            rows, keys=self.keys, order=self.order,
+            op_col=self.op_col, drop_deleted=False,
+        )
+
+    def read_live(self, spark: SparkSession) -> DataFrame:
+        df = self.current_state(spark)
+        if df is None:
+            raise FileNotFoundError(self.path)
+        if self.drop_deleted:
+            df = df.filter(F.col(self.op_col) != "d")
+        return df
+
+    def compact(self, spark: SparkSession) -> dict:
+        """base + deltas -> one row per key (tombstones kept), deltas
+        removed. Crash-safe like the scd2 twin: side-dir write + swap
+        before delta removal; orphan deltas are re-absorbed by the
+        read-side window."""
+        import shutil
+
+        deltas = self._delta_glob()
+        merged = self.current_state(spark)
+        if merged is None:
+            return {"deltas_folded": 0}
+        tmp = os.path.join(self.path, "_base_next")
+        merged.write.mode("overwrite").parquet(tmp)
+        old = self._base()
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(tmp, old)
+        for d in deltas:
+            shutil.rmtree(d, ignore_errors=True)
+        return {"deltas_folded": len(deltas)}
+
+
 class Scd2DeltaHistorySink:
     """Merge-on-read SCD2 history sink — the scale-shaped twin of
     Scd2HistorySink (r8 verdict #7's measurement drove this: profiling

@@ -565,6 +565,70 @@ def test_scd2_delta_sink_rerun_batch_is_idempotent(spark, sf_dir, tmp_path):
     ev.unpersist()
 
 
+def test_delta_upsert_sink_matches_copy_on_write(spark, sf_dir, tmp_path):
+    """Merge-on-read latest-state must equal the copy-on-write sink's
+    live state under at-least-once redelivery, with compaction firing
+    mid-stream."""
+    from cdc_debezium_spark.streaming.state import DeltaUpsertSink
+
+    chunk_dir = str(tmp_path / "chunks")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=4, repeat=2)
+
+    cow = ParquetUpsertSink(str(tmp_path / "cow"), keys=["pk"], order=["ts_us", "ord2"])
+    q = run_upsert_stream(
+        cdc.to_cdc(read_event_stream(spark, chunk_dir)), cow, str(tmp_path / "cp1")
+    )
+    assert q.awaitTermination(120)
+
+    mor = DeltaUpsertSink(
+        str(tmp_path / "mor"), keys=["pk"], order=["ts_us", "ord2"], compact_every=3
+    )
+    q = run_upsert_stream(
+        cdc.to_cdc(read_event_stream(spark, chunk_dir)), mor, str(tmp_path / "cp2")
+    )
+    assert q.awaitTermination(120)
+
+    cols = ["pk", "ts_us", "val"]
+    assert _rows(mor.read_live(spark), cols) == _rows(cow.read_live(spark), cols)
+    # true log compaction: after a final compact, state is one row per
+    # key (tombstones included), never log-sized
+    mor.compact(spark)
+    state = mor.current_state(spark)
+    n_keys = state.select("pk").distinct().count()
+    assert state.count() == n_keys
+    assert _rows(mor.read_live(spark), cols) == _rows(cow.read_live(spark), cols)
+
+
+def test_delta_upsert_sink_compaction_crash_window(spark, sf_dir, tmp_path):
+    """An orphan delta surviving a compaction crash (re-added after the
+    fold) must not change the derived state: its rows are older-or-
+    equal events and lose the latest-per-key window."""
+    import shutil
+
+    from cdc_debezium_spark.streaming.state import DeltaUpsertSink
+
+    chunk_dir = str(tmp_path / "chunks")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=3)
+    sink = DeltaUpsertSink(str(tmp_path / "mor"), keys=["pk"], order=["ts_us", "ord2"])
+    q = run_upsert_stream(
+        cdc.to_cdc(read_event_stream(spark, chunk_dir)), sink, str(tmp_path / "cp")
+    )
+    assert q.awaitTermination(120)
+    cols = ["pk", "ts_us", "val"]
+    want = _rows(sink.read_live(spark), cols)
+
+    deltas = sink._delta_glob()
+    assert deltas
+    stash = str(tmp_path / "stash")
+    shutil.copytree(deltas[0], stash)
+    sink.compact(spark)
+    assert not sink._delta_glob()
+    shutil.copytree(stash, deltas[0])
+    assert _rows(sink.read_live(spark), cols) == want
+    sink.compact(spark)
+    assert _rows(sink.read_live(spark), cols) == want
+
+
 def test_upsert_sink_compaction_preserves_state(spark, sf_dir, tmp_path):
     """Compaction must shrink the file count without changing a single
     row of state."""
