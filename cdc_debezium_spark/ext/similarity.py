@@ -116,18 +116,40 @@ def _strided_cents(v: DataFrame, centroid_stride: int) -> DataFrame:
 CENT_SCHEMA = "cell LONG, cv ARRAY<DOUBLE>, cnorm DOUBLE"
 
 
-def _assign_packed(v: DataFrame, cents: DataFrame, extra: list[str]) -> DataFrame:
+def _neg_cosine_matrix(A, norms, C, cn):
+    """Batch × centroid negated-cosine matrix, BIT-EXACT with the HOF
+    fold expression: accumulate ONE DIMENSION AT A TIME across the
+    whole batch (acc += A_d * C_d — the same left-to-right IEEE
+    sequence per pair, vectorized across pairs), then one division.
+    Shared by assign_cells and _assign_packed (r9 review: the proven
+    sequence must live in exactly one place — a drift between the two
+    copies would silently break every k-means/IVF oracle)."""
+    import numpy as np
+
+    acc = np.zeros((len(A), C.shape[0]), dtype=np.float64)
+    for d in range(C.shape[1]):
+        acc = acc + A[:, d][:, None] * C[:, d][None, :]
+    return -(acc / (cn[None, :] * norms[:, None]))
+
+
+def _assign_packed(v: DataFrame, cents, extra: list[str]) -> DataFrame:
     """Nearest-centroid assignment against a packed centroid set.
 
-    Default path: the Arrow-batched numpy kernel (the assign_cells
-    kernel, nassign=1) — the r9 decade run showed the HOF-fold
-    expression evaluates INTERPRETED (~6µs per 64-dim dot), which at
-    trained-k scale (k = n/128) turns one Lloyd assignment pass into
-    n*k interpreted folds: ~30 min/iteration at sf10. The kernel is
-    BIT-EXACT with the fold (one dimension at a time across the batch
-    — the same left-to-right IEEE sequence per pair; stable argsort
-    over cell-ascending centroids = array_min over (-cos, cell)
-    structs), so every k-means oracle stays value-hash identical.
+    `cents` is a centroid DataFrame or an ALREADY-COLLECTED list of
+    (cell, cv, cnorm) rows — kmeans_centroids holds its k-row state on
+    the driver between iterations and passes the list directly,
+    skipping a createDataFrame+collect JVM roundtrip per Lloyd
+    iteration (r9 review).
+
+    Default path: the Arrow-batched numpy kernel (_neg_cosine_matrix,
+    nassign=1) — the r9 decade run showed the HOF-fold expression
+    evaluates INTERPRETED (~6µs per 64-dim dot), which at trained-k
+    scale (k = n/128) turns one Lloyd assignment pass into n*k
+    interpreted folds: ~30 min/iteration at sf10. The kernel is
+    BIT-EXACT with the fold (np.argmin ties pick the lowest index =
+    lowest cell over cell-ascending centroids = array_min over
+    (-cos, cell) structs), so every k-means oracle stays value-hash
+    identical.
 
     Fallback (empty centroid set): the packed-expression path — k
     centroids in ONE broadcast row, narrow per-vector array_min pass,
@@ -135,7 +157,8 @@ def _assign_packed(v: DataFrame, cents: DataFrame, extra: list[str]) -> DataFram
     import numpy as np
     import pandas as pd
 
-    crows = sorted(cents.collect(), key=lambda r: r["cell"])
+    rows_in = cents if isinstance(cents, list) else cents.collect()
+    crows = sorted(rows_in, key=lambda r: r["cell"])
     if crows:
         C = np.array([r["cv"] for r in crows], dtype=np.float64)
         cn = np.array([r["cnorm"] for r in crows], dtype=np.float64)
@@ -146,12 +169,10 @@ def _assign_packed(v: DataFrame, cents: DataFrame, extra: list[str]) -> DataFram
                 if len(pdf) == 0:
                     continue
                 A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-                acc = np.zeros((len(pdf), C.shape[0]), dtype=np.float64)
-                for d in range(C.shape[1]):
-                    acc = acc + A[:, d][:, None] * C[:, d][None, :]
-                nc = -(acc / (cn[None, :] * pdf["norm"].to_numpy()[:, None]))
-                best = np.argmin(nc, axis=1)  # ties -> lowest index =
-                # lowest cell (cell-ascending), matching array_min
+                nc = _neg_cosine_matrix(
+                    A, pdf["norm"].to_numpy(), C, cn
+                )
+                best = np.argmin(nc, axis=1)
                 out = {"vec_id": pdf["vec_id"].to_numpy()}
                 for c in extra:
                     out[c] = pdf[c]
@@ -164,6 +185,8 @@ def _assign_packed(v: DataFrame, cents: DataFrame, extra: list[str]) -> DataFram
         ) + ", cell long"
         return v.mapInPandas(run, ddl)
 
+    if isinstance(cents, list):  # empty list: nothing to assign against
+        raise ValueError("_assign_packed: empty centroid set")
     packed = cents.agg(
         F.collect_list(F.struct("cell", "cv", "cnorm")).alias("cents")
     )
@@ -307,8 +330,7 @@ def kmeans_centroids(
     dim = len(rows[0]["cv"]) if rows else 0
     extra = ["v"] if exact else ["qv"]
     for _ in range(iters):
-        cents_in = spark.createDataFrame(rows, CENT_SCHEMA)
-        asg = _assign_packed(v, cents_in, extra)
+        asg = _assign_packed(v, rows, extra)
         cents = (
             _update_exact(asg) if exact else _update_quant(asg, dim, scale)
         )
@@ -397,11 +419,8 @@ def assign_cells(
                     if b == 0:
                         continue
                     A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-                    acc = np.zeros((b, C.shape[0]), dtype=np.float64)
-                    for d in range(C.shape[1]):
-                        acc = acc + A[:, d][:, None] * C[:, d][None, :]
                     norms = pdf["norm"].to_numpy()
-                    nc = -(acc / (cn[None, :] * norms[:, None]))
+                    nc = _neg_cosine_matrix(A, norms, C, cn)
                     top = np.argsort(nc, axis=1, kind="stable")[:, :na]
                     yield pd.DataFrame(
                         {

@@ -1393,8 +1393,7 @@ def avro_schema_evolution_roundtrip(spark, sf_dir):
                 "DoubleType()": "double"}
     known = {n for n, _ in fields_v1}
     fields_v2 = fields_v1 + [
-        ("region" if f.name == "region" else f.name,
-         ["null", _AVRO_OF[repr(f.dataType)]])
+        (f.name, ["null", _AVRO_OF[repr(f.dataType)]])
         for f in v2_struct.fields
         if f.name not in known
     ]

@@ -1662,11 +1662,11 @@ def ext_dedup_embedding_ann_trained(spark, sf_dir):
     verified end-to-end.
 
     k scales with the corpus (n // 128, floor 16 — constant expected
-    occupancy, the same rule that fixed the rp_lsh quadratic): at both
-    oracle scales (sf0.001: 200 vecs, sf0.01: 2000 vecs) the floor
-    resolves to the static oracle's k=16, so the CTE chain stays
-    bit-identical; at decade scales the cell count grows with the data
-    instead of occupancy."""
+    occupancy, the same rule that fixed the rp_lsh quadratic): at
+    every driver scale (embeddings: 500 vecs at sf0.001 AND sf0.01,
+    2000 at sf0.1 — all <= 2048) the floor resolves to the static
+    oracle's k=16, so the CTE chain stays bit-identical; at decade
+    scales the cell count grows with the data instead of occupancy."""
     emb = load_table(spark, sf_dir, "embeddings")
     k = max(16, emb.count() // 128)
     cents = similarity.kmeans_centroids(

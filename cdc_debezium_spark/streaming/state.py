@@ -888,6 +888,64 @@ class Scd2HistorySink:
         return spark.read.parquet(self.path).drop(BUCKET_COL)
 
 
+# --- shared delta/base state layout for the merge-on-read sinks ----------
+#
+# Layout under <path>/: `base` (compacted), `delta_<batchid>` dirs
+# (per-batch appends), `_base_next` (compaction scratch), `_base_retired`
+# (previous base, kept until the swap completes). Readers union every
+# component that exists; both sinks derive their answer from the row
+# SET with duplicate absorption (dedup on (keys, ord) / latest-per-key
+# max), so reading base + retired + deltas after ANY crash point is
+# correct — at worst duplicated rows, never missing ones.
+
+
+def _delta_dirs(path: str) -> list[str]:
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(path, "delta_*")))
+
+
+def _state_parts(path: str) -> list[str]:
+    parts = []
+    for name in ("base", "_base_retired"):
+        p = os.path.join(path, name)
+        if os.path.isdir(p):
+            parts.append(p)
+    return parts + _delta_dirs(path)
+
+
+def _swap_base(path: str, merged: DataFrame) -> dict:
+    """Crash-safe compaction commit (r9 review finding: an rmtree of
+    the old base BEFORE the rename left a window where the only copy
+    of previously-compacted rows was gone). Sequence — every prefix of
+    which leaves a complete, readable state:
+
+      1. write merged -> _base_next      (base/retired/deltas intact)
+      2. rename base -> _base_retired    (readers use retired + deltas)
+      3. rename _base_next -> base       (readers may see base+retired:
+                                          duplicates, absorbed)
+      4. rmtree _base_retired
+      5. rmtree each delta               (partial removal: duplicates,
+                                          absorbed)
+    """
+    import shutil
+
+    deltas = _delta_dirs(path)
+    tmp = os.path.join(path, "_base_next")
+    merged.write.mode("overwrite").parquet(tmp)
+    base = os.path.join(path, "base")
+    retired = os.path.join(path, "_base_retired")
+    if os.path.isdir(retired):  # leftover from an earlier crash
+        shutil.rmtree(retired)
+    if os.path.isdir(base):
+        os.rename(base, retired)
+    os.rename(tmp, base)
+    shutil.rmtree(retired, ignore_errors=True)
+    for d in deltas:
+        shutil.rmtree(d, ignore_errors=True)
+    return {"deltas_folded": len(deltas)}
+
+
 class DeltaUpsertSink:
     """Merge-on-read latest-state sink — the compacted-topic analog of
     ParquetUpsertSink, built on the same delta/base layout as
@@ -930,17 +988,10 @@ class DeltaUpsertSink:
         self._batches_seen = 0
 
     def _delta_glob(self) -> list[str]:
-        import glob as _glob
-
-        return sorted(_glob.glob(os.path.join(self.path, "delta_*")))
-
-    def _base(self) -> str:
-        return os.path.join(self.path, "base")
+        return _delta_dirs(self.path)
 
     def _all_rows(self, spark: SparkSession) -> DataFrame | None:
-        parts = self._delta_glob()
-        if os.path.isdir(self._base()):
-            parts = [self._base(), *parts]
+        parts = _state_parts(self.path)
         if not parts:
             return None
         return spark.read.parquet(*parts)
@@ -973,24 +1024,12 @@ class DeltaUpsertSink:
 
     def compact(self, spark: SparkSession) -> dict:
         """base + deltas -> one row per key (tombstones kept), deltas
-        removed. Crash-safe like the scd2 twin: side-dir write + swap
-        before delta removal; orphan deltas are re-absorbed by the
-        read-side window."""
-        import shutil
-
-        deltas = self._delta_glob()
+        removed via the crash-safe _swap_base sequence; orphan
+        retired/delta rows are re-absorbed by the read-side window."""
         merged = self.current_state(spark)
         if merged is None:
             return {"deltas_folded": 0}
-        tmp = os.path.join(self.path, "_base_next")
-        merged.write.mode("overwrite").parquet(tmp)
-        old = self._base()
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        os.rename(tmp, old)
-        for d in deltas:
-            shutil.rmtree(d, ignore_errors=True)
-        return {"deltas_folded": len(deltas)}
+        return _swap_base(self.path, merged)
 
 
 class Scd2DeltaHistorySink:
@@ -1043,17 +1082,10 @@ class Scd2DeltaHistorySink:
         self._batches_seen = 0
 
     def _delta_glob(self) -> list[str]:
-        import glob as _glob
-
-        return sorted(_glob.glob(os.path.join(self.path, "delta_*")))
-
-    def _base(self) -> str:
-        return os.path.join(self.path, "base")
+        return _delta_dirs(self.path)
 
     def _event_set(self, spark: SparkSession) -> DataFrame | None:
-        parts = self._delta_glob()
-        if os.path.isdir(self._base()):
-            parts = [self._base(), *parts]
+        parts = _state_parts(self.path)
         if not parts:
             return None
         return spark.read.parquet(*parts).dropDuplicates(
@@ -1075,24 +1107,11 @@ class Scd2DeltaHistorySink:
     def compact(self, spark: SparkSession) -> dict:
         """Fold all deltas into the base (dedup only — intervals stay
         derive-on-read so compaction cost is a scan+shuffle, not a
-        window). Crash-safe: the new base is written to a side dir and
-        swapped in before deltas are removed; a crash anywhere leaves
-        a state whose read-side dedup still yields the same set."""
-        import shutil
-
-        deltas = self._delta_glob()
+        window), committed via the crash-safe _swap_base sequence."""
         merged = self._event_set(spark)
         if merged is None:
             return {"deltas_folded": 0}
-        tmp = os.path.join(self.path, "_base_next")
-        merged.write.mode("overwrite").parquet(tmp)
-        old = self._base()
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        os.rename(tmp, old)
-        for d in deltas:
-            shutil.rmtree(d, ignore_errors=True)
-        return {"deltas_folded": len(deltas)}
+        return _swap_base(self.path, merged)
 
     def read_history(self, spark: SparkSession) -> DataFrame:
         from pyspark.sql import Window

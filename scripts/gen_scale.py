@@ -130,12 +130,25 @@ def generate(out_dir: str, copies: int = 10, tables: set | None = None) -> None:
             # roll is mod dims, so copies i and i+dims would be exact
             # duplicates (spurious cross-copy near-dups past 64
             # copies). Compose a per-copy diagonal ±1 (orthogonal —
-            # in-copy cosines untouched) that changes with i // dims;
-            # identity for i < dims, so <=64-copy fixtures (sf1) are
-            # byte-identical to the historical scheme.
+            # in-copy cosines untouched) that changes with i // dims.
+            # Block 0 is the identity and block 1 flips even dims
+            # (byte-identical regeneration of the committed sf1/sf10
+            # fixtures); blocks >= 2 use md5-derived signs per (block,
+            # dim) — the r9 review caught the original parity scheme
+            # being the identity on every EVEN block, making copies i
+            # and i+2*dims exact duplicates again past 128 copies.
             if i >= dims:
+                block = i // dims
                 sign = np.ones(dims)
-                sign[:: 2] = -1.0 if (i // dims) % 2 else 1.0
+                if block == 1:
+                    sign[::2] = -1.0
+                else:
+                    import hashlib
+
+                    for d in range(dims):
+                        h = hashlib.md5(f"sign:{block}:{d}".encode()).digest()
+                        if h[0] & 1:
+                            sign[d] = -1.0
                 rolled = rolled * sign
             c["embedding"] = [row.tolist() for row in rolled]
             emb_copies.append(c)

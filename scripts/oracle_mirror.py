@@ -37,6 +37,23 @@ def main() -> None:
     spark = get_spark(app_name="oracle-mirror")
     registry.load_all()
 
+    # Oracle-contract scale guard (r9 review): lanes with scale-aware
+    # parameters (rp_lsh bits="auto", trained-ANN k=n//128) resolve to
+    # their static-oracle floors only while the embeddings table stays
+    # <= 2048 rows. On a bigger fixture the SPARK side auto-scales and
+    # the static SQL does not — a correct lane would be reported as a
+    # value-hash FAIL. Refuse loudly instead of mis-reporting.
+    try:
+        n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    except Exception:
+        n_emb = 0
+    if n_emb > 2048:
+        raise SystemExit(
+            f"oracle_mirror: {sf_dir} has {n_emb} embeddings; the static "
+            "oracles for the auto-scaled ANN lanes are only valid at "
+            "<= 2048 (sf <= 0.1). Use the sweep for larger fixtures."
+        )
+
     passed, failed, rows_only = 0, {}, []
     for key in sorted(registry.QUERIES):
         if not key.startswith(prefix):

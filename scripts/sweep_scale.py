@@ -45,6 +45,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     timeouts: list[str] = []
     paid: dict[str, list] = {}
+    marks_tainted_after: list[str] = []
     sc = spark.sparkContext
 
     def cache_marks():
@@ -78,6 +79,12 @@ def main() -> None:
             sc.cancelJobGroup(key)
             th.join(30)
             timeouts.append(key)
+            if th.is_alive():
+                # zombie lane thread may still materialize a shared
+                # cache DURING a later key's window, misattributing the
+                # before/after mark diff (r9 review) — flag every
+                # subsequent mark as suspect
+                marks_tainted_after.append(key)
             print(f"# {key}: TIMEOUT >{cap}s", file=sys.stderr)
         elif done["err"]:
             errors[key] = done["err"]
@@ -95,6 +102,7 @@ def main() -> None:
                 "errors": errors,
                 "timeouts": timeouts,
                 "paid_materialization": paid,
+                "marks_tainted_after": marks_tainted_after,
             }
         )
     )

@@ -599,6 +599,53 @@ def test_delta_upsert_sink_matches_copy_on_write(spark, sf_dir, tmp_path):
     assert _rows(mor.read_live(spark), cols) == _rows(cow.read_live(spark), cols)
 
 
+def test_delta_sink_base_swap_crash_leaves_readable_state(spark, sf_dir, tmp_path):
+    """The r9 review found the original compaction rmtree'd the old
+    base BEFORE renaming the new one in — a crash in that window lost
+    every previously-compacted row. The _swap_base sequence must leave
+    a complete readable state at EVERY prefix: here we simulate the
+    worst point (old base retired, new base not yet renamed in) and
+    the reader must still produce the full answer from
+    _base_retired + deltas; the next compact must recover."""
+    import os
+    import shutil
+
+    from cdc_debezium_spark.streaming.state import DeltaUpsertSink
+
+    chunk_dir = str(tmp_path / "chunks")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+    state = str(tmp_path / "mor")
+    sink = DeltaUpsertSink(state, keys=["pk"], order=["ts_us", "ord2"])
+    q = run_upsert_stream(
+        cdc.to_cdc(read_event_stream(spark, chunk_dir)), sink, str(tmp_path / "cp")
+    )
+    assert q.awaitTermination(120)
+    cols = ["pk", "ts_us", "val"]
+    want = _rows(sink.read_live(spark), cols)
+
+    # compact once so base/ holds rows whose deltas are gone — the
+    # rows the old sequence could lose
+    sink.compact(spark)
+    assert os.path.isdir(os.path.join(state, "base"))
+    # more deltas arrive after the compaction
+    sink(cdc.cdc_events(spark, sf_dir).limit(100), 99)
+
+    # simulate a crash mid-swap: new base written, old base retired,
+    # rename of the new one never happened
+    merged = sink.current_state(spark)
+    merged.write.mode("overwrite").parquet(os.path.join(state, "_base_next"))
+    os.rename(os.path.join(state, "base"), os.path.join(state, "_base_retired"))
+
+    # reader recovers from retired + deltas alone
+    assert _rows(sink.read_live(spark), cols) == want
+    # and the next compaction commits cleanly from that state
+    sink.compact(spark)
+    assert _rows(sink.read_live(spark), cols) == want
+    assert not os.path.isdir(os.path.join(state, "_base_retired"))
+    assert not sink._delta_glob()
+    shutil.rmtree(state, ignore_errors=True)
+
+
 def test_delta_upsert_sink_compaction_crash_window(spark, sf_dir, tmp_path):
     """An orphan delta surviving a compaction crash (re-added after the
     fold) must not change the derived state: its rows are older-or-
