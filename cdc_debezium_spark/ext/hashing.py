@@ -76,6 +76,41 @@ MINHASH_SEEDS61: list[tuple[int, int, int]] = [
 N_BANDS = 4
 ROWS_PER_BAND = 2
 
+
+def lsh_recall(jaccard: float, bands: int = N_BANDS, rows: int = ROWS_PER_BAND) -> float:
+    """LSH S-curve: P(candidate) = 1 - (1 - j^r)^b for a pair at
+    Jaccard j under (b bands × r rows) banding — the textbook MinHash
+    collision model (Leskovec/Rajaraman/Ullman, MMDS ch.3). The r8
+    measurement (recall 0.975 at j>=0.5 with 4x2) matches this curve;
+    use it to SIZE banding instead of guessing."""
+    return 1.0 - (1.0 - jaccard**rows) ** bands
+
+
+def minhash_bands_for(
+    target_recall: float, jaccard: float, rows: int = ROWS_PER_BAND
+) -> int:
+    """Smallest band count whose S-curve recall at `jaccard` meets
+    `target_recall` (rows fixed: row count sets the precision side —
+    more rows = sharper low-j rejection — while bands buy recall at
+    bands x signature/index cost). The deployment knob the r8 verdict
+    noted ('if a story needs >0.98 recall, raise N_BANDS'), made
+    analytic: e.g. >=0.98 at j=0.5 with r=2 needs ceil(log(0.02) /
+    log(1 - 0.25)) = 14 bands. Changing bands means re-deriving
+    MINHASH_SEEDS61 (bands*rows permutations) and rebuilding any
+    persisted band index — the same migration note as the r8 band-key
+    schema change."""
+    import math
+
+    if not 0 < target_recall < 1:
+        raise ValueError("target_recall must be in (0, 1)")
+    if not 0 < jaccard <= 1:
+        raise ValueError("jaccard must be in (0, 1]")
+    p = jaccard**rows
+    if p >= 1.0:
+        return 1
+    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p)))
+
+
 SIMHASH_BITS = 32
 
 

@@ -954,3 +954,34 @@ def test_rp_lsh_auto_bits_keeps_occupancy_constant(spark, sf_dir):
         (r.vec_a, r.vec_b) for r in rp_lsh_pairs(emb, bits=8).collect()
     )
     assert got_auto == got_fixed  # below the floor, auto == default
+
+
+def test_minhash_banding_solver_matches_s_curve():
+    """The banding solver must (a) reproduce the measured r8 operating
+    point and (b) return the minimal band count meeting the target —
+    the analytic form of 'raise N_BANDS for more recall'."""
+    from cdc_debezium_spark.ext.hashing import (
+        N_BANDS,
+        ROWS_PER_BAND,
+        lsh_recall,
+        minhash_bands_for,
+    )
+
+    # the shipped 4x2 config: 0.684 at EXACTLY j=0.5, 0.983 at j=0.8 —
+    # the r8 measured 0.975 is the aggregate over the true-pair j
+    # DISTRIBUTION (mostly well above the 0.5 threshold), consistent
+    # with this curve
+    assert abs(lsh_recall(0.5, N_BANDS, ROWS_PER_BAND) - 0.68359375) < 1e-9
+    assert abs(lsh_recall(0.8, N_BANDS, ROWS_PER_BAND) - 0.98320384) < 1e-8
+    # >=0.98 recall at j=0.5 needs 14 bands with r=2
+    b = minhash_bands_for(0.98, 0.5, rows=2)
+    assert b == 14
+    assert lsh_recall(0.5, b, 2) >= 0.98 > lsh_recall(0.5, b - 1, 2)
+    # minimality + monotonicity across targets and thresholds
+    for target in (0.9, 0.99, 0.999):
+        for j in (0.4, 0.5, 0.7, 0.9):
+            b = minhash_bands_for(target, j)
+            assert lsh_recall(j, b) >= target
+            assert b == 1 or lsh_recall(j, b - 1) < target
+    # exact duplicates always collide in any single band
+    assert minhash_bands_for(0.999999, 1.0) == 1
