@@ -927,6 +927,14 @@ def _swap_base(path: str, merged: DataFrame) -> dict:
       4. rmtree _base_retired
       5. rmtree each delta               (partial removal: duplicates,
                                           absorbed)
+
+    Post-crash entry (r10 review finding): if a prior crash landed
+    between steps 2 and 3, this function is re-entered with base
+    absent and _base_retired holding the ONLY compacted copy. Retired
+    must then outlive the publish of the new base — deleting it first
+    (as the r9 code did) reopened the exact window the sequence
+    exists to close. Rule: _base_retired is removed only once a
+    directory that supersedes it (`base`) is in place.
     """
     import shutil
 
@@ -935,12 +943,20 @@ def _swap_base(path: str, merged: DataFrame) -> dict:
     merged.write.mode("overwrite").parquet(tmp)
     base = os.path.join(path, "base")
     retired = os.path.join(path, "_base_retired")
-    if os.path.isdir(retired):  # leftover from an earlier crash
-        shutil.rmtree(retired)
     if os.path.isdir(base):
+        # base supersedes any leftover retired copy; safe to clear it
+        # to make room for the rename.
+        if os.path.isdir(retired):
+            shutil.rmtree(retired)
         os.rename(base, retired)
-    os.rename(tmp, base)
-    shutil.rmtree(retired, ignore_errors=True)
+        os.rename(tmp, base)
+        shutil.rmtree(retired, ignore_errors=True)
+    else:
+        # recovery compact: retired (+deltas) is the only readable
+        # copy — publish the new base FIRST, retire second.
+        os.rename(tmp, base)
+        if os.path.isdir(retired):
+            shutil.rmtree(retired, ignore_errors=True)
     for d in deltas:
         shutil.rmtree(d, ignore_errors=True)
     return {"deltas_folded": len(deltas)}

@@ -646,6 +646,71 @@ def test_delta_sink_base_swap_crash_leaves_readable_state(spark, sf_dir, tmp_pat
     shutil.rmtree(state, ignore_errors=True)
 
 
+def test_delta_sink_crash_during_recovery_compact(spark, sf_dir, tmp_path, monkeypatch):
+    """r10 review finding: when _swap_base is re-entered post-crash
+    (base absent, _base_retired holding the only compacted copy), the
+    r9 code rmtree'd retired BEFORE publishing the new base — a second
+    crash in that window left readers with deltas only. The fixed
+    sequence publishes base first, so a crash at the FIRST destructive
+    op of the recovery compact must still leave the full answer
+    readable."""
+    import os
+    import shutil
+
+    import cdc_debezium_spark.streaming.state as state_mod
+    from cdc_debezium_spark.streaming.state import DeltaUpsertSink
+
+    chunk_dir = str(tmp_path / "chunks")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+    state = str(tmp_path / "mor")
+    sink = DeltaUpsertSink(state, keys=["pk"], order=["ts_us", "ord2"])
+    q = run_upsert_stream(
+        cdc.to_cdc(read_event_stream(spark, chunk_dir)), sink, str(tmp_path / "cp")
+    )
+    assert q.awaitTermination(120)
+    cols = ["pk", "ts_us", "val"]
+    sink.compact(spark)
+    sink(cdc.cdc_events(spark, sf_dir).limit(100), 99)
+    want = _rows(sink.read_live(spark), cols)
+
+    # first crash: between retire (step 2) and publish (step 3)
+    merged = sink.current_state(spark)
+    merged.write.mode("overwrite").parquet(os.path.join(state, "_base_next"))
+    os.rename(os.path.join(state, "base"), os.path.join(state, "_base_retired"))
+
+    # second crash: immediately AFTER the first rmtree the RECOVERY
+    # compact completes (the destructive op lands, then we die —
+    # the r9 ordering deleted retired here with base unpublished)
+    real_rmtree = shutil.rmtree
+    calls = {"n": 0}
+
+    def crashing_rmtree(p, *a, **kw):
+        calls["n"] += 1
+        real_rmtree(p, ignore_errors=True)
+        raise RuntimeError("simulated crash after first destructive op")
+
+    assert state_mod is not None  # _swap_base imports shutil locally -> global patch reaches it
+    monkeypatch.setattr(shutil, "rmtree", crashing_rmtree)
+    try:
+        sink.compact(spark)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    assert calls["n"] == 1  # compact reached a destructive op, then "crashed"
+
+    # the full answer must still be readable: with the r9 ordering the
+    # retired dir (only compacted copy) was already gone and base was
+    # not yet published -> rows lost. Fixed ordering: base exists.
+    assert os.path.isdir(os.path.join(state, "base"))
+    assert _rows(sink.read_live(spark), cols) == want
+
+    # and a clean compact from here converges
+    sink.compact(spark)
+    assert _rows(sink.read_live(spark), cols) == want
+    assert not os.path.isdir(os.path.join(state, "_base_retired"))
+    shutil.rmtree(state, ignore_errors=True)
+
+
 def test_delta_upsert_sink_compaction_crash_window(spark, sf_dir, tmp_path):
     """An orphan delta surviving a compaction crash (re-added after the
     fold) must not change the derived state: its rows are older-or-
