@@ -2076,36 +2076,43 @@ def cdc_stream_latest_state_roundtrip(spark, sf_dir):
     redelivery the reference's 5 s offset-flush window implies
     (prod-resources.yaml:14-20) — through the idempotent upsert sink,
     and the landed state must hash-equal the batch latest-state
-    oracle. Until now the streaming parity contract lived only in
-    pytest golden tests; this puts the micro-batch runtime itself
-    under the driver's cross-engine check.
+    oracle.
+
+    PRODUCTION SINK (r10, per the r9 profiling verdict): the
+    merge-on-read DeltaUpsertSink — each micro-batch only APPENDS
+    (O(batch), no read of prior state); the latest-per-key window
+    runs once at read, and compaction every 3 batches folds state to
+    one row per key (true log compaction: state size is #keys, not
+    log size), firing mid-stream so the final read crosses a
+    compacted base AND live deltas. STREAM_PROFILE_r09.json showed
+    the copy-on-write sink's per-batch addBatch grows with
+    accumulated state (O(total²/batch) over a drain) — the family's
+    100 TB scale-killer; that sink now lives in the
+    cdc_stream_latest_state_cow_roundtrip diagnostic.
 
     Determinism: chunk files carry strictly increasing mtimes
     (write_event_chunks), so "one chunk per micro-batch, in log
-    order" is a fixture guarantee, and the sink's per-key
-    (ts_us, ord2) ordering makes the fold robust to any residual
-    batch interleaving. Per-invocation state/checkpoint dirs are
-    recreated from scratch, so re-runs are self-contained.
-
-    Scale shape: the sink rewrites only touched buckets per batch
-    (broadcast semi-join partition pruning); the chunked fixture
-    generator is test-only by design — in production the source is
-    the Kafka topic itself. The final collect is key-cardinality
-    bounded (distinct pks, not log length) and exists only so the
-    result survives the fixture-dir cleanup — driver-gate only.
+    order" is a fixture guarantee, and the read-side per-key
+    (ts_us, ord2) max makes the fold robust to any residual batch
+    interleaving. Per-invocation state/checkpoint dirs are recreated
+    from scratch, so re-runs are self-contained. The final collect is
+    key-cardinality bounded (distinct pks, not log length) and exists
+    only so the result survives the fixture-dir cleanup.
     """
     import shutil
     import tempfile
 
     from .streaming.replay import event_chunks_cached, read_event_stream
-    from .streaming.state import ParquetUpsertSink, run_upsert_stream
+    from .streaming.state import DeltaUpsertSink, run_upsert_stream
 
     base = tempfile.mkdtemp(prefix="cdc_stream_gate_")
     state, cp = f"{base}/state", f"{base}/cp"
     try:
         chunks = event_chunks_cached(spark, sf_dir, n_chunks=4, repeat=2)
         stream = cdc.to_cdc(read_event_stream(spark, chunks))
-        sink = ParquetUpsertSink(state, keys=["pk"], order=["ts_us", "ord2"])
+        sink = DeltaUpsertSink(
+            state, keys=["pk"], order=["ts_us", "ord2"], compact_every=3
+        )
         q = run_upsert_stream(stream, sink, cp)
         if not q.awaitTermination(300):
             q.stop()
@@ -2410,22 +2417,33 @@ def cdc_checkpoint_resume_roundtrip(spark, sf_dir):
 def cdc_scd2_stream_roundtrip(spark, sf_dir):
     """B7 on the STREAMING runtime, behind the gate: incremental SCD2
     history maintenance. The chunked log replays — every chunk
-    delivered twice (at-least-once) — through Scd2HistorySink, which
-    rewrites only touched buckets per micro-batch and re-derives each
-    key's [valid_from, valid_to) intervals from its deduped event
-    set; the final history table must hash-equal the batch SCD2
-    window oracle row-for-row (every event, every interval bound,
-    open intervals as NULL valid_to). History maintenance is the DW
-    sink's audit contract (README.md:49) — harder than latest-state
-    because a late event SPLICES an interval (shortens its
-    predecessor's valid_to), which the set-derivation handles by
-    construction rather than by patching.
+    delivered twice (at-least-once) — and the final history table
+    must hash-equal the batch SCD2 window oracle row-for-row (every
+    event, every interval bound, open intervals as NULL valid_to).
+    History maintenance is the DW sink's audit contract
+    (README.md:49) — harder than latest-state because a late event
+    SPLICES an interval (shortens its predecessor's valid_to), which
+    the set-derivation handles by construction rather than by
+    patching.
+
+    PRODUCTION SINK (r10, per the r9 profiling verdict): the
+    merge-on-read Scd2DeltaHistorySink — per micro-batch the sink
+    only APPENDS the deduped batch (O(batch), no read of prior
+    state); redelivered rows are absorbed by the read-side (pk, ord2)
+    dedup and intervals derive with ONE lead() window at read.
+    Compaction every 3 batches exercises the delta->base fold
+    mid-stream, so the final read crosses a compacted base AND live
+    deltas. Measured at sf1 (STREAM_PROFILE_r09.json): copy-on-write
+    drain 29.7 s with per-batch cost growing in accumulated state
+    (O(total²/batch)); merge-on-read 13.0 s, flat per-batch — the
+    property that survives 100 TB. The copy-on-write sink now lives
+    in the cdc_scd2_stream_cow_roundtrip diagnostic.
     """
     import shutil
     import tempfile
 
     from .streaming.replay import event_chunks_cached, read_event_stream
-    from .streaming.state import Scd2HistorySink, run_upsert_stream
+    from .streaming.state import Scd2DeltaHistorySink, run_upsert_stream
 
     # history is LOG-sized (every event keeps a row) — never collect
     # it to the driver; the state lives in a per-fixture scratch dir
@@ -2436,7 +2454,7 @@ def cdc_scd2_stream_roundtrip(spark, sf_dir):
     try:
         chunks = event_chunks_cached(spark, sf_dir, n_chunks=4, repeat=2)
         stream = cdc.to_cdc(read_event_stream(spark, chunks))
-        sink = Scd2HistorySink(state, keys=["pk"])
+        sink = Scd2DeltaHistorySink(state, keys=["pk"], compact_every=3)
         q = run_upsert_stream(stream, sink, f"{base}/cp")
         if not q.awaitTermination(300):
             q.stop()
@@ -2451,7 +2469,7 @@ def cdc_scd2_stream_roundtrip(spark, sf_dir):
 
 
 @query(
-    "cdc_stream_latest_state_delta_roundtrip",
+    "cdc_stream_latest_state_cow_roundtrip",
     oracle=CDC_CTE
     + """
     SELECT pk, ts_us, val
@@ -2462,36 +2480,34 @@ def cdc_scd2_stream_roundtrip(spark, sf_dir):
     WHERE op <> 'd'
     """,
 )
-def cdc_stream_latest_state_delta_roundtrip(spark, sf_dir):
-    """E1/E7/E10 via the merge-on-read upsert sink (compacted-topic
-    analog): the same chunked at-least-once replay and the SAME oracle
-    as cdc_stream_latest_state_roundtrip, but each micro-batch only
-    APPENDS (O(batch)); the latest-per-key window runs once at read,
-    and compaction every 3 batches folds state down to one row per key
-    (true log compaction — state size is #keys, not log size), firing
-    mid-stream so the final read crosses a compacted base AND live
-    deltas. Tombstones are retained through compaction and filtered by
-    read_live, the retention contract of the copy-on-write twin."""
+def cdc_stream_latest_state_cow_roundtrip(spark, sf_dir):
+    """DIAGNOSTIC (r10): the copy-on-write ParquetUpsertSink on the
+    same chunked at-least-once replay and the SAME oracle as the
+    canonical cdc_stream_latest_state_roundtrip. The sink rewrites
+    touched buckets per micro-batch (broadcast semi-join partition
+    pruning) — write-time merge with zero read-time work, correct and
+    useful at modest state, but per-batch cost grows with accumulated
+    state (STREAM_PROFILE_r09.json: O(total²/batch) over a drain), so
+    it was demoted from the production key when the merge-on-read
+    DeltaUpsertSink took it over. Kept oracled as the differential
+    twin: both sinks must land the identical latest-state table."""
     import shutil
     import tempfile
 
     from .streaming.replay import event_chunks_cached, read_event_stream
-    from .streaming.state import DeltaUpsertSink, run_upsert_stream
+    from .streaming.state import ParquetUpsertSink, run_upsert_stream
 
-    state = _format_lane_dir("latest_state_delta", sf_dir)
-    shutil.rmtree(state, ignore_errors=True)
-    base = tempfile.mkdtemp(prefix="cdc_latest_delta_gate_")
+    base = tempfile.mkdtemp(prefix="cdc_latest_cow_gate_")
+    state, cp = f"{base}/state", f"{base}/cp"
     try:
         chunks = event_chunks_cached(spark, sf_dir, n_chunks=4, repeat=2)
         stream = cdc.to_cdc(read_event_stream(spark, chunks))
-        sink = DeltaUpsertSink(
-            state, keys=["pk"], order=["ts_us", "ord2"], compact_every=3
-        )
-        q = run_upsert_stream(stream, sink, f"{base}/cp")
+        sink = ParquetUpsertSink(state, keys=["pk"], order=["ts_us", "ord2"])
+        q = run_upsert_stream(stream, sink, cp)
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError(
-                "cdc_stream_latest_state_delta_roundtrip: stream did not "
+                "cdc_stream_latest_state_cow_roundtrip: stream did not "
                 "drain in 300s"
             )
         out = sink.read_live(spark).select("pk", "ts_us", "val")
@@ -2502,7 +2518,7 @@ def cdc_stream_latest_state_delta_roundtrip(spark, sf_dir):
 
 
 @query(
-    "cdc_scd2_stream_delta_roundtrip",
+    "cdc_scd2_stream_cow_roundtrip",
     oracle=CDC_CTE
     + """
     SELECT pk, ord2, op, val,
@@ -2511,37 +2527,36 @@ def cdc_stream_latest_state_delta_roundtrip(spark, sf_dir):
     FROM cdc_events
     """,
 )
-def cdc_scd2_stream_delta_roundtrip(spark, sf_dir):
-    """B7 on the STREAMING runtime via the merge-on-read sink — the
-    scale path the r8-verdict-#7 profiling mandated. Same chunked
-    at-least-once replay and the SAME oracle as
-    cdc_scd2_stream_roundtrip, but per micro-batch the sink only
-    APPENDS the deduped batch (O(batch), no read of prior state);
-    redelivered rows are absorbed by the read-side (pk, ord2) dedup
-    and intervals derive with ONE lead() window at read. Compaction
-    every 3 batches exercises the delta->base fold mid-stream, so the
-    final read crosses a compacted base AND live deltas. Measured at
-    sf1: stream drain 29.7 s (copy-on-write) -> see SCALE.md §Round-9
-    for the delta figure; per-batch cost is flat in state size, the
-    property that survives 100 TB."""
+def cdc_scd2_stream_cow_roundtrip(spark, sf_dir):
+    """DIAGNOSTIC (r10): the copy-on-write Scd2HistorySink on the same
+    chunked at-least-once replay and the SAME oracle as the canonical
+    cdc_scd2_stream_roundtrip. The sink rewrites only touched buckets
+    per micro-batch and re-derives each key's [valid_from, valid_to)
+    intervals from its deduped event set — write-time merge, zero
+    read-time work, but per-batch addBatch cost grows with
+    accumulated history (STREAM_PROFILE_r09.json measured 93% of a
+    29.7 s sf1 drain in state-sized addBatch work), so the
+    merge-on-read Scd2DeltaHistorySink took over the production key.
+    Kept oracled as the differential twin: both sinks must land the
+    identical interval table."""
     import shutil
     import tempfile
 
     from .streaming.replay import event_chunks_cached, read_event_stream
-    from .streaming.state import Scd2DeltaHistorySink, run_upsert_stream
+    from .streaming.state import Scd2HistorySink, run_upsert_stream
 
-    state = _format_lane_dir("scd2_stream_delta", sf_dir)
+    state = _format_lane_dir("scd2_stream_cow", sf_dir)
     shutil.rmtree(state, ignore_errors=True)
-    base = tempfile.mkdtemp(prefix="cdc_scd2_delta_gate_")
+    base = tempfile.mkdtemp(prefix="cdc_scd2_cow_gate_")
     try:
         chunks = event_chunks_cached(spark, sf_dir, n_chunks=4, repeat=2)
         stream = cdc.to_cdc(read_event_stream(spark, chunks))
-        sink = Scd2DeltaHistorySink(state, keys=["pk"], compact_every=3)
+        sink = Scd2HistorySink(state, keys=["pk"])
         q = run_upsert_stream(stream, sink, f"{base}/cp")
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError(
-                "cdc_scd2_stream_delta_roundtrip: stream did not drain in 300s"
+                "cdc_scd2_stream_cow_roundtrip: stream did not drain in 300s"
             )
         return sink.read_history(spark).select(
             "pk", "ord2", "op", "val", "valid_from_us", "valid_to_us"

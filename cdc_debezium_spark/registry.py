@@ -36,7 +36,18 @@ def query(key: str, oracle: str | None = None):
 # fails if the layout stops leading with the oldest debt, or if this
 # marker falls >1 round behind the newest committed file (the rebuild
 # ratchet).
-_PRIORITY_BUILT_FROM = 8
+_PRIORITY_BUILT_FROM = 9
+
+# Keys whose registered implementation changed materially AFTER their
+# last driver sample — the prior CORRECTNESS rows attest retired code,
+# so the rotation (and the staleness guard) treats them as
+# never-sampled until the driver re-checks them. r10: the streaming
+# production lanes swapped from copy-on-write to the merge-on-read
+# sinks (r9 verdict item 1).
+_RESAMPLE_FORCED = {
+    "cdc_stream_latest_state_roundtrip",
+    "cdc_scd2_stream_roundtrip",
+}
 
 # Key-tiering policy (staleness is a policy, not an accident):
 #   hot  — CDC spine, streaming-runtime roundtrips, executed sink
@@ -52,98 +63,105 @@ _PRIORITY_BUILT_FROM = 8
 # _PRIORITY must lead with every never-sampled key, then the stalest
 # cohort, so any count-budgeted driver prefix retires the oldest debt.
 #
-# Round-9 layout (from CORRECTNESS_r01..r08): new round-9 keys lead
-# (never driver-sampled — the breadth guard requires them in the lead
-# block), then the 24-key r3-stale residue the r8 verdict named
-# ("What's wrong" #1), then the full 50-key r4 cohort ordered so the
-# TPC-H flagships (q1/q7/q8/q9) and sink/SMT spine fall inside a
-# 50-key driver budget (new + 24 + ~25). The r5/r6/r7/r8 cohorts
-# follow via load_all()'s tail ordering. Target after this round:
-# max driver staleness <= r5 across all 274+ keys.
+# Round-10 layout (from CORRECTNESS_r01..r09): never-driver-sampled
+# keys lead — the two renamed copy-on-write diagnostics plus the two
+# canonical streaming lanes whose implementation swapped to the
+# merge-on-read sinks this round (_RESAMPLE_FORCED: their r7 rows
+# attest the retired copy-on-write code). Then the full 28-key
+# r4-stale cohort the r9 verdict named (5 rounds without a driver
+# row), then the r5 cohort ordered hot-tier-first (CDC spine, wire
+# envelopes, bench-headline lanes) so a 50-key driver budget covers
+# lead + r4 + the hottest ~18 of r5. Target after this round: max
+# driver staleness <= r6 across all keys.
 _PRIORITY = [
-    # --- never driver-sampled (new in round 9) ---
-    "avro_schema_evolution_roundtrip",
-    "cdc_scd2_stream_delta_roundtrip",
-    "cdc_stream_latest_state_delta_roundtrip",
-    "ext_dedup_embedding_ann_trained",
-    # --- r3-stale residue (24): last driver row in CORRECTNESS_r03 ---
-    "tpch_q4",
-    "tpch_q22",
-    "agg_approx_quantile",
-    "agg_approx_topk",
-    "agg_theta_sketch_distinct",
-    "cdc_compaction_stats",
-    "cdc_schema_drift_stats",
-    "cdc_snapshot_diff",
-    "events_active_sessions_sweep",
-    "events_cohort_retention",
-    "events_funnel",
-    "events_gapfill_locf",
-    "events_ohlc_downsample",
-    "events_rate_anomaly",
-    "events_rolling_active_users",
-    "ext_corpus_pipeline",
-    "ext_dedup_containment",
-    "ext_embedding_pq",
-    "ext_multimodal_shards",
-    "ext_sample_importance",
-    "ext_similarity_ivfpq",
-    "ext_text_bpe_pairs",
-    "ext_text_chunk_dedup",
-    "ext_text_dedup_report",
-    # --- r4 cohort (50): flagships first so they make the budget cut ---
-    "tpch_q1",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "avro_roundtrip",
-    "cdc_outbox_router",
-    "cdc_incremental_snapshot",
-    "cdc_mask_columns",
-    "cdc_order_audit",
-    "cdc_transaction_metadata",
-    "cdc_dlq_split",
-    "join_skew_salted",
-    "join_shuffle_hash",
-    "agg_percentiles_exact",
-    "agg_argminmax",
-    "agg_histogram",
-    "agg_weighted",
-    "window_ntile",
-    "scalar_bitwise",
-    "layout_zorder",
-    "ext_dedup_exact_normalized",
-    "ext_dedup_embedding_ann",
+    # --- never driver-sampled under the current implementation ---
+    "cdc_stream_latest_state_cow_roundtrip",
+    "cdc_scd2_stream_cow_roundtrip",
+    "cdc_stream_latest_state_roundtrip",
+    "cdc_scd2_stream_roundtrip",
+    # --- r4-stale cohort (28): last driver row in CORRECTNESS_r04 ---
+    "ext_multimodal_scan",
+    "ext_multimodal_features",
+    "ext_multimodal_real_header",
+    "ext_multimodal_resize",
+    "ext_multimodal_audio_stats",
+    "ext_multimodal_video_frames",
     "ext_similarity_ivf_prod",
+    "ext_pack_sequences",
     "ext_pack_sequences_sharded",
+    "ext_pack_length_buckets",
+    "ext_mixture_token_budget",
+    "ext_quality_classifier",
     "ext_retrieval_bm25",
-    # --- r4 cohort continues (outside a 50-key budget, retired if the
-    #     driver samples deeper; otherwise they lead round 10) ---
+    "ext_retrieval_fusion",
+    "ext_sample_topk_hash",
+    "ext_source_quality_prior",
+    "ext_text_bigram_logprob",
+    "ext_text_unigram_logprob",
+    "ext_text_collocations",
+    "ext_text_oov_rate",
+    "ext_dedup_cluster_sizes",
+    "ext_dedup_levenshtein",
     "events_distribution_drift",
     "events_metric_correlation",
     "events_series_sax",
     "events_series_similarity",
     "events_transition_matrix",
     "events_user_lifetime",
-    "ext_dedup_cluster_sizes",
-    "ext_dedup_levenshtein",
-    "ext_mixture_token_budget",
-    "ext_multimodal_audio_stats",
-    "ext_multimodal_features",
-    "ext_multimodal_real_header",
-    "ext_multimodal_resize",
-    "ext_multimodal_scan",
-    "ext_multimodal_video_frames",
-    "ext_pack_length_buckets",
-    "ext_pack_sequences",
-    "ext_quality_classifier",
-    "ext_retrieval_fusion",
-    "ext_sample_topk_hash",
-    "ext_source_quality_prior",
-    "ext_text_bigram_logprob",
-    "ext_text_collocations",
-    "ext_text_oov_rate",
-    "ext_text_unigram_logprob",
+    # --- r5 cohort (50), hot-tier first: CDC spine + wire envelopes +
+    #     bench-headline lanes make the 50-key budget cut ---
+    "cdc_latest_state",
+    "cdc_scd2_history",
+    "cdc_as_of_snapshot",
+    "cdc_unwrap",
+    "cdc_delete_rewrite",
+    "cdc_mysql_envelope",
+    "cdc_mongo_envelope",
+    "scan_events",
+    "snapshot_union_stream",
+    "filter_table_include",
+    "json_roundtrip",
+    "route_regex",
+    "dedup_exact",
+    "join_large",
+    "join_as_of",
+    "agg_groupby",
+    "agg_rollup",
+    "window_running",
+    # --- r5 cohort continues (outside a 50-key budget; they lead the
+    #     r11 rebuild if the driver doesn't sample deeper) ---
+    "topk_per_group",
+    "udf_grouped_processor",
+    "window_rank",
+    "join_inner",
+    "join_broadcast",
+    "agg_approx_quantile_prod",
+    "agg_cms_partial_merge",
+    "agg_hll_partial_merge",
+    "agg_theta_sketch_prod",
+    "agg_mode",
+    "agg_string_agg",
+    "cdc_gdpr_erasure",
+    "cdc_referential_audit",
+    "cdc_table_changes",
+    "events_cusum",
+    "events_ewma",
+    "events_funnel_windowed",
+    "events_gapfill_interp",
+    "events_trend_ols",
+    "ext_eval_overlap_report",
+    "ext_graph_pagerank",
+    "ext_multimodal_dhash",
+    "ext_sample_dsir",
+    "ext_similarity_mrl_rerank",
+    "ext_text_bpe_encode",
+    "ext_text_bpe_train",
+    "ext_text_feature_hashing",
+    "ext_text_kn_logprob",
+    "join_interval_overlap",
+    "scalar_interval",
+    "scalar_url",
+    "window_range_frame",
 ]
 
 

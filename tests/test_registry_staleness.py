@@ -55,6 +55,11 @@ def _last_sampled(rounds: dict[int, set[str]], upto: int) -> dict[str, int]:
             continue
         for k in rounds[r]:
             last[k] = r
+    # a key whose registered implementation changed after its last
+    # driver sample has no valid row — the rotation must treat it as
+    # never-sampled (registry._RESAMPLE_FORCED)
+    for k in getattr(registry, "_RESAMPLE_FORCED", ()):
+        last.pop(k, None)
     return last
 
 
