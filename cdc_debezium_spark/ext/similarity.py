@@ -153,7 +153,12 @@ def _assign_packed(v: DataFrame, cents, extra: list[str]) -> DataFrame:
 
     Fallback (empty centroid set): the packed-expression path — k
     centroids in ONE broadcast row, narrow per-vector array_min pass,
-    the identical float sequence."""
+    the identical float sequence.
+
+    Precondition: every vector and centroid has norm > 0. A zero norm
+    yields NaN cosines, where the two lanes would diverge (np.argmin
+    picks the first NaN index; array_min under Spark's NaN-greatest
+    ordering picks a real minimum) — the kernel path raises instead."""
     import numpy as np
     import pandas as pd
 
@@ -163,14 +168,24 @@ def _assign_packed(v: DataFrame, cents, extra: list[str]) -> DataFrame:
         C = np.array([r["cv"] for r in crows], dtype=np.float64)
         cn = np.array([r["cnorm"] for r in crows], dtype=np.float64)
         cell_ids = np.array([r["cell"] for r in crows], dtype=np.int64)
+        # Precondition (r10 review): zero-norm inputs make the cosine
+        # NaN, and the kernel (np.argmin picks the first NaN slot) and
+        # the expression fold (array_min under Spark's NaN-greatest
+        # ordering picks a real minimum) DIVERGE on NaN — so degenerate
+        # inputs must fail loudly in both lanes, never silently differ.
+        if not (cn > 0).all():
+            raise ValueError("_assign_packed: zero-norm centroid")
 
         def run(batches):
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                norms = pdf["norm"].to_numpy()
+                if not (norms > 0).all():
+                    raise ValueError("_assign_packed: zero-norm vector")
                 nc = _neg_cosine_matrix(
-                    A, pdf["norm"].to_numpy(), C, cn
+                    A, norms, C, cn
                 )
                 best = np.argmin(nc, axis=1)
                 out = {"vec_id": pdf["vec_id"].to_numpy()}
@@ -278,9 +293,32 @@ def _quantized(v: DataFrame, scale: float) -> DataFrame:
 
 # Trained centroid sets are immutable for a given corpus: training on
 # every query is the anti-pattern the r2 verdict flagged. Keyed by
-# (corpus id, hyperparams); holds k rows of driver state — the same
-# thing train_ivf_index persists to parquet, kept in-process.
+# (corpus id, corpus fingerprint, hyperparams); holds k rows of driver
+# state — the same thing train_ivf_index persists to parquet, kept
+# in-process. The fingerprint (max mtime of the embeddings parquet
+# under the cache_key dir) makes in-process fixture regeneration a
+# cache MISS — the staleness discipline the pair/chunk caches already
+# follow (r9 review).
 _INDEX_CACHE: dict[tuple, list] = {}
+
+
+def _corpus_fingerprint(cache_key: str) -> int | None:
+    """Max mtime (µs) of the embeddings parquet under a fixture dir;
+    None when cache_key isn't a fixture dir (caller-managed keys)."""
+    import os
+
+    p = os.path.join(cache_key, "embeddings.parquet")
+    try:
+        if os.path.isdir(p):
+            mt = max(
+                (os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)),
+                default=os.path.getmtime(p),
+            )
+        else:
+            mt = os.path.getmtime(p)
+        return int(mt * 1e6)
+    except OSError:
+        return None
 
 
 def kmeans_centroids(
@@ -314,7 +352,8 @@ def kmeans_centroids(
     Fixed k keeps assignment cost O(n*k) — linear in the corpus.
     """
     spark = emb.sparkSession
-    ck = (cache_key, k, iters, exact, quant_bits)
+    fp = _corpus_fingerprint(cache_key) if cache_key is not None else None
+    ck = (cache_key, fp, k, iters, exact, quant_bits)
     if cache_key is not None and ck in _INDEX_CACHE:
         return spark.createDataFrame(_INDEX_CACHE[ck], CENT_SCHEMA)
     v = _with_unit(emb)

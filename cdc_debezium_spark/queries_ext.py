@@ -418,7 +418,14 @@ def ext_dedup_minhash_incremental(spark, sf_dir):
     for i in range(3):
         chunk = docs.where(F.col("doc_id") % 3 == i)
         index, pairs = dedup.incremental_minhash_candidates(index, chunk)
-        index = index.localCheckpoint()  # persist the index state per batch
+        # localCheckpoint is CORRECT here (contrast _survivor_pairs,
+        # which must keep lineage for a shared long-lived cache):
+        # iterative per-batch state would otherwise accumulate one
+        # union per ingest batch into an unbounded plan, and the
+        # truncated state is consumed within this single lane — an
+        # executor loss costs one lane re-run, not session-wide
+        # 'checkpoint block not found' errors.
+        index = index.localCheckpoint()
         parts.append(pairs)
     out = parts[0]
     for p in parts[1:]:
@@ -3848,10 +3855,11 @@ def ext_similarity_rp_lsh_recall(spark, sf_dir):
     ).persist()
     try:
         out = _rp_recall_sweep(emb, truth)
-        # the report is a handful of rows: materialize it
-        # (localCheckpoint) so the truth cache can be released instead
-        # of leaking into executor storage per sweep invocation (r7
-        # advice) — and release it on the exception path too
+        # the report is a HANDFUL of rows: localCheckpoint is safe
+        # (contrast _survivor_pairs — a bounded, lane-local result has
+        # no shared consumers to strand on executor loss) and lets the
+        # corpus-sized truth cache be released on every path instead
+        # of leaking into executor storage per sweep invocation
         out = out.localCheckpoint()
     finally:
         truth.unpersist()
