@@ -112,6 +112,21 @@ def _capped_pair_counts(
     # named next step for this lane (SCALE.md). Values are the
     # engine-portable md5-prefix polynomial hashes; distinct-per-doc
     # semantics match the old list_distinct string shingles.
+    #
+    # Shuffle-layout notes (r10, all three variants measured at sf1
+    # AND sf10 — keep this layout):
+    # * The per-doc dedup exchange leaves the posting rows
+    #   DOC-CLUSTERED and the persisted cache preserves that order;
+    #   in the broadcastable regime every join streams the
+    #   doc-ordered leg, so the candidate-pair exchange writes long
+    #   doc_a runs that LZ4 compresses ~5x (24 MB vs 125 MB at sf1
+    #   when the stream side is shingle-ordered). Repartitioning by
+    #   shingle is strictly worse: +1 corpus exchange, 5x pair bytes.
+    # * The persist is load-bearing AT THE DECADE, not just a CPU
+    #   saver: without it each of the five consumers re-plans its own
+    #   corpus-sized exchange once the joins flip past the broadcast
+    #   threshold (sf10 measured 5,178 MB shuffled vs 2,384 with the
+    #   cache).
     rows = (
         _shingle_hash_rows(docs, n=n, distinct=True)
         .withColumnRenamed("shash", "s")
@@ -124,42 +139,70 @@ def _capped_pair_counts(
     # (They still count toward na/nb via `sizes`, so scores are
     # unchanged.) Measured at sf1 this cuts the candidate join input
     # ~10x.
-    capped = rows.join(
-        df_tab.where((F.col("df") >= 2) & (F.col("df") <= max_df)).select("s"),
-        "s",
-    )
-    ni_rare = (
-        capped.alias("a")
-        .join(capped.alias("b"), "s")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("ni_rare"))
-    )
+    # capped postings: the one corpus x df join (its single consumer
+    # is the self-join below — a second consumer makes AQE re-shuffle
+    # the corpus leg per consumer, measured +2 copies at sf10)
+    withdf = rows.join(df_tab, "s")
     sizes = rows.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    # over-cap per-doc counts via the FILTERED df table: df>max_df
+    # shingles number <= total_rows/max_df, so this side stays
+    # broadcast-small until extreme corpus sizes (planner-chosen, not
+    # pinned — it degrades to one linear copy, never candidate mass)
     over_cap = (
         rows.join(df_tab.where(F.col("df") > max_df).select("s"), "s")
         .groupBy("doc_id")
         .agg(F.count("*").alias("cc"))
     )
+    # Pack each doc's (nsh, cc) into ONE long: cc <= nsh < 2^42
+    # shingles per document, cc < 2^21 over-cap shingles (a 2M-shingle
+    # doc is ~4 MB of text per shingle stream — far past any real
+    # document), so pk = nsh * 2^21 + cc is exact and halves the
+    # carried-stats payload on every posting and pair row.
+    _PK = 1 << 21
     stats = sizes.join(over_cap, "doc_id", "left").select(
-        "doc_id", "nsh", F.coalesce("cc", F.lit(0)).alias("cc")
+        "doc_id",
+        (
+            F.col("nsh") * F.lit(_PK) + F.coalesce("cc", F.lit(0))
+        ).alias("pk"),
     )
-    bounded = ni_rare.join(
-        stats.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("nsh").alias("na"),
-            F.col("cc").alias("ca"),
-        ),
-        "doc_a",
-    ).join(
-        stats.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("nsh").alias("nb"),
-            F.col("cc").alias("cb"),
-        ),
-        "doc_b",
+    # Carry the packed doc stats ON the posting rows into the
+    # self-join so the candidate aggregate emits the bound inputs
+    # directly (first() over per-doc constants). r10 sf10 probe: the
+    # old shape joined the CANDIDATE SET to the doc-stats table twice
+    # after the aggregate, and once the stats join falls off the
+    # broadcast path those two joins re-shuffle the full candidate
+    # mass — 2.4 GB of a 5.7 GB lane at sf10. The stats-into-postings
+    # join here moves corpus-linear rows instead (doc-sized stats
+    # auto-broadcasts while it fits; at cluster scale it degrades to
+    # ONE linear copy of the postings — always <= candidate mass).
+    capped_aug = (
+        withdf.where((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("doc_id", "s")
+        .join(stats, "doc_id")
+    )
+    bounded = (
+        capped_aug.alias("a")
+        .join(capped_aug.alias("b"), "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count("*").alias("ni_rare"),
+            F.first("a.pk").alias("pka"),
+            F.first("b.pk").alias("pkb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "ni_rare",
+            # shiftright/% are exact long ops (a float division would
+            # lose low bits past 2^52)
+            F.shiftright("pka", 21).alias("na"),
+            (F.col("pka") % _PK).alias("ca"),
+            F.shiftright("pkb", 21).alias("nb"),
+            (F.col("pkb") % _PK).alias("cb"),
+        )
     )
     ub = F.col("ni_rare") + F.least("ca", "cb")
     if kind == "jaccard":

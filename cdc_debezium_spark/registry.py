@@ -43,10 +43,14 @@ _PRIORITY_BUILT_FROM = 9
 # so the rotation (and the staleness guard) treats them as
 # never-sampled until the driver re-checks them. r10: the streaming
 # production lanes swapped from copy-on-write to the merge-on-read
-# sinks (r9 verdict item 1).
+# sinks (r9 verdict item 1), and the ngram/containment candidate
+# phase was restructured for decade-scale shuffle mass (packed
+# doc-stats carried through the self-join; r9 verdict item 4).
 _RESAMPLE_FORCED = {
     "cdc_stream_latest_state_roundtrip",
     "cdc_scd2_stream_roundtrip",
+    "ext_dedup_ngram",
+    "ext_dedup_containment",
 }
 
 # Key-tiering policy (staleness is a policy, not an accident):
@@ -79,6 +83,8 @@ _PRIORITY = [
     "cdc_scd2_stream_cow_roundtrip",
     "cdc_stream_latest_state_roundtrip",
     "cdc_scd2_stream_roundtrip",
+    "ext_dedup_ngram",
+    "ext_dedup_containment",
     # --- r4-stale cohort (28): last driver row in CORRECTNESS_r04 ---
     "ext_multimodal_scan",
     "ext_multimodal_features",
