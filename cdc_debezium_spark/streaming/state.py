@@ -1104,8 +1104,16 @@ class Scd2DeltaHistorySink:
         parts = _state_parts(self.path)
         if not parts:
             return None
-        return spark.read.parquet(*parts).dropDuplicates(
-            [*self.keys, self.ord_col]
+        # ONE exchange for the whole read path (r10 plan audit): a
+        # hash(keys) repartition satisfies the clustered-distribution
+        # requirement of BOTH the (keys, ord) dedup (subset rule) and
+        # the interval window (partitionBy keys) — letting the dedup
+        # pick its own exchange keyed (keys, ord) forces a second
+        # corpus shuffle before the window.
+        return (
+            spark.read.parquet(*parts)
+            .repartition(*self.keys)
+            .dropDuplicates([*self.keys, self.ord_col])
         )
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:

@@ -722,3 +722,39 @@ def test_tpch_join_heavy_exchange_budgets(spark, sf_dir):
         assert n <= max_shuffles, f"{key}: {n} shuffles"
         assert uses_broadcast(df), f"{key}: no broadcast in plan"
         assert "CartesianProduct" not in _physical(df), key
+
+
+def test_delta_sink_read_paths_single_shuffle(spark, tmp_path):
+    """r10 plan pin for the PRODUCTION streaming sinks (the canonical
+    cdc_stream_latest_state / cdc_scd2_stream lanes since the r10
+    promotion): both merge-on-read read paths must plan exactly ONE
+    exchange. read_live is a latest-per-key window over base+deltas;
+    read_history repartitions by the key columns so hash(keys)
+    satisfies BOTH the (keys, ord) dedup and the interval window —
+    letting the dedup pick a (keys, ord) exchange doubles the
+    read-path shuffle at any scale."""
+    from cdc_debezium_spark.streaming.state import (
+        DeltaUpsertSink,
+        Scd2DeltaHistorySink,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("pk"),
+        (F.col("id") * 7).alias("ts_us"),
+        F.col("id").alias("ord2"),
+        F.lit("u").alias("op"),
+        (F.col("id") % 13).cast("double").alias("val"),
+    )
+    h = Scd2DeltaHistorySink(str(tmp_path / "h"), keys=["pk"])
+    h(df, 0)
+    h(df, 1)  # redelivery: dedup absorbed inside the single exchange
+    hist = h.read_history(spark)
+    assert count_shuffles(hist) == 1, _physical(hist)
+    assert hist.count() == 500
+
+    u = DeltaUpsertSink(str(tmp_path / "u"), keys=["pk"], order=["ts_us", "ord2"])
+    u(df, 0)
+    u(df, 1)
+    live = u.read_live(spark)
+    assert count_shuffles(live) == 1, _physical(live)
+    assert live.count() == 500
