@@ -890,3 +890,162 @@ def udf_stateful_processor_roundtrip(spark, sf_dir):
         return spark.createDataFrame(rows, final.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas ships its state protocol over
+    protobuf: the Python worker imports google.protobuf.descriptor at
+    stream start and crashes without it. protobuf is on this repo's
+    documented environment-blocker ledger (SCALE.md), so the lane
+    registers only when the import succeeds — the code is complete
+    and self-activates the moment the environment gains protobuf."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_ORACLE = """
+    SELECT user_id,
+           count(*) AS n_events,
+           floor(max(value) * 10000.0 + 0.5) / 10000.0 AS max_val,
+           floor(last(value ORDER BY epoch_us(ts), event_id) * 10000.0 + 0.5)
+             / 10000.0 AS last_val
+    FROM events GROUP BY user_id
+    """
+
+
+def udf_stateful_tws_roundtrip(spark, sf_dir):
+    """F-surface stateful processor on transformWithStateInPandas —
+    Spark 4's arbitrary-state API (typed state variables on a RocksDB
+    store, the successor of applyInPandasWithState) — run on the real
+    streaming runtime behind the gate, SAME oracle contract as
+    udf_stateful_processor_roundtrip so the two stateful APIs are
+    differentially verified against one batch aggregate.
+
+    The processor holds one ValueState row per user (count, running
+    max, last value by (ts_us, event_id) order) and emits the
+    cumulative row each time the key appears; chunk-order robustness
+    is the same watermark-on-(ts,event_id) discipline as the classic
+    lane. The RocksDB state-store provider is REQUIRED by
+    transformWithState; it is set for this query's checkpoint only
+    and restored after (the other gate lanes keep the default HDFS
+    store their checkpoints were written with).
+
+    Scale shape: state is one fixed-width row per user in RocksDB —
+    the shape that spills to disk instead of executor heap at 100 TB
+    key cardinalities, which is the API's reason to exist.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from .streaming.replay import event_chunks_cached, read_event_stream
+
+    class Track(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "agg", "n long, mx double, last double, lts long, leid long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (uid,) = key
+            if self._st.exists():
+                n, mx, last, lts, leid = self._st.get()
+            else:
+                n, mx, last, lts, leid = 0, float("-inf"), 0.0, -1, -1
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+                at_max = pdf[pdf["ts_us"] == pdf["ts_us"].max()]
+                top = at_max.loc[at_max["event_id"].idxmax()]
+                if (int(top["ts_us"]), int(top["event_id"])) > (lts, leid):
+                    lts, leid = int(top["ts_us"]), int(top["event_id"])
+                    last = float(top["value"])
+            self._st.update((n, mx, last, lts, leid))
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "n_events": [n],
+                    "max_val": [mx],
+                    "last_val": [last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    base = tempfile.mkdtemp(prefix="stream_tws_gate_")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old_provider = spark.conf.get(provider_key, None)
+    try:
+        chunks = event_chunks_cached(spark, sf_dir, n_chunks=4)
+        stream = read_event_stream(spark, chunks)
+        spark.conf.set(provider_key, rocks)
+        emitted = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=Track(),
+            outputStructType="user_id long, n_events long, max_val double, "
+            "last_val double",
+            outputMode="Append",
+            timeMode="None",
+        )
+        name = f"tws_{uuid.uuid4().hex[:12]}"
+        q = (
+            emitted.writeStream.queryName(name)
+            .outputMode("append")
+            .format("memory")
+            .option("checkpointLocation", f"{base}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "udf_stateful_tws_roundtrip: stream did not drain in 300s"
+            )
+        out = spark.table(name)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        final = (
+            out.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "n_events",
+                (F.floor(F.col("max_val") * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+                    "max_val"
+                ),
+                (F.floor(F.col("last_val") * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+                    "last_val"
+                ),
+            )
+        )
+        rows = final.collect()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if _tws_available():  # pragma: no cover - environment-gated
+    query("udf_stateful_tws_roundtrip", oracle=_TWS_ORACLE)(
+        udf_stateful_tws_roundtrip
+    )

@@ -1798,3 +1798,26 @@ def test_tws_processor_parity(spark, sf_dir, tmp_path):
         ["user_id", "n", "mx"],
     )
     assert got == want
+
+
+def test_transform_with_state_lane(spark, sf_dir):
+    """Spark 4's transformWithStateInPandas (typed state variables on
+    RocksDB — the successor of applyInPandasWithState). The lane and
+    its oracle are fully written (queries_streaming.udf_stateful_tws_roundtrip)
+    but the API's state protocol imports google.protobuf in the Python
+    worker, which is on the documented environment-blocker ledger
+    (SCALE.md §Round-10 re-probe) — so registration is import-gated
+    and this test skips with the same reason until the environment
+    gains protobuf, at which point both activate unchanged."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState needs protobuf in the Python worker "
+        "(environment blocker ledger, SCALE.md)",
+    )
+    from cdc_debezium_spark.queries_streaming import udf_stateful_tws_roundtrip
+
+    out = udf_stateful_tws_roundtrip(spark, sf_dir)
+    assert out.count() > 0
+    assert set(out.columns) == {"user_id", "n_events", "max_val", "last_val"}
