@@ -1049,3 +1049,152 @@ if _tws_available():  # pragma: no cover - environment-gated
     query("udf_stateful_tws_roundtrip", oracle=_TWS_ORACLE)(
         udf_stateful_tws_roundtrip
     )
+
+
+@query(
+    "udf_session_timeout_roundtrip",
+    # Emitted sessions = every gap-closed session (a later event for
+    # the same user exists) plus each user's FINAL session iff the
+    # terminal watermark (global max event time - delay) passed its
+    # (last event + gap) timeout — exactly the EventTimeTimeout
+    # firing rule under ts-ordered chunk delivery with a trailing
+    # no-data micro-batch.
+    oracle=f"""
+    WITH t AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    marked AS (
+      SELECT user_id, us,
+             CASE WHEN us - lag(us) OVER w > {GAP_US}
+                    OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    numbered AS (
+      SELECT user_id, us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    sess AS (
+      SELECT user_id, sid, count(*) AS n,
+             min(us) AS start_us, max(us) AS last_us
+      FROM numbered GROUP BY user_id, sid
+    ),
+    finals AS (
+      SELECT user_id, max(sid) AS fsid FROM sess GROUP BY user_id
+    )
+    SELECT s.user_id, s.n, s.start_us, s.last_us
+    FROM sess s JOIN finals f ON s.user_id = f.user_id
+    WHERE s.sid < f.fsid
+       OR s.last_us + {GAP_US} <
+          (SELECT max(us) - {60 * 1_000_000} FROM t)
+    """,
+)
+def udf_session_timeout_roundtrip(spark, sf_dir):
+    """E5/F-surface EventTimeTimeout EXECUTED behind the gate:
+    user-session tracking where sessions close through BOTH paths the
+    stateful API offers — a new event past the 30 min gap splits
+    in-processor, and a user who never returns has their open session
+    flushed by the EVENT-TIME TIMEOUT when the watermark (driven by
+    OTHER users' events) passes last_event + gap. Until r10 every
+    stateful lane used GroupStateTimeout.NoTimeout; this lane gates
+    the timeout machinery itself — registration, hasTimedOut
+    delivery, and the trailing no-data micro-batch that fires
+    timeouts after the last file (noDataMicroBatches).
+
+    Determinism: chunks are ts-ordered slices with strictly increasing
+    mtimes, so the watermark after batch k is exactly
+    max(ts of chunks <= k) - 1 min, and the terminal no-data batch
+    fires every timeout below global_max - 1 min; the oracle mirrors
+    that rule in SQL (each user's final session is emitted iff
+    last + gap < global_max - delay). Within-batch multi-session
+    bursts split on the sorted event list, so one micro-batch can
+    emit several sessions for one key. repeat=1: the redelivery
+    contract is gated by the sink lanes; timeout semantics compose
+    with dedup, not with raw replay.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .streaming.replay import event_chunks_cached, read_event_stream
+
+    gap_us = GAP_US
+    delay = "1 minute"
+
+    def track(key, pdfs, state: GroupState):
+        (uid,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [uid], "n": [n], "start_us": [start], "last_us": [last]}
+            )
+            return
+        ev = pd.concat(list(pdfs), ignore_index=True)
+        ev = ev.sort_values(["ts_us", "event_id"])
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        out_rows = []
+        for ts in ev["ts_us"].tolist():
+            ts = int(ts)
+            if start is None:
+                start, last, n = ts, ts, 1
+            elif ts - last > gap_us:
+                out_rows.append((uid, n, start, last))
+                start, last, n = ts, ts, 1
+            else:
+                last, n = ts, n + 1
+        state.update((start, last, n))
+        # fire when the watermark passes last + gap (ms precision)
+        state.setTimeoutTimestamp((last + gap_us) // 1000 + 1)
+        if out_rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out_rows],
+                    "n": [r[1] for r in out_rows],
+                    "start_us": [r[2] for r in out_rows],
+                    "last_us": [r[3] for r in out_rows],
+                }
+            )
+
+    base = tempfile.mkdtemp(prefix="stream_session_timeout_gate_")
+    try:
+        chunks = event_chunks_cached(spark, sf_dir, n_chunks=4)
+        stream = (
+            read_event_stream(spark, chunks)
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+            .withWatermark("ts", delay)
+        )
+        emitted = stream.groupBy("user_id").applyInPandasWithState(
+            track,
+            outputStructType="user_id long, n long, start_us long, last_us long",
+            stateStructType="start long, last long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        name = f"sess_{uuid.uuid4().hex[:12]}"
+        q = (
+            emitted.writeStream.queryName(name)
+            .outputMode("append")
+            .format("memory")
+            .option("checkpointLocation", f"{base}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "udf_session_timeout_roundtrip: stream did not drain in 300s"
+            )
+        out = spark.table(name).select("user_id", "n", "start_us", "last_us")
+        rows = out.collect()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -79,6 +79,7 @@ _RESAMPLE_FORCED = {
 # driver staleness <= r6 across all keys.
 _PRIORITY = [
     # --- never driver-sampled under the current implementation ---
+    "udf_session_timeout_roundtrip",
     "cdc_stream_latest_state_cow_roundtrip",
     "cdc_scd2_stream_cow_roundtrip",
     "cdc_stream_latest_state_roundtrip",
