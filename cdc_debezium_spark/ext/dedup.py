@@ -45,6 +45,15 @@ from .hashing import (
 )
 from .text import shingles_col, tokens_col
 
+# Packed doc-stats layout for the ngram/containment candidate path:
+# pk = nsh * 2^_PK_BITS + cc, one long carried per posting row.
+# cc (over-cap shingle count) gets the low _PK_BITS; nsh (per-doc
+# distinct shingles) the remaining bits up to 2^_NSH_BITS. Module
+# level so the pack guard, the pack, and the unpack share one width
+# (and so the overflow test can narrow it without a 2M-shingle doc).
+_PK_BITS = 21
+_NSH_BITS = 42
+
 
 def exact_dupes(docs: DataFrame) -> DataFrame:
     """Exact dedup: digest groupBy; keeps the min doc_id as canonical."""
@@ -158,12 +167,29 @@ def _capped_pair_counts(
     # doc is ~4 MB of text per shingle stream — far past any real
     # document), so pk = nsh * 2^21 + cc is exact and halves the
     # carried-stats payload on every posting and pair row.
-    _PK = 1 << 21
+    _PK = 1 << _PK_BITS
+    # Domain guard (r10 review): a doc whose over-cap count reaches
+    # 2^21 (or whose shingle count reaches 2^42) would silently
+    # corrupt every unpacked bound downstream. Fail loudly instead —
+    # raise_error is a cheap per-row branch on a corpus-linear table.
+    _cc = F.coalesce("cc", F.lit(0))
     stats = sizes.join(over_cap, "doc_id", "left").select(
         "doc_id",
-        (
-            F.col("nsh") * F.lit(_PK) + F.coalesce("cc", F.lit(0))
-        ).alias("pk"),
+        F.when(
+            (_cc >= F.lit(_PK)) | (F.col("nsh") >= F.lit(1 << _NSH_BITS)),
+            F.raise_error(
+                F.concat(
+                    F.lit("packed doc-stats overflow: doc_id="),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" nsh="),
+                    F.col("nsh").cast("string"),
+                    F.lit(" cc="),
+                    _cc.cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("nsh") * F.lit(_PK) + _cc)
+        .alias("pk"),
     )
     # Carry the packed doc stats ON the posting rows into the
     # self-join so the candidate aggregate emits the bound inputs
@@ -198,9 +224,9 @@ def _capped_pair_counts(
             "ni_rare",
             # shiftright/% are exact long ops (a float division would
             # lose low bits past 2^52)
-            F.shiftright("pka", 21).alias("na"),
+            F.shiftright("pka", _PK_BITS).alias("na"),
             (F.col("pka") % _PK).alias("ca"),
-            F.shiftright("pkb", 21).alias("nb"),
+            F.shiftright("pkb", _PK_BITS).alias("nb"),
             (F.col("pkb") % _PK).alias("cb"),
         )
     )

@@ -376,6 +376,17 @@ def kmeans_centroids(
         rows = cents.collect()
         rows.sort(key=lambda r: r["cell"])
     if cache_key is not None:
+        # Evict prior fingerprints of the SAME (corpus, hyperparams):
+        # each fixture regeneration mints a new fingerprint, and
+        # without eviction the dead entries accumulate for the life
+        # of the process across regenerate/train loops (r10 review).
+        stale = [
+            k2
+            for k2 in _INDEX_CACHE
+            if k2[0] == ck[0] and k2[2:] == ck[2:] and k2[1] != ck[1]
+        ]
+        for k2 in stale:
+            del _INDEX_CACHE[k2]
         _INDEX_CACHE[ck] = rows
     return spark.createDataFrame(rows, CENT_SCHEMA)
 

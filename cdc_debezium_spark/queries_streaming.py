@@ -1058,7 +1058,13 @@ if _tws_available():  # pragma: no cover - environment-gated
     # terminal watermark (global max event time - delay) passed its
     # (last event + gap) timeout — exactly the EventTimeTimeout
     # firing rule under ts-ordered chunk delivery with a trailing
-    # no-data micro-batch.
+    # no-data micro-batch. Both sides of that comparison are at MS
+    # granularity, mirroring the stream exactly (r10 review): the
+    # lane sets timeout = (last_us+gap)//1000 + 1 ms and Spark's
+    # watermark is floor(max_us/1000) - delay_ms, fired on strict <.
+    # A µs-strict oracle would emit a final session whose last+gap
+    # lands within the ~1 ms truncation window that the stream never
+    # fires.
     oracle=f"""
     WITH t AS (SELECT user_id, epoch_us(ts) AS us FROM events),
     marked AS (
@@ -1085,8 +1091,8 @@ if _tws_available():  # pragma: no cover - environment-gated
     SELECT s.user_id, s.n, s.start_us, s.last_us
     FROM sess s JOIN finals f ON s.user_id = f.user_id
     WHERE s.sid < f.fsid
-       OR s.last_us + {GAP_US} <
-          (SELECT max(us) - {60 * 1_000_000} FROM t)
+       OR (s.last_us + {GAP_US}) // 1000 + 1 <
+          (SELECT max(us) // 1000 - {60 * 1_000} FROM t)
     """,
 )
 def udf_session_timeout_roundtrip(spark, sf_dir):

@@ -985,3 +985,70 @@ def test_minhash_banding_solver_matches_s_curve():
             assert b == 1 or lsh_recall(j, b - 1) < target
     # exact duplicates always collide in any single band
     assert minhash_bands_for(0.999999, 1.0) == 1
+
+
+def test_packed_doc_stats_overflow_fails_loudly(spark, docs, monkeypatch):
+    """The pk = nsh*2^_PK_BITS + cc encoding must REFUSE a doc whose
+    over-cap shingle count cc exceeds the field width rather than
+    silently corrupt every unpacked bound downstream (r10 review).
+    Narrow the width so an ordinary fixture doc trips the guard."""
+    # Narrow the nsh field: every fixture doc has >= 2^2 distinct
+    # shingles, so the guard trips on the NORMAL candidate path
+    # (narrowing cc via max_df=1 instead empties the candidate set and
+    # AQE empty-relation propagation elides the guard subtree).
+    monkeypatch.setattr(dedup, "_NSH_BITS", 2)
+    with pytest.raises(Exception, match="packed doc-stats overflow"):
+        dedup._capped_pair_counts(docs, 3, 1000, 0.5, "jaccard").collect()
+
+
+def test_packed_doc_stats_guard_transparent_in_domain(docs):
+    """With the real 21/42-bit widths the guard must be a no-op:
+    identical pairs/scores as before it existed (fixture docs are
+    orders of magnitude inside the domain)."""
+    got = dedup.ngram_jaccard_pairs(docs, 0.5).collect()
+    assert all(0.0 < r.jaccard <= 1.0 for r in got)
+
+
+def test_kmeans_index_cache_evicts_stale_fingerprints(spark, sf_dir, tmp_path):
+    """Regenerating a fixture mints a new corpus fingerprint; the
+    centroid cache must EVICT the prior fingerprint's entry for the
+    same (corpus, hyperparams) instead of growing without bound
+    across regenerate/train loops (r10 review)."""
+    import os
+    import shutil
+
+    key = str(tmp_path / "fixture")
+    os.makedirs(key)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    dst = os.path.join(key, "embeddings.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        shutil.copy2(src, dst)
+
+    def entries():
+        return [k for k in similarity._INDEX_CACHE if k[0] == key]
+
+    emb = spark.read.parquet(dst)
+    similarity.kmeans_centroids(emb, 8, 1, cache_key=key)
+    first = entries()
+    assert len(first) == 1
+
+    # regenerate: bump mtime(s) by 2s -> new fingerprint
+    paths = (
+        [os.path.join(dst, f) for f in os.listdir(dst)]
+        if os.path.isdir(dst)
+        else [dst]
+    )
+    for p in paths:
+        st = os.stat(p)
+        os.utime(p, (st.st_atime + 2, st.st_mtime + 2))
+    similarity.kmeans_centroids(emb, 8, 1, cache_key=key)
+    second = entries()
+    assert len(second) == 1  # stale fingerprint evicted, not retained
+    assert second != first
+    # different hyperparams for the same corpus still coexist
+    similarity.kmeans_centroids(emb, 4, 1, cache_key=key)
+    assert len(entries()) == 2
+    for k in entries():
+        del similarity._INDEX_CACHE[k]
