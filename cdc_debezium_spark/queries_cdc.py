@@ -2094,10 +2094,11 @@ def cdc_stream_latest_state_roundtrip(spark, sf_dir):
     (write_event_chunks), so "one chunk per micro-batch, in log
     order" is a fixture guarantee, and the read-side per-key
     (ts_us, ord2) max makes the fold robust to any residual batch
-    interleaving. Per-invocation state/checkpoint dirs are recreated
-    from scratch, so re-runs are self-contained. The final collect is
-    key-cardinality bounded (distinct pks, not log length) and exists
-    only so the result survives the fixture-dir cleanup.
+    interleaving. The landed state lives in a per-(lane, fixture)
+    scratch dir (recreated each run) and is returned as a LAZY reader
+    — never collected to the driver (r10 review: at a 100 TB key
+    space a state-sized collect is a driver OOM; the scd2 twin's
+    _format_lane_dir pattern, converged here).
     """
     import shutil
     import tempfile
@@ -2105,24 +2106,22 @@ def cdc_stream_latest_state_roundtrip(spark, sf_dir):
     from .streaming.replay import event_chunks_cached, read_event_stream
     from .streaming.state import DeltaUpsertSink, run_upsert_stream
 
+    state = _format_lane_dir("latest_state_stream", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)
     base = tempfile.mkdtemp(prefix="cdc_stream_gate_")
-    state, cp = f"{base}/state", f"{base}/cp"
     try:
         chunks = event_chunks_cached(spark, sf_dir, n_chunks=4, repeat=2)
         stream = cdc.to_cdc(read_event_stream(spark, chunks))
         sink = DeltaUpsertSink(
             state, keys=["pk"], order=["ts_us", "ord2"], compact_every=3
         )
-        q = run_upsert_stream(stream, sink, cp)
+        q = run_upsert_stream(stream, sink, f"{base}/cp")
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError(
                 "cdc_stream_latest_state_roundtrip: stream did not drain in 300s"
             )
-        out = sink.read_live(spark).select("pk", "ts_us", "val")
-        # materialize before the fixture dirs vanish
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return sink.read_live(spark).select("pk", "ts_us", "val")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -2357,9 +2356,9 @@ def cdc_checkpoint_resume_roundtrip(spark, sf_dir):
     must not be skipped — the landed upsert state hash-equals the
     batch latest-state oracle only if resume-at-offset is exact.
 
-    Shape notes as cdc_stream_latest_state_roundtrip (same sink, same
-    fixture generator); the deliberate stop adds one stream startup
-    cost, nothing else.
+    Shape notes as cdc_stream_latest_state_roundtrip (same fixture
+    generator, same scratch-dir + lazy-reader materialization); the
+    deliberate stop adds one stream startup cost, nothing else.
     """
     import shutil
     import tempfile
@@ -2368,8 +2367,10 @@ def cdc_checkpoint_resume_roundtrip(spark, sf_dir):
     from .streaming.replay import event_chunks_cached, read_event_stream
     from .streaming.state import ParquetUpsertSink, run_upsert_stream
 
+    state = _format_lane_dir("resume_stream", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)
     base = tempfile.mkdtemp(prefix="cdc_resume_gate_")
-    state, cp = f"{base}/state", f"{base}/cp"
+    cp = f"{base}/cp"
     try:
         chunks = event_chunks_cached(spark, sf_dir, n_chunks=4)
         sink = ParquetUpsertSink(state, keys=["pk"], order=["ts_us", "ord2"])
@@ -2397,9 +2398,7 @@ def cdc_checkpoint_resume_roundtrip(spark, sf_dir):
                 "cdc_checkpoint_resume_roundtrip: resumed stream did not "
                 "drain in 300s"
             )
-        out = sink2.read_live(spark).select("pk", "ts_us", "val")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return sink2.read_live(spark).select("pk", "ts_us", "val")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -2497,22 +2496,21 @@ def cdc_stream_latest_state_cow_roundtrip(spark, sf_dir):
     from .streaming.replay import event_chunks_cached, read_event_stream
     from .streaming.state import ParquetUpsertSink, run_upsert_stream
 
+    state = _format_lane_dir("latest_cow_stream", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)
     base = tempfile.mkdtemp(prefix="cdc_latest_cow_gate_")
-    state, cp = f"{base}/state", f"{base}/cp"
     try:
         chunks = event_chunks_cached(spark, sf_dir, n_chunks=4, repeat=2)
         stream = cdc.to_cdc(read_event_stream(spark, chunks))
         sink = ParquetUpsertSink(state, keys=["pk"], order=["ts_us", "ord2"])
-        q = run_upsert_stream(stream, sink, cp)
+        q = run_upsert_stream(stream, sink, f"{base}/cp")
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError(
                 "cdc_stream_latest_state_cow_roundtrip: stream did not "
                 "drain in 300s"
             )
-        out = sink.read_live(spark).select("pk", "ts_us", "val")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return sink.read_live(spark).select("pk", "ts_us", "val")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

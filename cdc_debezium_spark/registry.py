@@ -36,21 +36,24 @@ def query(key: str, oracle: str | None = None):
 # fails if the layout stops leading with the oldest debt, or if this
 # marker falls >1 round behind the newest committed file (the rebuild
 # ratchet).
-_PRIORITY_BUILT_FROM = 9
+_PRIORITY_BUILT_FROM = 10
 
 # Keys whose registered implementation changed materially AFTER their
 # last driver sample — the prior CORRECTNESS rows attest retired code,
 # so the rotation (and the staleness guard) treats them as
-# never-sampled until the driver re-checks them. r10: the streaming
-# production lanes swapped from copy-on-write to the merge-on-read
-# sinks (r9 verdict item 1), and the ngram/containment candidate
-# phase was restructured for decade-scale shuffle mass (packed
-# doc-stats carried through the self-join; r9 verdict item 4).
+# never-sampled until the driver re-checks them. r11: the
+# EventTimeTimeout lane's oracle moved to the stream's ms-granularity
+# firing rule, the ngram/containment pack expression grew the
+# overflow guard, and the three remaining state-collect gate lanes
+# converged on the scratch-dir + lazy-reader materialization
+# (r10 verdict item 4).
 _RESAMPLE_FORCED = {
-    "cdc_stream_latest_state_roundtrip",
-    "cdc_scd2_stream_roundtrip",
+    "udf_session_timeout_roundtrip",
     "ext_dedup_ngram",
     "ext_dedup_containment",
+    "cdc_stream_latest_state_roundtrip",
+    "cdc_checkpoint_resume_roundtrip",
+    "cdc_stream_latest_state_cow_roundtrip",
 }
 
 # Key-tiering policy (staleness is a policy, not an accident):
@@ -67,90 +70,41 @@ _RESAMPLE_FORCED = {
 # _PRIORITY must lead with every never-sampled key, then the stalest
 # cohort, so any count-budgeted driver prefix retires the oldest debt.
 #
-# Round-10 layout (from CORRECTNESS_r01..r09): never-driver-sampled
-# keys lead — the two renamed copy-on-write diagnostics plus the two
-# canonical streaming lanes whose implementation swapped to the
-# merge-on-read sinks this round (_RESAMPLE_FORCED: their r7 rows
-# attest the retired copy-on-write code). Then the full 28-key
-# r4-stale cohort the r9 verdict named (5 rounds without a driver
-# row), then the r5 cohort ordered hot-tier-first (CDC spine, wire
-# envelopes, bench-headline lanes) so a 50-key driver budget covers
-# lead + r4 + the hottest ~18 of r5. Target after this round: max
-# driver staleness <= r6 across all keys.
+# Round-11 layout (from CORRECTNESS_r01..r10): the six
+# _RESAMPLE_FORCED keys lead (code/oracle changed this round after
+# their r10 samples), then the FULL 35-key r5-stale cohort the r10
+# verdict named (6 rounds without a driver row) ordered
+# hot-tier-first, then enough of the r6 cohort (hot-tier first:
+# executed-protocol + streaming-agg + bench-headline lanes) to fill a
+# 50-key driver budget. Target after this round: max driver staleness
+# <= r6, i.e. the entire r5 cohort retired.
 _PRIORITY = [
     # --- never driver-sampled under the current implementation ---
     "udf_session_timeout_roundtrip",
-    "cdc_stream_latest_state_cow_roundtrip",
-    "cdc_scd2_stream_cow_roundtrip",
-    "cdc_stream_latest_state_roundtrip",
-    "cdc_scd2_stream_roundtrip",
     "ext_dedup_ngram",
     "ext_dedup_containment",
-    # --- r4-stale cohort (28): last driver row in CORRECTNESS_r04 ---
-    "ext_multimodal_scan",
-    "ext_multimodal_features",
-    "ext_multimodal_real_header",
-    "ext_multimodal_resize",
-    "ext_multimodal_audio_stats",
-    "ext_multimodal_video_frames",
-    "ext_similarity_ivf_prod",
-    "ext_pack_sequences",
-    "ext_pack_sequences_sharded",
-    "ext_pack_length_buckets",
-    "ext_mixture_token_budget",
-    "ext_quality_classifier",
-    "ext_retrieval_bm25",
-    "ext_retrieval_fusion",
-    "ext_sample_topk_hash",
-    "ext_source_quality_prior",
-    "ext_text_bigram_logprob",
-    "ext_text_unigram_logprob",
-    "ext_text_collocations",
-    "ext_text_oov_rate",
-    "ext_dedup_cluster_sizes",
-    "ext_dedup_levenshtein",
-    "events_distribution_drift",
-    "events_metric_correlation",
-    "events_series_sax",
-    "events_series_similarity",
-    "events_transition_matrix",
-    "events_user_lifetime",
-    # --- r5 cohort (50), hot-tier first: CDC spine + wire envelopes +
-    #     bench-headline lanes make the 50-key budget cut ---
-    "cdc_latest_state",
-    "cdc_scd2_history",
-    "cdc_as_of_snapshot",
-    "cdc_unwrap",
-    "cdc_delete_rewrite",
-    "cdc_mysql_envelope",
-    "cdc_mongo_envelope",
-    "scan_events",
-    "snapshot_union_stream",
-    "filter_table_include",
-    "json_roundtrip",
-    "route_regex",
-    "dedup_exact",
-    "join_large",
-    "join_as_of",
-    "agg_groupby",
-    "agg_rollup",
-    "window_running",
-    # --- r5 cohort continues (outside a 50-key budget; they lead the
-    #     r11 rebuild if the driver doesn't sample deeper) ---
-    "topk_per_group",
-    "udf_grouped_processor",
-    "window_rank",
+    "cdc_stream_latest_state_roundtrip",
+    "cdc_checkpoint_resume_roundtrip",
+    "cdc_stream_latest_state_cow_roundtrip",
+    # --- r5-stale cohort (35): last driver row in CORRECTNESS_r05,
+    #     hot-tier (CDC spine, sketch-prod, bench-headline) first ---
+    "cdc_table_changes",
+    "cdc_gdpr_erasure",
+    "cdc_referential_audit",
     "join_inner",
     "join_broadcast",
+    "agg_groupby",
+    "agg_rollup",
+    "window_rank",
+    "window_running",
+    "topk_per_group",
+    "udf_grouped_processor",
     "agg_approx_quantile_prod",
     "agg_cms_partial_merge",
     "agg_hll_partial_merge",
     "agg_theta_sketch_prod",
     "agg_mode",
     "agg_string_agg",
-    "cdc_gdpr_erasure",
-    "cdc_referential_audit",
-    "cdc_table_changes",
     "events_cusum",
     "events_ewma",
     "events_funnel_windowed",
@@ -169,6 +123,58 @@ _PRIORITY = [
     "scalar_interval",
     "scalar_url",
     "window_range_frame",
+    # --- r6 cohort, hot-tier first: these 9 fill the 50-key budget ---
+    "avro_registry_roundtrip",
+    "cdc_connect_config_pipeline",
+    "cdc_pipeline_metrics",
+    "agg_tumbling_window",
+    "agg_session_window",
+    "agg_sliding_window",
+    "sql_pricing_summary",
+    "ext_dedup_minhash",
+    "ext_similarity_rp_lsh",
+    # --- r6 cohort continues (outside a 50-key budget; they lead the
+    #     r12 rebuild if the driver doesn't sample deeper) ---
+    "doc_nested_roundtrip",
+    "events_lateness_audit",
+    "agg_approx_distinct",
+    "agg_cube",
+    "agg_distinct",
+    "agg_stats",
+    "explode_array",
+    "ext_cluster_profile",
+    "ext_corpus_clean",
+    "ext_decontaminate",
+    "ext_dedup_canonical",
+    "ext_dedup_clusters",
+    "ext_dedup_embedding",
+    "ext_dedup_embedding_blocked",
+    "ext_dedup_exact",
+    "ext_dedup_graph_degree",
+    "ext_dedup_minhash_incremental",
+    "ext_dedup_minhash_recall",
+    "ext_dedup_simhash",
+    "ext_dedup_simhash_pairs",
+    "ext_dedup_spans",
+    "filter_predicates",
+    "join_outer",
+    "join_range",
+    "join_semi_anti",
+    "pivot_status",
+    "project_basic",
+    "scalar_array_map",
+    "scalar_conditional",
+    "scalar_datetime",
+    "scalar_hash",
+    "scalar_json",
+    "scalar_math",
+    "scalar_string",
+    "set_intersect_except",
+    "set_union",
+    "sort_orderby",
+    "udf_cogroup_processor",
+    "udtf_tokenize",
+    "window_lag_lead",
 ]
 
 
