@@ -1762,6 +1762,77 @@ def cdc_redis_latest_kv_roundtrip(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+# --- Generic HTTP webhook fan-out, executed (round 11) -----------------------
+
+_WEBHOOK_SERVERS: dict = {}
+
+
+def _webhook_server(lane: str):
+    """Session-lifetime in-process signed-webhook consumer, one per
+    lane (the per-lane server dict discipline of _es_server). Lane
+    re-invocation re-delivers every operation; the consumer's
+    version gate makes re-application land the identical state."""
+    if lane not in _WEBHOOK_SERVERS:
+        from .sinks_webhook import WebhookServer
+
+        _WEBHOOK_SERVERS[lane] = WebhookServer()
+    return _WEBHOOK_SERVERS[lane]
+
+
+@query(
+    "cdc_webhook_fanout_roundtrip",
+    oracle=CDC_CTE
+    + """
+    SELECT pk, ts_us AS version_us, val AS last_val
+    FROM (
+      SELECT * FROM cdc_events
+      QUALIFY row_number() OVER (PARTITION BY pk ORDER BY ts_us DESC, ord2 DESC) = 1
+    )
+    WHERE op <> 'd'
+    """,
+)
+def cdc_webhook_fanout_roundtrip(spark, sf_dir):
+    """The generic HTTP webhook SINK PROTOCOL executed end-to-end
+    behind the correctness gate (r10 verdict item 8 — the one declared
+    sink shape not yet protocol-executed; ES/CH/Redis/DW all are): the
+    CDC stream is POSTed from the EXECUTORS as HMAC-SHA256-signed
+    NDJSON batches to a real HTTP consumer that (a) rejects tampered
+    requests 401, (b) APPLIES then answers 503 on the first attempt of
+    every request — the apply-then-crash-before-ack window — so every
+    batch traverses the producer's retry path and is delivered twice,
+    and (c) applies operations version-gated per key (apply iff
+    ver >= current). Delivery order is deliberately scrambled
+    (round-robin repartition); the landed state must STILL equal batch
+    latest-state because ordering and idempotence ride in the data —
+    the same external_gte recipe as the ES sink, on the webhook wire.
+    Readback is one key-cardinality-bounded GET (driver gate only).
+    Version packing ts_us*4096 + ord2 mod 4096 as the other sink
+    lanes (documented strict for per-key ts ties closer than 4096
+    ordinals)."""
+    from .sinks_webhook import WebhookFanoutSink, read_state
+
+    srv = _webhook_server("cdc_webhook_fanout_roundtrip")
+    ce = cdc.cdc_events(spark, sf_dir)
+    wire = ce.select(
+        "pk",
+        (F.col("ts_us") * 4096 + F.pmod(F.col("ord2"), F.lit(4096))).alias("ver"),
+        "op",
+        "ts_us",
+        "val",
+    ).repartition(8)  # scramble delivery order on purpose
+    WebhookFanoutSink(
+        srv.url, secret=srv.secret, key_col="pk", version_col="ver", op_col="op"
+    )(wire)
+    rows = [
+        (int(r["key"]), int(r["data"]["ts_us"]), float(r["data"]["val"]))
+        for r in read_state(srv.url)
+    ]
+    schema = "pk long, version_us long, last_val double"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)
+
+
 # ---------------------------------------------------------------------------
 # §2.B round-7 SMT depth — the public Debezium transforms a reference
 # user would configure next (all in-version for the reference's

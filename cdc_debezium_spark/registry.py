@@ -70,9 +70,10 @@ _RESAMPLE_FORCED = {
 # _PRIORITY must lead with every never-sampled key, then the stalest
 # cohort, so any count-budgeted driver prefix retires the oldest debt.
 #
-# Round-11 layout (from CORRECTNESS_r01..r10): the six
-# _RESAMPLE_FORCED keys lead (code/oracle changed this round after
-# their r10 samples), then the FULL 35-key r5-stale cohort the r10
+# Round-11 layout (from CORRECTNESS_r01..r10): the never-sampled
+# block leads — the new cdc_webhook_fanout_roundtrip plus the six
+# _RESAMPLE_FORCED keys (code/oracle changed this round after
+# their r10 samples) — then the FULL 35-key r5-stale cohort the r10
 # verdict named (6 rounds without a driver row) ordered
 # hot-tier-first, then enough of the r6 cohort (hot-tier first:
 # executed-protocol + streaming-agg + bench-headline lanes) to fill a
@@ -80,6 +81,7 @@ _RESAMPLE_FORCED = {
 # <= r6, i.e. the entire r5 cohort retired.
 _PRIORITY = [
     # --- never driver-sampled under the current implementation ---
+    "cdc_webhook_fanout_roundtrip",  # new in r11
     "udf_session_timeout_roundtrip",
     "ext_dedup_ngram",
     "ext_dedup_containment",
