@@ -62,7 +62,9 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off for test/bench noise; scale-probe scripts flip it on
+        # (SPARK_GRAFT_UI=true) for REST per-stage shuffle attribution
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONFS.items():

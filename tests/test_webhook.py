@@ -111,6 +111,18 @@ def test_spark_roundtrip_scrambled_delivery(spark, sf_dir):
     from cdc_debezium_spark import queries_cdc
     from cdc_debezium_spark.operators import cdc as cdc_ops
 
+    # The lane's consumer is SESSION-lifetime (one server per lane),
+    # so any earlier invocation in this pytest session (oracle-match,
+    # plan audits — building the lane's DataFrame executes the POSTs)
+    # leaves accumulated stats and pre-seen digests that break the
+    # exact requests == 2*crashed ratio below. The protocol invariant
+    # is per-consumer-lifetime: give this test a fresh consumer.
+    stale = queries_cdc._WEBHOOK_SERVERS.pop(
+        "cdc_webhook_fanout_roundtrip", None
+    )
+    if stale is not None:
+        stale.close()
+
     out = queries_cdc.cdc_webhook_fanout_roundtrip(spark, sf_dir)
     got = {(r.pk, r.version_us, r.last_val) for r in out.collect()}
 
