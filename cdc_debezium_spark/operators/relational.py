@@ -32,12 +32,45 @@ def topk_per_group(
     )
 
 
+def detect_hot_keys(
+    df: DataFrame,
+    on: Sequence[str],
+    threshold_frac: float = 0.05,
+    sample_frac: float | None = None,
+    seed: int = 7,
+) -> list[tuple]:
+    """Driver-side heavy-hitter detection for targeted salting.
+
+    Returns the key tuples whose row share exceeds ``threshold_frac``
+    — at most ``1/threshold_frac`` entries by construction, so the
+    collect is O(1) in the data. Pass ``sample_frac`` to estimate on a
+    Bernoulli sample: a key above the threshold is oversampled by
+    definition, so even 1e-3 samples find production hot keys reliably
+    while turning the detection scan into noise. (The SCALE.md
+    round-11 skew rehearsal measured why targeting matters: salting a
+    row-linear dim wholesale shuffles more than the skew it cures.)
+    """
+    keys = list(on)
+    src = df.sample(fraction=sample_frac, seed=seed) if sample_frac else df
+    total = src.count()
+    if total == 0:
+        return []
+    rows = (
+        src.groupBy(*keys)
+        .count()
+        .filter(F.col("count") >= float(threshold_frac) * total)
+        .collect()
+    )
+    return [tuple(r[c] for c in keys) for r in rows]
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
     on: Sequence[str],
     salt: int = 8,
     how: str = "inner",
+    hot_keys: Sequence | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side, replicate the small side.
 
@@ -49,8 +82,48 @@ def salted_join(
     becomes (key, salt) — the hot key now spreads over `salt` reducers.
     Results are identical to the unsalted join (salt columns are
     internal and dropped).
+
+    ``hot_keys`` (a list of key values, or key tuples for composite
+    keys — e.g. from :func:`detect_hot_keys`) switches to TARGETED
+    salting: only those keys take the replicated path; every other key
+    takes the plain join, and the two branches union. The round-11
+    skew rehearsal (SCALE.md) measured why: replicating a row-linear
+    1.5M-row dim ×32 shuffled 651 MB and ran 5× slower than the naive
+    join it was meant to fix, while the skew lives in a handful of
+    keys. Both sides split on the same key predicate, so the union
+    equals the plain join for every supported ``how``; NULL join keys
+    route to the plain branch (they never equi-match, and
+    left-preserved rows must survive exactly once).
+
+    Right/full-outer joins are rejected: an unmatched small-side row
+    is replicated ``salt`` ways and would be emitted once per replica.
     """
     keys = list(on)
+    if how.lower().replace("_", "") in {"right", "rightouter", "full", "fullouter", "outer"}:
+        raise ValueError(
+            f"salted_join: how={how!r} would emit unmatched small-side "
+            "rows once per salt replica; use AQE skew handling for "
+            "right/full-outer joins"
+        )
+    if hot_keys is not None:
+        if not len(hot_keys):
+            return big.join(small, keys, how)
+        tuples = [t if isinstance(t, (tuple, list)) else (t,) for t in hot_keys]
+        if len(keys) == 1:
+            pred = F.col(keys[0]).isin([t[0] for t in tuples])
+        else:
+            pred = F.lit(False)
+            for t in tuples:
+                term = F.lit(True)
+                for c, v in zip(keys, t):
+                    term = term & (F.col(c) == F.lit(v))
+                pred = pred | term
+        pred = F.coalesce(pred, F.lit(False))  # NULL keys -> plain branch
+        hot = salted_join(
+            big.filter(pred), small.filter(pred), keys, salt=salt, how=how
+        )
+        rest = big.filter(~pred).join(small.filter(~pred), keys, how)
+        return hot.unionByName(rest)
     salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), salt)
     big_s = big.withColumn("_salt", salt_col)
     small_s = small.withColumn(

@@ -990,6 +990,54 @@ def join_skew_salted(spark, sf_dir):
     )
 
 
+@query(
+    "join_skew_salted_hot",
+    oracle="""
+    WITH fact AS (
+      SELECT event_id,
+             CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k
+      FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT k, 'u_' || k AS label FROM fact
+    )
+    SELECT label, count(*) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_eid
+    FROM fact JOIN dim USING (k)
+    GROUP BY label
+    """,
+)
+def join_skew_salted_hot(spark, sf_dir):
+    """TARGETED salted join proven semantics-preserving by the driver
+    gate: one planted hot key (a third of events collapse onto user 0)
+    over a long-tail key space. detect_hot_keys finds the heavy
+    hitters (share > 5% — a driver-bounded list by construction) and
+    salted_join salts ONLY those, plain-joining the tail. The round-11
+    skew rehearsal (SCALE.md) measured why targeting matters: salting
+    the whole dim replicated 1.5M rows ×32 (651 MB shuffle, 5× slower
+    than naive); targeting replicates just the hot keys' dim rows.
+    Result must equal the plain join the oracle runs."""
+    from .operators.relational import detect_hot_keys, salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 3 == 0, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+    )
+    dim = (
+        ev.select("k")
+        .distinct()
+        .withColumn("label", F.concat(F.lit("u_"), F.col("k")))
+    )
+    hot = detect_hot_keys(ev, ["k"], threshold_frac=0.05)
+    j = salted_join(ev, dim, ["k"], salt=8, hot_keys=hot)
+    return j.groupBy("label").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_eid"),
+    )
+
+
 def _zorder_sql(xcol: str, ycol: str, bits: int) -> str:
     terms = [
         f"(({xcol} // {2 ** i}) % 2) * {2 ** (2 * i)}"

@@ -81,6 +81,7 @@ _RESAMPLE_FORCED = {
 # <= r6, i.e. the entire r5 cohort retired.
 _PRIORITY = [
     # --- never driver-sampled under the current implementation ---
+    "join_skew_salted_hot",  # new in r11 (targeted hot-key salting)
     "cdc_webhook_fanout_roundtrip",  # new in r11
     "udf_session_timeout_roundtrip",
     "ext_dedup_ngram",

@@ -123,6 +123,58 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert plain == salted
 
 
+def test_salted_join_targeted_matches_plain_join(spark, sf_dir):
+    """Targeted mode (salt only the detected hot keys, plain-join the
+    rest — the round-11 skew-rehearsal fix for whole-dim replication
+    cost) must be result-identical to the plain join, including NULL
+    join keys on the big side (they never equi-match and must not be
+    double-emitted or dropped by the hot/rest split) and left rows
+    with no dim match."""
+    from cdc_debezium_spark.operators.relational import (
+        detect_hot_keys,
+        salted_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        # one hot key (0), a long tail, and NULLs
+        F.when(F.col("user_id") % 7 == 6, F.lit(None).cast("long"))
+        .when(F.col("user_id") % 3 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    dim = (
+        ev.select("k")
+        .filter(F.col("k").isNotNull() & (F.col("k") % 2 == 0))  # gaps -> left-unmatched rows
+        .distinct()
+        .withColumn("tag", F.concat(F.lit("t"), F.col("k")))
+    )
+    hot = detect_hot_keys(ev, ["k"], threshold_frac=0.05)
+    assert (0,) in hot and len(hot) <= 20
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, ev.join(dim, "k", how).select("event_id", "tag").collect())
+        )
+        targeted = sorted(
+            map(
+                tuple,
+                salted_join(ev, dim, ["k"], how=how, hot_keys=hot)
+                .select("event_id", "tag")
+                .collect(),
+            )
+        )
+        assert plain == targeted, how
+    # empty hot list degrades to the plain join; right/full are rejected
+    assert (
+        salted_join(ev, dim, ["k"], hot_keys=[]).count() == ev.join(dim, "k").count()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="salt replica"):
+        salted_join(ev, dim, ["k"], how="full_outer")
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
     """Tables bucketed on the join key must join with ZERO exchanges —
     the shuffle was paid at write time (the reference's keyed-topic
