@@ -537,6 +537,21 @@ def incremental_minhash_candidates(
     persisted under the old schema must be rebuilt from its corpus,
     not unioned with new rows.
     """
+    new_rows, pairs = incremental_minhash_ingest(index, new_docs, n)
+    all_rows = new_rows if index is None else index.unionByName(new_rows)
+    return all_rows, pairs
+
+
+def incremental_minhash_ingest(
+    index: DataFrame | None, new_docs: DataFrame, n: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """One ingest step of the incremental LSH index, returning the
+    batch's OWN index rows (what a storage-backed index appends)
+    rather than the unioned frame: ``(new_index_rows,
+    new_candidate_pairs)``. This is the foreachBatch-shaped primitive
+    — the streaming lane appends ``new_index_rows`` to a persisted
+    parquet/bucketed index table and the in-memory variant above
+    unions them; the pair semantics are identical."""
     new_rows = minhash_band_rows(minhash_signatures(new_docs, n))
     all_rows = new_rows if index is None else index.unionByName(new_rows)
     pairs = (
@@ -549,7 +564,7 @@ def incremental_minhash_candidates(
         )
         .distinct()
     )
-    return all_rows, pairs
+    return new_rows, pairs
 
 
 def incremental_embedding_ann(

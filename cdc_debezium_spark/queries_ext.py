@@ -434,6 +434,117 @@ def ext_dedup_minhash_incremental(spark, sf_dir):
 
 
 @query(
+    "ext_stream_dedup_minhash_roundtrip",
+    oracle=f"""
+    WITH {TOK_CTE},
+    hwt AS (
+      SELECT doc_id, w,
+             list_transform(w, t -> {duck_word_hash48('t')}) AS hwl
+      FROM tok
+    ),
+    shh AS (
+      SELECT doc_id, {duck_shingle_hashes('w')} AS s FROM hwt
+    ),
+    post AS (SELECT doc_id, unnest(s) AS h FROM shh),
+    sig AS (SELECT doc_id, {_duck_sig_cols()} FROM post GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id AND ({_duck_band_cond()})
+    """,
+)
+def ext_stream_dedup_minhash_roundtrip(spark, sf_dir):
+    """STREAMING corpus ingestion with near-dup candidate detection —
+    the continuous LLM-data-pipeline shape (corpus grows by batches;
+    every new batch must be deduped against everything already
+    ingested, without rescanning the corpus). The documents table is
+    replayed as a file stream (one ingest chunk per micro-batch, every
+    chunk DELIVERED TWICE — the at-least-once contract all the stream
+    gate lanes carry); foreachBatch probes and appends a PERSISTED
+    parquet LSH band index (the 'bucketed index table' posture
+    incremental_minhash_candidates documents, made real) and emits
+    candidate pairs involving new docs. The union of per-batch pair
+    outputs, distinct'd (candidate sets are sets — read-side dedup is
+    the idempotence-in-data recipe, same as every wire sink lane),
+    must equal ONE-SHOT batch LSH candidates over the whole corpus:
+    that equivalence is the oracle. At 100 TB the index is a bucketed
+    table keyed (band, k0, k1) so each ingest batch is one
+    shuffle-free probe; redelivered batches re-append their index rows
+    and the pair-level distinct absorbs the duplicates."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .ext import dedup
+    from .queries_cdc import _format_lane_dir
+
+    idx_dir = _format_lane_dir("stream_minhash_index", sf_dir)
+    out_dir = _format_lane_dir("stream_minhash_pairs", sf_dir)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="ext_stream_dedup_")
+    chunks_dir = os.path.join(base, "chunks")
+    os.makedirs(chunks_dir, exist_ok=True)
+    try:
+        # 3 ingest batches by doc_id % 3 (the incremental lane's
+        # chunking), each written twice with strictly increasing
+        # mtimes (replay.write_event_chunks' ordering guarantee).
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .toPandas()
+        )
+        t0 = _time.time() - 10
+        seq = 0
+        for i in range(3):
+            chunk = docs[docs["doc_id"] % 3 == i]
+            table = pa.Table.from_pandas(chunk, preserve_index=False)
+            for r in range(2):  # every chunk delivered twice
+                path = f"{chunks_dir}/chunk_{i:04d}_{r}.parquet"
+                pq.write_table(table, path)
+                os.utime(path, (t0 + seq, t0 + seq))
+                seq += 1
+
+        # Initialize both stores with typed empty frames so the
+        # foreachBatch probe and the final read never hit a
+        # schema-less dir.
+        spark.createDataFrame([], "doc_id long, band int, k0 long, k1 long").write.mode(
+            "overwrite"
+        ).parquet(idx_dir)
+        spark.createDataFrame([], "doc_a long, doc_b long").write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+
+        def ingest(batch, _bid):
+            s = batch.sparkSession
+            index = s.read.parquet(idx_dir)
+            new_rows, pairs = dedup.incremental_minhash_ingest(index, batch)
+            pairs.write.mode("append").parquet(out_dir)
+            new_rows.write.mode("append").parquet(idx_dir)
+
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunks_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", os.path.join(base, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "ext_stream_dedup_minhash_roundtrip: stream did not drain in 300s"
+            )
+        return spark.read.parquet(out_dir).select("doc_a", "doc_b").distinct()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
     "ext_decontaminate",
     oracle=f"""
     WITH {TOK_CTE},
