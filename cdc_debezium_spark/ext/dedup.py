@@ -592,6 +592,24 @@ def incremental_embedding_ann(
     union over any chunking equals the one-shot run with the same
     centroids — pinned by the streaming parity pytest.
     """
+    new_asg, pairs = incremental_embedding_ingest(
+        index, new_emb, cents, threshold=threshold, nassign=nassign
+    )
+    all_asg = new_asg if index is None else index.unionByName(new_asg)
+    return all_asg, pairs
+
+
+def incremental_embedding_ingest(
+    index: DataFrame | None,
+    new_emb: DataFrame,
+    cents: DataFrame,
+    threshold: float = 0.4,
+    nassign: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """One ingest step of the incremental ANN index, returning the
+    batch's OWN assignment rows (what a cell-partitioned storage index
+    appends) instead of the unioned frame — the foreachBatch-shaped
+    primitive, symmetric with incremental_minhash_ingest."""
     from .similarity import _dot, assign_cells
 
     new_asg = assign_cells(new_emb, nassign=nassign, cents=cents)
@@ -611,7 +629,7 @@ def incremental_embedding_ann(
         # same batch) recomputes the identical fold — distinct collapses
         .distinct()
     )
-    return all_asg, pairs
+    return new_asg, pairs
 
 
 def decontaminate(

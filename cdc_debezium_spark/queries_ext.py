@@ -1735,6 +1735,125 @@ def ext_dedup_embedding_ann(spark, sf_dir):
 
 
 @query(
+    "ext_stream_dedup_embedding_roundtrip",
+    oracle=f"""
+    WITH {EMB_CTE},
+    cents AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id % 100 = 0),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_duck_dot('c', 'n')} / (c.nrm * n.nrm) DESC, c.cell
+               ) AS rn
+        FROM n CROSS JOIN cents c)
+      WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    p AS (
+      SELECT cd.vec_a, cd.vec_b,
+             {_duck_dot('va', 'vb')} / (va.nrm * vb.nrm) AS c
+      FROM cand cd
+      JOIN n va ON va.vec_id = cd.vec_a
+      JOIN n vb ON vb.vec_id = cd.vec_b
+    )
+    SELECT vec_a, vec_b, floor((c) * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM p WHERE c >= 0.4
+    """,
+)
+def ext_stream_dedup_embedding_roundtrip(spark, sf_dir):
+    """STREAMING embedding-ingest near-dup detection, driver-gated —
+    the ANN twin of ext_stream_dedup_minhash_roundtrip (the semantics
+    were pytest-pinned by test_streaming_embedding_ann_matches_batch;
+    this puts them behind the external oracle). Vectors replay as a
+    file stream, every chunk delivered twice; foreachBatch assigns
+    ONLY the new vectors against the FIXED centroid set (derived once
+    from the full corpus — training/centroid choice never reruns per
+    batch), probes and appends a persisted cell-keyed parquet index,
+    and emits exact-cosine-verified pairs involving new vectors. The
+    distinct'd union over batches must equal the one-shot IVF ANN pass
+    with the same centroids — the batch lane's oracle, verbatim. At
+    100 TB the index is a cell-partitioned table so each ingest batch
+    partition-prunes to its own cells; the indexed corpus is never
+    rescanned."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .ext import dedup
+    from .ext.similarity import _strided_cents, _with_unit
+    from .queries_cdc import _format_lane_dir
+
+    idx_dir = _format_lane_dir("stream_ann_index", sf_dir)
+    out_dir = _format_lane_dir("stream_ann_pairs", sf_dir)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="ext_stream_ann_")
+    chunks_dir = os.path.join(base, "chunks")
+    os.makedirs(chunks_dir, exist_ok=True)
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        # Fixed centroids from the FULL corpus (deterministic strided
+        # placeholder — the oracle's `vec_id % 100 = 0` set), shared
+        # by every ingest batch.
+        cents = _strided_cents(_with_unit(emb), 100)
+
+        t0 = _time.time() - 10
+        seq = 0
+        for i in range(3):
+            chunk = emb.where(F.col("vec_id") % 3 == i).coalesce(1)
+            for r in range(2):  # every chunk delivered twice
+                path = f"{chunks_dir}/chunk_{i:04d}_{r}"
+                chunk.write.mode("overwrite").parquet(path)
+                for f_ in os.listdir(path):
+                    os.utime(os.path.join(path, f_), (t0 + seq, t0 + seq))
+                seq += 1
+
+        spark.createDataFrame(
+            [], "vec_id long, v array<double>, norm double, cell long"
+        ).write.mode("overwrite").parquet(idx_dir)
+        spark.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        ).write.mode("overwrite").parquet(out_dir)
+
+        def ingest(batch, _bid):
+            s = batch.sparkSession
+            index = s.read.parquet(idx_dir)
+            new_asg, pairs = dedup.incremental_embedding_ingest(
+                index, batch, cents, threshold=0.4, nassign=4
+            )
+            pairs.write.mode("append").parquet(out_dir)
+            new_asg.write.mode("append").parquet(idx_dir)
+
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(chunks_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", os.path.join(base, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "ext_stream_dedup_embedding_roundtrip: stream did not drain in 300s"
+            )
+        return (
+            spark.read.parquet(out_dir)
+            .select("vec_a", "vec_b", "cosine")
+            .distinct()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
     "ext_dedup_embedding_ann_trained",
     oracle=f"""
     WITH {EMB_CTE},

@@ -83,6 +83,7 @@ _PRIORITY = [
     # --- never driver-sampled under the current implementation ---
     "join_skew_salted_hot",  # new in r11 (targeted hot-key salting)
     "ext_stream_dedup_minhash_roundtrip",  # new in r11 (streaming ingest dedup)
+    "ext_stream_dedup_embedding_roundtrip",  # new in r11 (streaming ANN ingest)
     "cdc_webhook_fanout_roundtrip",  # new in r11
     "udf_session_timeout_roundtrip",
     "ext_dedup_ngram",
