@@ -1280,6 +1280,54 @@ def embedding_near_dupes_blocked(
     return grid.mapInPandas(scan, "vec_a long, vec_b long, cosine double")
 
 
+def triangle_count(pairs: DataFrame) -> DataFrame:
+    """Degree-oriented distributed triangle count over an undirected
+    edge list (columns a, b; no duplicates or self-loops): 1-row
+    frame ``n_triangles``.
+
+    Each edge is directed from its lower-(degree, id) endpoint, wedges
+    form only over a node's oriented out-neighbors, and one
+    closing-edge join finds the third side. Orientation-invariant
+    count (every triangle has exactly one node both others succeed —
+    counted once, from it), but the wedge join's mass is Σ outdeg²
+    with outdeg ≤ O(√m) instead of id-orientation's Σ deg², which a
+    single hub node (a corpus-wide template flood) makes quadratic.
+    Pinned on a known hub graph by pytest; count parity with the
+    plain a<b three-way self-join is the driver oracle's job
+    (ext_graph_triangles).
+    """
+    deg = (
+        pairs.select(F.col("a").alias("x"))
+        .unionByName(pairs.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("x").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("x").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dt"),
+        )
+    )
+    w1 = o.select("s", F.col("t").alias("t1"), F.col("dt").alias("dt1"))
+    w2 = o.select("s", F.col("t").alias("t2"), F.col("dt").alias("dt2"))
+    wedge = w1.join(w2, "s").where(
+        (F.col("dt1") < F.col("dt2"))
+        | ((F.col("dt1") == F.col("dt2")) & (F.col("t1") < F.col("t2")))
+    )
+    closing = o.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    return wedge.join(closing, ["t1", "t2"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+
+
 def pagerank(pairs: DataFrame, iters: int = 5) -> DataFrame:
     """PageRank centrality over the (undirected) near-dup pair graph —
     the iterative-dataflow workload class (power iteration), used here

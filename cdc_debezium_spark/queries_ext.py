@@ -4423,11 +4423,13 @@ def ext_text_zipf_fit(spark, sf_dir):
 def ext_graph_triangles(spark, sf_dir):
     """Triangle count + global clustering coefficient over the
     near-dup pair graph — the third graph primitive beside PageRank
-    and connected components. Edges ordered a < b, so the e1=(a,b),
-    e2=(b,c), e3=(a,c) join enumerates each triangle exactly once —
-    the standard distributed formulation (order edges, join low-end
-    to high-end; at 100 TB you additionally orient by degree so hub
-    nodes never dominate a join side). High closure means near-dups
+    and connected components. Enumeration is DEGREE-ORIENTED (each
+    edge directed from its lower-(degree, id) endpoint; wedges formed
+    only over oriented out-neighbors; one closing-edge join), the
+    standard hub-safe distributed formulation — each triangle counted
+    exactly once from its minimal node, wedge mass bounded by
+    Σ outdeg² with outdeg ≤ O(√m) instead of the id-oriented Σ deg²
+    a template-flood hub would explode. High closure means near-dups
     arrive in dense cliques (template floods — corroborating the
     degree histogram); low closure means chains of pairwise drift.
     n_wedges stays in exact integer arithmetic; the coefficient is
@@ -4450,14 +4452,9 @@ def ext_graph_triangles(spark, sf_dir):
         .groupBy("x")
         .agg(F.count("*").alias("d"))
     )
-    e1 = pairs
-    e2 = pairs.select(F.col("a").alias("b2a"), F.col("b").alias("b2b"))
-    e3 = pairs.select(F.col("a").alias("b3a"), F.col("b").alias("b3b"))
-    tri = (
-        e1.join(e2, F.col("b2a") == F.col("b"))
-        .join(e3, (F.col("b3a") == F.col("a")) & (F.col("b3b") == F.col("b2b")))
-        .agg(F.count("*").alias("n_triangles"))
-    )
+    # DEGREE-ORIENTED enumeration (r11): hub-safe wedge mass — see
+    # dedup.triangle_count's docstring for the orientation argument.
+    tri = dedup.triangle_count(pairs)
     edges = pairs.agg(F.count("*").alias("n_edges"))
     wedges = deg.agg(
         F.coalesce(

@@ -1052,3 +1052,22 @@ def test_kmeans_index_cache_evicts_stale_fingerprints(spark, sf_dir, tmp_path):
     assert len(entries()) == 2
     for k in entries():
         del similarity._INDEX_CACHE[k]
+
+
+def test_triangle_count_degree_oriented_on_hub_graph(spark):
+    """triangle_count must be exact on a known hub-heavy graph — the
+    shape whose id-oriented wedge join explodes: K4 (4 triangles), a
+    20-leaf star around a hub (0 triangles — but deg(hub)=21 would
+    put 210 wedges on one id-ordered join side), and one closed pair
+    of star leaves (1 triangle through the hub)."""
+    from cdc_debezium_spark.ext.dedup import triangle_count
+
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    star = [(100, 200 + i) for i in range(20)]
+    closed = [(200, 201)]
+    pairs = spark.createDataFrame(k4 + star + closed, "a long, b long")
+    assert triangle_count(pairs).collect()[0]["n_triangles"] == 5
+    # orientation must not double- or zero-count a triangle whose
+    # nodes tie on degree (K3 alone: all degrees equal, id breaks it)
+    k3 = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "a long, b long")
+    assert triangle_count(k3).collect()[0]["n_triangles"] == 1
