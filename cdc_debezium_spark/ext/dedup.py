@@ -1302,8 +1302,20 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
         .groupBy("x")
         .agg(F.count("*").alias("d"))
     )
-    da = deg.select(F.col("x").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("x").alias("b"), F.col("d").alias("db"))
+    # Every relation below (degrees, oriented edges, wedges) is
+    # DATA-SCALED — broadcasting any of them is the classic
+    # looks-small-at-test-scale trap, and at the sf10 decade the
+    # broadcast build of an edge-sized relation OOM'd an 8 GB driver
+    # already crowded by the candidate pipeline's own broadcasts
+    # (SCALE.md §Round-11 addendum). shuffle_hash pins every leg to a
+    # partitioned join: no driver-sized build, and the orientation
+    # bounds the per-key fan-out the hash build sees.
+    da = deg.select(F.col("x").alias("a"), F.col("d").alias("da")).hint(
+        "shuffle_hash"
+    )
+    db = deg.select(F.col("x").alias("b"), F.col("d").alias("db")).hint(
+        "shuffle_hash"
+    )
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
@@ -1315,14 +1327,25 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("t"),
             F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dt"),
         )
+        # Three legs (both wedge sides + the closing edge) read the
+        # oriented list; per-leg hints give each leg a distinct
+        # canonical subtree, so ReuseExchange cannot dedup them and
+        # each would recompute the degree agg + orientation joins.
+        # Materialize ONCE — edge-scaled blocks, the same
+        # lineage-truncation call the connected-components loop uses.
+        .localCheckpoint(eager=True)
     )
     w1 = o.select("s", F.col("t").alias("t1"), F.col("dt").alias("dt1"))
-    w2 = o.select("s", F.col("t").alias("t2"), F.col("dt").alias("dt2"))
+    w2 = o.select("s", F.col("t").alias("t2"), F.col("dt").alias("dt2")).hint(
+        "shuffle_hash"
+    )
     wedge = w1.join(w2, "s").where(
         (F.col("dt1") < F.col("dt2"))
         | ((F.col("dt1") == F.col("dt2")) & (F.col("t1") < F.col("t2")))
     )
-    closing = o.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    closing = o.select(F.col("s").alias("t1"), F.col("t").alias("t2")).hint(
+        "shuffle_hash"
+    )
     return wedge.join(closing, ["t1", "t2"]).agg(
         F.count("*").alias("n_triangles")
     )

@@ -85,12 +85,19 @@ def main() -> None:
             group = f"probe:{key}:{os.path.basename(sf_dir)}"
             sc.setJobGroup(group, group)
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            wall = round(time.perf_counter() - t0, 2)
-            wr_mb, rd_mb = (
-                _group_shuffle_mb(ui, app_id, group) if ui else (-1.0, -1.0)
-            )
-            rows = fn(spark, sf_dir).count()  # untimed; rows only
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                wall = round(time.perf_counter() - t0, 2)
+                wr_mb, rd_mb = (
+                    _group_shuffle_mb(ui, app_id, group) if ui else (-1.0, -1.0)
+                )
+                rows = fn(spark, sf_dir).count()  # untimed; rows only
+            except Exception as ex:  # noqa: BLE001 - record, keep probing
+                out[sf_dir][key] = {
+                    "error": f"{type(ex).__name__}: {str(ex)[:300]}"
+                }
+                print(f"# {os.path.basename(sf_dir)} {key}: ERROR", file=sys.stderr)
+                continue
             out[sf_dir][key] = {
                 "wall_s": wall,
                 "shuffle_write_mb": wr_mb,
