@@ -810,3 +810,27 @@ def test_delta_sink_read_paths_single_shuffle(spark, tmp_path):
     live = u.read_live(spark)
     assert count_shuffles(live) == 1, _physical(live)
     assert live.count() == 500
+
+
+def test_triangle_count_legs_never_broadcast(spark):
+    """The triangle legs (wedge sides + closing edge) are data-scaled
+    relations; at the sf10 decade their broadcast build OOM'd an 8 GB
+    driver (SCALE.md §Round-11 addendum 2). The shuffle_hash hints
+    must hold: both joins ShuffledHashJoin, ZERO broadcast exchanges
+    above the checkpointed oriented list."""
+    from cdc_debezium_spark.ext.dedup import triangle_count
+
+    edges = [(i, j) for i in range(1, 30) for j in range(i + 1, 30) if (i + j) % 3]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    plan = _physical(triangle_count(pairs))
+    assert plan.count("ShuffledHashJoin") == 2, plan[:2000]
+    assert "BroadcastExchange" not in plan, plan[:2000]
+
+
+def test_salted_hot_plan_unions_salted_and_plain_branches(spark, sf_dir):
+    """Targeted salting must produce exactly the two-branch shape:
+    one salted join (the _salt key present) unioned with one plain
+    join — not a whole-dim replication."""
+    plan = _physical(registry.QUERIES["join_skew_salted_hot"](spark, sf_dir))
+    assert "_salt" in plan
+    assert "Union" in plan
