@@ -1839,10 +1839,13 @@ def ext_stream_dedup_embedding_roundtrip(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
+        # 600 s: only binds at decade-fixture scale (sf10 drains in
+        # ~400 s — six micro-batches each re-reading the grown index);
+        # the sf0.01 driver gate takes seconds.
+        if not q.awaitTermination(600):
             q.stop()
             raise TimeoutError(
-                "ext_stream_dedup_embedding_roundtrip: stream did not drain in 300s"
+                "ext_stream_dedup_embedding_roundtrip: stream did not drain in 600s"
             )
         return (
             spark.read.parquet(out_dir)
