@@ -611,22 +611,27 @@ def incremental_embedding_ingest(
     appends) instead of the unioned frame — the foreachBatch-shaped
     primitive, symmetric with incremental_minhash_ingest.
 
-    Verification is PER-CELL BLAS matmuls (cogrouped new-side ×
+    Verification is PER-CELL vectorized matmuls (cogrouped new-side ×
     all-side), the batch lane's recipe — NOT a pairwise join: a cell
     join materializes every candidate row carrying BOTH 64-dim
     vectors (~1 KB/pair; at sf1 occupancy that is ~16 GB of shuffled
     pair payload, measured blowing the sweep cap), while the cogroup
     ships each cell's rows ONCE and the candidate cross-product lives
-    only inside a numpy matmul. BLAS sums differ from the oracle's
-    strict fold only at ~1e-15 — far from the threshold and the 4dp
-    rounding (the batch lane's proven blocked-scan equivalence).
+    only inside a numpy kernel. The kernel is the shared
+    _neg_cosine_matrix dimension-at-a-time accumulation — the SAME
+    left-to-right IEEE sequence as the DuckDB oracle's fold (r11
+    ADVICE: raw BLAS `A @ B.T` block-reorders the sum, so a pair near
+    the 0.4 threshold or a 4dp rounding boundary could flip between
+    redeliveries as the right-side matrix shape changes; the fixed
+    per-dimension order makes every pair's cosine independent of
+    batch shape, so .distinct() always collapses redelivered pairs).
     Occupancy stays bounded at scale by growing k with the corpus
     (the trained-centroid path), the same rule every IVF lane records.
     """
     import numpy as np
     import pandas as pd
 
-    from .similarity import assign_cells
+    from .similarity import _neg_cosine_matrix, assign_cells
 
     new_asg = assign_cells(new_emb, nassign=nassign, cents=cents)
     all_asg = new_asg if index is None else index.unionByName(new_asg)
@@ -640,8 +645,11 @@ def incremental_embedding_ingest(
             return out
         A = np.stack(left["v"].to_numpy()).astype(np.float64)
         B = np.stack(right["v"].to_numpy()).astype(np.float64)
-        cos = (A @ B.T) / np.outer(
-            left["norm"].to_numpy(), right["norm"].to_numpy()
+        cos = -_neg_cosine_matrix(
+            A,
+            left["norm"].to_numpy().astype(np.float64),
+            B,
+            right["norm"].to_numpy().astype(np.float64),
         )
         ia = left["vec_id"].to_numpy()
         ib = right["vec_id"].to_numpy()

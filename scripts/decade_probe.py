@@ -21,8 +21,11 @@ Per (key, scale): clearCache first (no cross-lane cache rides — every
 number is a cold-lineage pass), wall measured over a noop-format write
 (forces EVERY column, unlike count(), which lets Catalyst prune
 expensive computed columns), shuffle bytes summed over the stages of
-the jobs tagged with this probe's job group, output rows from one
-untimed count() after.
+the jobs tagged with this probe's job group, output rows observed on
+the SAME execution via df.observe/CollectMetrics — each lane executes
+exactly ONCE per scale (r11 ADVICE: the old second untimed count()
+replayed entire streaming-roundtrip lanes, wiping and rebuilding
+their persisted index dirs and re-executing delivery protocols).
 """
 
 from __future__ import annotations
@@ -36,6 +39,9 @@ import urllib.request
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+
+from pyspark.sql import Observation  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from cdc_debezium_spark import registry  # noqa: E402
 from cdc_debezium_spark.session import get_spark  # noqa: E402
@@ -86,12 +92,16 @@ def main() -> None:
             sc.setJobGroup(group, group)
             t0 = time.perf_counter()
             try:
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                obs = Observation()
+                df = fn(spark, sf_dir)
+                df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
+                    "noop"
+                ).mode("overwrite").save()
                 wall = round(time.perf_counter() - t0, 2)
                 wr_mb, rd_mb = (
                     _group_shuffle_mb(ui, app_id, group) if ui else (-1.0, -1.0)
                 )
-                rows = fn(spark, sf_dir).count()  # untimed; rows only
+                rows = int(obs.get["rows"])  # same execution, not a re-run
             except Exception as ex:  # noqa: BLE001 - record, keep probing
                 out[sf_dir][key] = {
                     "error": f"{type(ex).__name__}: {str(ex)[:300]}"

@@ -187,6 +187,11 @@ def main() -> None:
     )
     print(json.dumps(out))
     spark.stop()
+    if not out["strategies_agree"]:
+        # fail LOUDLY (r11 ADVICE): a semantics regression in
+        # salted_join/detect_hot_keys must not emit a plausible artifact
+        print("FATAL: join strategies disagree on (n, sum)", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
