@@ -2183,8 +2183,10 @@ def cdc_stream_latest_state_roundtrip(spark, sf_dir):
     try:
         chunks = event_chunks_cached(spark, sf_dir, n_chunks=4, repeat=2)
         stream = cdc.to_cdc(read_event_stream(spark, chunks))
+        # size-threshold compaction (fold when delta bytes >= base
+        # bytes) — the production policy; fixed cadence remains a knob
         sink = DeltaUpsertSink(
-            state, keys=["pk"], order=["ts_us", "ord2"], compact_every=3
+            state, keys=["pk"], order=["ts_us", "ord2"], compact_ratio=1.0
         )
         q = run_upsert_stream(stream, sink, f"{base}/cp")
         if not q.awaitTermination(300):
@@ -2524,7 +2526,7 @@ def cdc_scd2_stream_roundtrip(spark, sf_dir):
     try:
         chunks = event_chunks_cached(spark, sf_dir, n_chunks=4, repeat=2)
         stream = cdc.to_cdc(read_event_stream(spark, chunks))
-        sink = Scd2DeltaHistorySink(state, keys=["pk"], compact_every=3)
+        sink = Scd2DeltaHistorySink(state, keys=["pk"], compact_ratio=1.0)
         q = run_upsert_stream(stream, sink, f"{base}/cp")
         if not q.awaitTermination(300):
             q.stop()

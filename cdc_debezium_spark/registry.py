@@ -36,24 +36,31 @@ def query(key: str, oracle: str | None = None):
 # fails if the layout stops leading with the oldest debt, or if this
 # marker falls >1 round behind the newest committed file (the rebuild
 # ratchet).
-_PRIORITY_BUILT_FROM = 10
+_PRIORITY_BUILT_FROM = 11
 
 # Keys whose registered implementation changed materially AFTER their
 # last driver sample — the prior CORRECTNESS rows attest retired code,
 # so the rotation (and the staleness guard) treats them as
-# never-sampled until the driver re-checks them. r11: the
-# EventTimeTimeout lane's oracle moved to the stream's ms-granularity
-# firing rule, the ngram/containment pack expression grew the
-# overflow guard, and the three remaining state-collect gate lanes
-# converged on the scratch-dir + lazy-reader materialization
-# (r10 verdict item 4).
+# never-sampled until the driver re-checks them. r12: the eight
+# memory-sink gate lanes converged on the scratch-dir + lazy-reader
+# materialization (r11 verdict item 4), the streaming-ANN verify
+# kernel moved to the shared bit-exact _neg_cosine_matrix
+# accumulation, the minhash ingest fixture writer moved off the
+# driver-side toPandas, and the two merge-on-read stream lanes
+# switched to the size-threshold compaction policy (r11 verdict
+# item 3).
 _RESAMPLE_FORCED = {
-    "udf_session_timeout_roundtrip",
-    "ext_dedup_ngram",
-    "ext_dedup_containment",
     "cdc_stream_latest_state_roundtrip",
-    "cdc_checkpoint_resume_roundtrip",
-    "cdc_stream_latest_state_cow_roundtrip",
+    "cdc_scd2_stream_roundtrip",
+    "agg_tumbling_window_stream_roundtrip",
+    "agg_sliding_window_stream_roundtrip",
+    "join_stream_static_enrich_roundtrip",
+    "join_stream_stream_roundtrip",
+    "events_late_data_drop_roundtrip",
+    "udf_stateful_processor_roundtrip",
+    "udf_session_timeout_roundtrip",
+    "ext_stream_dedup_minhash_roundtrip",
+    "ext_stream_dedup_embedding_roundtrip",
 }
 
 # Key-tiering policy (staleness is a policy, not an accident):
@@ -70,103 +77,54 @@ _RESAMPLE_FORCED = {
 # _PRIORITY must lead with every never-sampled key, then the stalest
 # cohort, so any count-budgeted driver prefix retires the oldest debt.
 #
-# Round-11 layout (from CORRECTNESS_r01..r10): the never-sampled
-# block leads — the new cdc_webhook_fanout_roundtrip plus the six
-# _RESAMPLE_FORCED keys (code/oracle changed this round after
-# their r10 samples) — then the FULL 35-key r5-stale cohort the r10
-# verdict named (6 rounds without a driver row) ordered
-# hot-tier-first, then enough of the r6 cohort (hot-tier first:
-# executed-protocol + streaming-agg + bench-headline lanes) to fill a
-# 50-key driver budget. Target after this round: max driver staleness
-# <= r6, i.e. the entire r5 cohort retired.
+# Round-12 layout (from CORRECTNESS_r01..r11): the never-sampled
+# block leads — the eleven _RESAMPLE_FORCED keys (code changed this
+# round after their r11/earlier samples) — then the FULL 44-key
+# r6-stale cohort the r11 verdict named (6 rounds without a driver
+# row), ordered hot-tier-first with the five cold diagnostics/recall
+# lanes last so a 50-key driver budget (11 forced + 39 r6) retires
+# everything except those five (they lead the r13 rebuild). The r7
+# cohort follows as the continuation tail. Target after this round:
+# r6 cohort reduced to <= 5 keys, all cold-tier.
 _PRIORITY = [
-    # --- never driver-sampled under the current implementation ---
-    "join_skew_salted_hot",  # new in r11 (targeted hot-key salting)
-    "ext_stream_dedup_minhash_roundtrip",  # new in r11 (streaming ingest dedup)
-    "ext_stream_dedup_embedding_roundtrip",  # new in r11 (streaming ANN ingest)
-    "cdc_webhook_fanout_roundtrip",  # new in r11
-    "udf_session_timeout_roundtrip",
-    "ext_dedup_ngram",
-    "ext_dedup_containment",
+    # --- never driver-sampled under the current implementation
+    #     (_RESAMPLE_FORCED — see above) ---
     "cdc_stream_latest_state_roundtrip",
-    "cdc_checkpoint_resume_roundtrip",
-    "cdc_stream_latest_state_cow_roundtrip",
-    # --- r5-stale cohort (35): last driver row in CORRECTNESS_r05,
-    #     hot-tier (CDC spine, sketch-prod, bench-headline) first ---
-    "cdc_table_changes",
-    "cdc_gdpr_erasure",
-    "cdc_referential_audit",
-    "join_inner",
-    "join_broadcast",
-    "agg_groupby",
-    "agg_rollup",
-    "window_rank",
-    "window_running",
-    "topk_per_group",
-    "udf_grouped_processor",
-    "agg_approx_quantile_prod",
-    "agg_cms_partial_merge",
-    "agg_hll_partial_merge",
-    "agg_theta_sketch_prod",
-    "agg_mode",
-    "agg_string_agg",
-    "events_cusum",
-    "events_ewma",
-    "events_funnel_windowed",
-    "events_gapfill_interp",
-    "events_trend_ols",
-    "ext_eval_overlap_report",
-    "ext_graph_pagerank",
-    "ext_multimodal_dhash",
-    "ext_sample_dsir",
-    "ext_similarity_mrl_rerank",
-    "ext_text_bpe_encode",
-    "ext_text_bpe_train",
-    "ext_text_feature_hashing",
-    "ext_text_kn_logprob",
-    "join_interval_overlap",
-    "scalar_interval",
-    "scalar_url",
-    "window_range_frame",
-    # --- r6 cohort, hot-tier first: these 9 fill the 50-key budget ---
-    "avro_registry_roundtrip",
-    "cdc_connect_config_pipeline",
-    "cdc_pipeline_metrics",
-    "agg_tumbling_window",
-    "agg_session_window",
-    "agg_sliding_window",
+    "cdc_scd2_stream_roundtrip",
+    "agg_tumbling_window_stream_roundtrip",
+    "agg_sliding_window_stream_roundtrip",
+    "join_stream_static_enrich_roundtrip",
+    "join_stream_stream_roundtrip",
+    "events_late_data_drop_roundtrip",
+    "udf_stateful_processor_roundtrip",
+    "udf_session_timeout_roundtrip",
+    "ext_stream_dedup_minhash_roundtrip",
+    "ext_stream_dedup_embedding_roundtrip",
+    # --- r6-stale cohort (44): last driver row in CORRECTNESS_r06,
+    #     hot-tier (bench-headline, streaming-agg, CDC-adjacent)
+    #     first; these 39 fill the 50-key budget ---
     "sql_pricing_summary",
     "ext_dedup_minhash",
-    "ext_similarity_rp_lsh",
-    # --- r6 cohort continues (outside a 50-key budget; they lead the
-    #     r12 rebuild if the driver doesn't sample deeper) ---
+    "agg_sliding_window",
     "doc_nested_roundtrip",
     "events_lateness_audit",
+    "udf_cogroup_processor",
+    "udtf_tokenize",
     "agg_approx_distinct",
     "agg_cube",
     "agg_distinct",
     "agg_stats",
-    "explode_array",
-    "ext_cluster_profile",
-    "ext_corpus_clean",
-    "ext_decontaminate",
-    "ext_dedup_canonical",
-    "ext_dedup_clusters",
-    "ext_dedup_embedding",
-    "ext_dedup_embedding_blocked",
-    "ext_dedup_exact",
-    "ext_dedup_graph_degree",
-    "ext_dedup_minhash_incremental",
-    "ext_dedup_minhash_recall",
-    "ext_dedup_simhash",
-    "ext_dedup_simhash_pairs",
-    "ext_dedup_spans",
     "filter_predicates",
+    "project_basic",
     "join_outer",
     "join_range",
     "join_semi_anti",
     "pivot_status",
-    "project_basic",
+    "explode_array",
+    "set_intersect_except",
+    "set_union",
+    "sort_orderby",
+    "window_lag_lead",
     "scalar_array_map",
     "scalar_conditional",
     "scalar_datetime",
@@ -174,12 +132,66 @@ _PRIORITY = [
     "scalar_json",
     "scalar_math",
     "scalar_string",
-    "set_intersect_except",
-    "set_union",
-    "sort_orderby",
-    "udf_cogroup_processor",
-    "udtf_tokenize",
-    "window_lag_lead",
+    "ext_corpus_clean",
+    "ext_decontaminate",
+    "ext_dedup_canonical",
+    "ext_dedup_clusters",
+    "ext_dedup_embedding",
+    "ext_dedup_embedding_blocked",
+    "ext_dedup_exact",
+    "ext_dedup_minhash_incremental",
+    "ext_dedup_simhash",
+    "ext_similarity_rp_lsh",
+    # --- r6 cold-tier diagnostics (outside a 50-key budget; they
+    #     lead the r13 rebuild if the driver doesn't sample deeper) ---
+    "ext_cluster_profile",
+    "ext_dedup_graph_degree",
+    "ext_dedup_minhash_recall",
+    "ext_dedup_simhash_pairs",
+    "ext_dedup_spans",
+    # --- r7 cohort continuation, hot-tier (executed sink protocols,
+    #     stream roundtrips) first ---
+    "cdc_es_bulk_roundtrip",
+    "cdc_clickhouse_replacing_roundtrip",
+    "cdc_redis_latest_kv_roundtrip",
+    "cdc_schema_evolution_roundtrip",
+    "agg_session_window_stream_roundtrip",
+    "events_stream_progress_audit",
+    "join_bloom_prefilter",
+    "json_map_explode",
+    "type_coercion",
+    "window_distribution",
+    "agg_count_min_sketch",
+    "agg_hll_sketch",
+    "agg_kmv_distinct",
+    "agg_quantile_sampled",
+    "ext_dedup_semantic",
+    "ext_embedding_quantize",
+    "ext_multimodal_frames",
+    "ext_multimodal_patches",
+    "ext_sample_cluster_balanced",
+    "ext_sample_hash",
+    "ext_sample_mixture",
+    "ext_sample_stratified",
+    "ext_similarity_ivf",
+    "ext_similarity_ivf_recall",
+    "ext_similarity_ivf_trained",
+    "ext_similarity_ivfpq_recall",
+    "ext_similarity_range",
+    "ext_similarity_rp_lsh_recall",
+    "ext_similarity_topk",
+    "ext_text_bpe_tokens",
+    "ext_text_charngrams",
+    "ext_text_chunks",
+    "ext_text_entropy",
+    "ext_text_fingerprint",
+    "ext_text_langid",
+    "ext_text_quality_rules",
+    "ext_text_repetition",
+    "ext_text_scrub",
+    "ext_text_stats",
+    "ext_text_tfidf",
+    "ext_text_vocab",
 ]
 
 

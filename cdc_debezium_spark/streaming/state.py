@@ -905,6 +905,43 @@ def _delta_dirs(path: str) -> list[str]:
     return sorted(_glob.glob(os.path.join(path, "delta_*")))
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _deltas_exceed_ratio(path: str, ratio: float) -> bool:
+    """Size-threshold compaction trigger (r11 verdict item 3): compact
+    when accumulated delta bytes exceed `ratio` × base bytes. With no
+    base yet, any delta triggers (the first fold establishes the base
+    cheaply). Amortization: each fold costs O(base + deltas) and is
+    only fired once deltas ≥ ratio×base, so base grows geometrically
+    and total compaction work over a drain is O(total × (1+ratio)/ratio)
+    — linear in ingested bytes with a knob, unlike a fixed cadence
+    whose per-fold cost grows with the accumulated base while the
+    folded delta volume stays flat (the sf10 profile's 4.2→5.7 s
+    monotone compaction folds under modulo-3).
+
+    Local-FS stat walk stands in for the FileSystem listing a cluster
+    deployment would use; the decision needs only directory sizes,
+    never data."""
+    deltas = _delta_dirs(path)
+    if not deltas:
+        return False
+    base = os.path.join(path, "base")
+    base_b = _dir_bytes(base) if os.path.isdir(base) else 0
+    delta_b = sum(_dir_bytes(d) for d in deltas)
+    if base_b == 0:
+        return delta_b > 0
+    return delta_b >= ratio * base_b
+
+
 def _state_parts(path: str) -> list[str]:
     parts = []
     for name in ("base", "_base_retired"):
@@ -994,13 +1031,19 @@ class DeltaUpsertSink:
         op_col: str = "op",
         drop_deleted: bool = True,
         compact_every: int = 0,
+        compact_ratio: float = 0.0,
     ) -> None:
         self.path = path
         self.keys = list(keys)
         self.order = list(order)
         self.op_col = op_col
         self.drop_deleted = drop_deleted
+        # compact_ratio > 0 enables SIZE-THRESHOLD compaction (fold
+        # when delta bytes ≥ ratio × base bytes — see
+        # _deltas_exceed_ratio for the amortization argument) and
+        # takes precedence over the fixed compact_every cadence.
         self.compact_every = compact_every
+        self.compact_ratio = compact_ratio
         self._batches_seen = 0
 
     def _delta_glob(self) -> list[str]:
@@ -1018,7 +1061,10 @@ class DeltaUpsertSink:
             .parquet(os.path.join(self.path, f"delta_{batch_id:012d}"))
         )
         self._batches_seen += 1
-        if self.compact_every and self._batches_seen % self.compact_every == 0:
+        if self.compact_ratio > 0:
+            if _deltas_exceed_ratio(self.path, self.compact_ratio):
+                self.compact(batch.sparkSession)
+        elif self.compact_every and self._batches_seen % self.compact_every == 0:
             self.compact(batch.sparkSession)
 
     def current_state(self, spark: SparkSession) -> DataFrame | None:
@@ -1089,12 +1135,16 @@ class Scd2DeltaHistorySink:
         ts_col: str = "ts_us",
         ord_col: str = "ord2",
         compact_every: int = 0,
+        compact_ratio: float = 0.0,
     ) -> None:
         self.path = path
         self.keys = list(keys)
         self.ts_col = ts_col
         self.ord_col = ord_col
+        # same policy pair as DeltaUpsertSink: compact_ratio (size
+        # threshold, preferred) vs compact_every (fixed cadence).
         self.compact_every = compact_every
+        self.compact_ratio = compact_ratio
         self._batches_seen = 0
 
     def _delta_glob(self) -> list[str]:
@@ -1125,7 +1175,10 @@ class Scd2DeltaHistorySink:
             .parquet(os.path.join(self.path, f"delta_{batch_id:012d}"))
         )
         self._batches_seen += 1
-        if self.compact_every and self._batches_seen % self.compact_every == 0:
+        if self.compact_ratio > 0:
+            if _deltas_exceed_ratio(self.path, self.compact_ratio):
+                self.compact(batch.sparkSession)
+        elif self.compact_every and self._batches_seen % self.compact_every == 0:
             self.compact(batch.sparkSession)
 
     def compact(self, spark: SparkSession) -> dict:

@@ -97,11 +97,17 @@ class _Meter:
 def _flatness(batches: list[dict], compact_every: int) -> dict:
     """first-quarter vs last-quarter median addBatch over steady
     batches (compaction batches and batch 0 excluded — batch 0 pays
-    JIT/codegen warmup, compaction batches pay the scheduled fold)."""
+    JIT/codegen warmup, compaction batches pay the scheduled fold).
+    A compaction batch is detected from state shape — live_deltas == 0
+    after the call means the batch folded (works for BOTH the fixed
+    cadence and the size-threshold policy) — with the cadence modulo
+    as a fallback for sinks that keep deltas for other reasons."""
     steady = [
         b
         for i, b in enumerate(batches)
-        if i > 0 and not (compact_every and (i + 1) % compact_every == 0)
+        if i > 0
+        and b.get("live_deltas", 1) != 0
+        and not (compact_every and (i + 1) % compact_every == 0)
     ]
     if len(steady) < 4:
         return {"steady_batches": len(steady)}
@@ -149,10 +155,19 @@ def profile_sink(spark, chunk_dir: str, make_sink, read_back, label: str) -> dic
         out = read_back(sink, spark)
         rows = out.count()
         read_s = time.time() - t1
+        # compaction batches detectable only for delta-layout sinks
+        # (cow sinks never have delta dirs, so live_deltas is always 0)
+        had_deltas = any(b["live_deltas"] > 0 for b in meter.batches)
+        n_compactions = (
+            sum(1 for b in meter.batches if b["live_deltas"] == 0)
+            if had_deltas
+            else None
+        )
         return {
             "stream_drain_s": round(drain, 2),
             "read_back_s": round(read_s, 2),
             "result_rows": rows,
+            "n_compactions": n_compactions,
             "n_batches": len(meter.batches),
             "sum_addbatch_s": round(sum(b["addbatch_s"] for b in meter.batches), 2),
             "final_state_bytes": meter.batches[-1]["state_bytes"] if meter.batches else 0,
@@ -188,9 +203,27 @@ def main() -> None:
             ),
             lambda s, sp: s.read_live(sp),
         ),
+        "merge_on_read_DeltaUpsertSink_ratio": (
+            "delta_ratio",
+            lambda p: (
+                DeltaUpsertSink(
+                    p, keys=["pk"], order=["ts_us", "ord2"], compact_ratio=1.0
+                ),
+                0,
+            ),
+            lambda s, sp: s.read_live(sp),
+        ),
         "merge_on_read_Scd2DeltaHistorySink": (
             "scd2_delta",
             lambda p: (Scd2DeltaHistorySink(p, keys=["pk"], compact_every=3), 3),
+            lambda s, sp: s.read_history(sp),
+        ),
+        "merge_on_read_Scd2DeltaHistorySink_ratio": (
+            "scd2_delta_ratio",
+            lambda p: (
+                Scd2DeltaHistorySink(p, keys=["pk"], compact_ratio=1.0),
+                0,
+            ),
             lambda s, sp: s.read_history(sp),
         ),
         "copy_on_write_ParquetUpsertSink": (
