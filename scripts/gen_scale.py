@@ -23,6 +23,18 @@ measures data artifacts instead of plan scaling:
   invariant under a common permutation (in-copy ANN structure exactly
   preserved); a vector vs its rolled copy is decorrelated, so
   cross-copy cosines sit near 0 and pair counts scale ~10x.
+- dims-expansion (r11 verdict item 1): `dims` > the source width
+  lifts every vector to the target width BEFORE the per-copy
+  transform, via block-isometry: the 768-dim vector is 12 blocks,
+  block b = (md5 sign-diagonal ∘ roll(b*17)) applied to the 64-dim
+  source (block 0 = identity, so the original vector is the prefix).
+  Every block transform is orthogonal, so
+  cosine(expand(x), expand(y)) == cosine(x, y) EXACTLY in real
+  arithmetic — the in-copy ANN/near-dup structure of the d=64 fixture
+  carries over unchanged — while the random-cosine spread tightens
+  from std 1/√64 = 0.125 (a 0.4 threshold at ~3.2σ — the named
+  ceiling #2 cross-copy tail) to 1/√768 = 0.036 (0.4 at ~11σ: the
+  tail vanishes, as it does for real d≥512 corpora).
 
 Deterministic (pure arithmetic on the sf0.1 rows, no RNG).
 """
@@ -48,10 +60,43 @@ def _stride(df, col):
     return int(df[col].max()) + 1
 
 
-def generate(out_dir: str, copies: int = 10, tables: set | None = None) -> None:
+def expand_dims(mat: "np.ndarray", target: int) -> "np.ndarray":
+    """Lift (n, d) vectors to (n, target) via block-isometries (see
+    module docstring). target must be a multiple of d. Block 0 is the
+    identity; block b applies roll(b*17) then an md5-derived ±1
+    diagonal — each orthogonal, so pairwise cosines are preserved
+    exactly (the whole map is sqrt(n_blocks) × an isometry)."""
+    import hashlib
+
+    d = mat.shape[1]
+    if target % d:
+        raise ValueError(f"target {target} not a multiple of source dims {d}")
+    blocks = []
+    for b in range(target // d):
+        if b == 0:
+            blocks.append(mat)
+            continue
+        rolled = np.roll(mat, b * 17, axis=1)
+        sign = np.ones(d)
+        for dd in range(d):
+            h = hashlib.md5(f"expand:{b}:{dd}".encode()).digest()
+            if h[0] & 1:
+                sign[dd] = -1.0
+        blocks.append(rolled * sign)
+    return np.concatenate(blocks, axis=1)
+
+
+def generate(
+    out_dir: str,
+    copies: int = 10,
+    tables: set | None = None,
+    dims: int = 0,
+) -> None:
     """tables=None writes everything; pass e.g. {"documents",
     "embeddings"} for a family-scoped decade fixture (the sf10 dedup/
-    ANN rehearsal doesn't need 100 copies of lineitem)."""
+    ANN rehearsal doesn't need 100 copies of lineitem). dims > 0
+    expands embeddings to that width before the per-copy transform
+    (the realistic-dimension ANN tier)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def want(t):
@@ -121,6 +166,12 @@ def generate(out_dir: str, copies: int = 10, tables: set | None = None) -> None:
         emb = _read("embeddings")
         kv = _stride(emb, "vec_id")
         mat = np.array(list(emb["embedding"]), dtype=np.float64)
+        if dims and dims != mat.shape[1]:
+            mat = expand_dims(mat, dims)
+            print(
+                f"embeddings: expanded to d={dims} (block-isometry)",
+                file=sys.stderr,
+            )
         dims = mat.shape[1]
         emb_copies = []
         for i in range(copies):
@@ -163,5 +214,6 @@ if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "scale", "sf1")
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     tables = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
-    generate(out, copies, tables)
+    dims = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    generate(out, copies, tables, dims)
     print(f"wrote {out}")

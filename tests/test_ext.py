@@ -1071,3 +1071,79 @@ def test_triangle_count_degree_oriented_on_hub_graph(spark):
     # nodes tie on degree (K3 alone: all degrees equal, id breaks it)
     k3 = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "a long, b long")
     assert triangle_count(k3).collect()[0]["n_triangles"] == 1
+
+
+def test_neg_cosine_kernel_bit_exact_with_hof_fold_d768(spark):
+    """The Arrow assignment kernel's bit-exactness with the Spark HOF
+    fold, re-pinned at the realistic-dimension tier (r11 verdict
+    item 1: the d=768 fixture makes every ANN decade number ride this
+    kernel at the new width). _neg_cosine_matrix accumulates one
+    dimension at a time (acc += A_d*C_d, d ascending) — the identical
+    IEEE sequence as F.aggregate(zip_with(a,b,x*y), 0.0, acc+x) — so
+    every per-pair negated cosine must match the expression fold
+    BIT-FOR-BIT at d=768, and assign_cells' argmin must match the
+    expression argmin."""
+    import math
+
+    import numpy as np
+
+    import pyspark.sql.functions as F
+
+    from cdc_debezium_spark.ext.similarity import (
+        _dot,
+        _neg_cosine_matrix,
+        assign_cells,
+    )
+
+    d = 768
+    # deterministic pseudo-data (no RNG): Weyl-sequence values in [-1, 1]
+    A = np.array(
+        [[(((i * d + k) * 2654435761) % 10007) / 5003.5 - 1.0 for k in range(d)]
+         for i in range(6)],
+        dtype=np.float64,
+    )
+    C = np.array(
+        [[(((7 + j * d + k) * 40503) % 9973) / 4986.5 - 1.0 for k in range(d)]
+         for j in range(4)],
+        dtype=np.float64,
+    )
+    anorm = np.array([math.sqrt(sum(x * x for x in row)) for row in A])
+    cnorm = np.array([math.sqrt(sum(x * x for x in row)) for row in C])
+
+    nc_kernel = _neg_cosine_matrix(A, anorm, C, cnorm)
+
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in A[i]], float(anorm[i])) for i in range(len(A))],
+        "vec_id long, v array<double>, norm double",
+    )
+    cents = spark.createDataFrame(
+        [(j, [float(x) for x in C[j]], float(cnorm[j])) for j in range(len(C))],
+        "cell long, cv array<double>, cnorm double",
+    )
+    fold = (
+        vecs.crossJoin(cents)
+        .select(
+            "vec_id",
+            "cell",
+            (-(_dot(F.col("cv"), F.col("v")) / (F.col("cnorm") * F.col("norm"))))
+            .alias("nc"),
+        )
+        .collect()
+    )
+    for r in fold:
+        assert r["nc"] == nc_kernel[r["vec_id"], r["cell"]], (
+            f"kernel diverges from HOF fold at d=768: vec {r['vec_id']} "
+            f"cell {r['cell']}"
+        )
+
+    # assignment argmin parity on the same data
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in A[i]]) for i in range(len(A))],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(emb, nassign=1, cents=cents).collect()
+    }
+    want = {i: int(np.argmin(nc_kernel[i])) for i in range(len(A))}
+    assert got == want
