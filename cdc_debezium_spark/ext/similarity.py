@@ -118,17 +118,43 @@ CENT_SCHEMA = "cell LONG, cv ARRAY<DOUBLE>, cnorm DOUBLE"
 
 def _neg_cosine_matrix(A, norms, C, cn):
     """Batch × centroid negated-cosine matrix, BIT-EXACT with the HOF
-    fold expression: accumulate ONE DIMENSION AT A TIME across the
-    whole batch (acc += A_d * C_d — the same left-to-right IEEE
-    sequence per pair, vectorized across pairs), then one division.
-    Shared by assign_cells and _assign_packed (r9 review: the proven
-    sequence must live in exactly one place — a drift between the two
-    copies would silently break every k-means/IVF oracle)."""
+    fold expression: accumulate ONE DIMENSION AT A TIME (the same
+    left-to-right IEEE sequence per pair, vectorized across pairs),
+    then one division. Shared by assign_cells and _assign_packed
+    (r9 review: the proven sequence must live in exactly one place —
+    a drift between the two copies would silently break every
+    k-means/IVF oracle).
+
+    Layout (r12, found by the d=768 decade run): the naive
+    whole-batch accumulator re-touches n×k×8 bytes of DRAM on EVERY
+    dimension (at d=768, k=2000, a 10k-row Arrow batch is ~123 GB of
+    accumulator traffic — a 30-minute task), and the A[:, d] column
+    gather strides the row-major batch at d×8 bytes. Fix: transpose
+    both operands once (contiguous per-dimension rows) and tile the
+    BATCH axis so each accumulator block stays L3-resident across the
+    dimension loop. Per acc element the adds still run in strictly
+    ascending d — in-place `+=` performs the identical float64 binary
+    add — so every cosine is bit-identical to the untiled fold (the
+    d=768 kernel/HOF pin and every k-means oracle re-verify this)."""
     import numpy as np
 
-    acc = np.zeros((len(A), C.shape[0]), dtype=np.float64)
-    for d in range(C.shape[1]):
-        acc = acc + A[:, d][:, None] * C[:, d][None, :]
+    At = np.ascontiguousarray(A.T)  # (d, n)
+    Ct = np.ascontiguousarray(C.T)  # (d, k)
+    n, k = A.shape[0], C.shape[0]
+    acc = np.empty((n, k), dtype=np.float64)
+    rows = max(1, (4 << 20) // (max(k, 1) * 8))  # ~4 MB acc block
+    tmp = np.empty((min(rows, n), k), dtype=np.float64)
+    for i0 in range(0, n, rows):
+        i1 = min(i0 + rows, n)
+        accb = np.zeros((i1 - i0, k), dtype=np.float64)
+        t = tmp[: i1 - i0]
+        for d in range(At.shape[0]):
+            # out= reuses one buffer: the naive broadcast allocated a
+            # fresh (rows, k) temporary per dimension (768 allocs +
+            # page faults per batch dominated the tiled loop)
+            np.multiply(At[d, i0:i1, None], Ct[d][None, :], out=t)
+            accb += t
+        acc[i0:i1] = accb
     return -(acc / (cn[None, :] * norms[:, None]))
 
 

@@ -89,6 +89,11 @@ def main() -> None:
     sf1 = sys.argv[1] if len(sys.argv) > 1 else os.path.join(_REPO, "scale", "sf1_d768")
     sf10 = sys.argv[2] if len(sys.argv) > 2 else os.path.join(_REPO, "scale", "sf10_d768")
     spark = get_spark(app_name="ann-d768")
+    # the d768 tiers are single ~40-400 MB parquet files; the default
+    # 128 MB split gives 1-4 scan tasks, serializing the Arrow
+    # assignment kernel on a 32-core box. A real 100 TB corpus has
+    # thousands of splits — match split count to cores here.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 << 20))
     registry.load_all()
 
     out: dict = {"metric": "ann_d768", "dims": 768, "threshold": THRESHOLD}

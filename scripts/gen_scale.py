@@ -130,16 +130,37 @@ def generate(
         for name, (df, shifts) in plans.items():
             if not want(name):
                 continue
-            out = []
-            for i in range(copies):
-                c = df.copy()
-                for col, stride in shifts.items():
-                    c[col] = c[col] + i * stride
-                out.append(c)
-            pq.write_table(
-                pa.Table.from_pandas(pd.concat(out, ignore_index=True), preserve_index=False),
-                f"{out_dir}/{name}.parquet",
-            )
+            if copies <= 100:
+                out = []
+                for i in range(copies):
+                    c = df.copy()
+                    for col, stride in shifts.items():
+                        c[col] = c[col] + i * stride
+                    out.append(c)
+                pq.write_table(
+                    pa.Table.from_pandas(pd.concat(out, ignore_index=True), preserve_index=False),
+                    f"{out_dir}/{name}.parquet",
+                )
+            else:
+                # two-decade tiers (sf100: copies=1000): a single pandas
+                # concat would hold 100M-600M rows in memory — stream
+                # one row group per copy through a ParquetWriter
+                # instead (identical row content, bounded memory).
+                writer = None
+                try:
+                    for i in range(copies):
+                        c = df.copy()
+                        for col, stride in shifts.items():
+                            c[col] = c[col] + i * stride
+                        t = pa.Table.from_pandas(c, preserve_index=False)
+                        if writer is None:
+                            writer = pq.ParquetWriter(
+                                f"{out_dir}/{name}.parquet", t.schema
+                            )
+                        writer.write_table(t)
+                finally:
+                    if writer is not None:
+                        writer.close()
             print(f"{name}: {len(df)} -> {len(df) * copies}", file=sys.stderr)
 
     if want("documents"):
