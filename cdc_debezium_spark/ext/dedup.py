@@ -909,7 +909,7 @@ def embedding_near_dupes_ann(
     threshold: float = 0.4,
     centroid_stride: int = 100,
     nassign: int = 4,
-    block_rows: int = 4096,
+    block_rows: int | None = None,
     cents: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via IVF-bucketed candidates —
@@ -955,6 +955,18 @@ def embedding_near_dupes_ann(
     one of their nassign nearest cells — the oracle emulates exactly
     this pipeline (not ideal all-pairs), so recall behavior is verified
     rather than assumed, same as the minhash-LSH lane.
+
+    Memory layout (r12, found when the d=768 decade fixture OOMed an
+    8 GB JVM heap): the small-cell path streams each cell's rows to
+    Python via groupBy+applyInPandas — Arrow columnar transfer, no
+    JVM-side collect_list of vector structs (at d=768×sf10 those
+    aggregate rows totalled ~5 GB of heap across concurrent stages).
+    The block path still needs collect_list (block PAIRS join on the
+    assembled lists), so when `block_rows` is not overridden the
+    small/big ROUTING threshold stays 4096 rows (a 4096-member Arrow
+    group is ~25 MB of pandas at d=768 — no JVM cost) while the
+    big-path BLOCK size adapts to the vector width so each assembled
+    list row stays ~2 MB regardless of dimension.
     """
     import numpy as np
     import pandas as pd
@@ -963,49 +975,47 @@ def embedding_near_dupes_ann(
 
     from .similarity import assign_cells
 
+    if block_rows is None:
+        small_rows = 4096
+        dims = emb.select(F.size("embedding").alias("d")).first()["d"]
+        blk_rows = max(256, 4096 * 64 // max(dims, 1))
+    else:
+        small_rows = blk_rows = block_rows  # explicit override: both
+
     asg = assign_cells(emb, centroid_stride, nassign, cents=cents).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     counts = asg.groupBy("cell").agg(F.count("*").alias("n_cell"))
     asgc = asg.join(F.broadcast(counts), "cell")
 
-    # Common path: cells that fit one block — groupBy + one matmul
-    # per cell, exactly the pre-guard plan (no join touches the fat
-    # member lists).
-    small = (
-        asgc.where(F.col("n_cell") <= block_rows)
+    # Common path: cells that fit one block — one Arrow-streamed
+    # pandas group + one matmul per cell (no JVM vector aggregation).
+    def scan_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ia = pdf["vec_id"].to_numpy()
+        A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        C = A @ A.T
+        ii, jj = np.where(C >= threshold)
+        keep = ia[ii] < ia[jj]  # strict order also kills self-pairs
+        return pd.DataFrame(
+            {
+                "vec_a": ia[ii][keep],
+                "vec_b": ia[jj][keep],
+                "cosine": np.floor(C[ii, jj][keep] * 10000.0 + 0.5) / 10000.0,
+            }
+        )
+
+    small_pairs = (
+        asgc.where(F.col("n_cell") <= small_rows)
         .groupBy("cell")
-        .agg(F.collect_list(F.struct("vec_id", "v")).alias("vecs"))
-    )
-
-    def scan_cell(batches):
-        for pdf in batches:
-            ids_a, ids_b, cosines = [], [], []
-            for vecs in pdf["vecs"]:
-                ia = np.array([r["vec_id"] for r in vecs])
-                A = np.array([r["v"] for r in vecs], dtype=np.float64)
-                A /= np.linalg.norm(A, axis=1, keepdims=True)
-                C = A @ A.T
-                ii, jj = np.where(C >= threshold)
-                keep = ia[ii] < ia[jj]  # strict order also kills self-pairs
-                ids_a.extend(ia[ii][keep])
-                ids_b.extend(ia[jj][keep])
-                cosines.extend(
-                    np.floor(C[ii, jj][keep] * 10000.0 + 0.5) / 10000.0
-                )
-            yield pd.DataFrame(
-                {"vec_a": ids_a, "vec_b": ids_b, "cosine": cosines}
-            )
-
-    small_pairs = small.mapInPandas(
-        scan_cell, "vec_a long, vec_b long, cosine double"
+        .applyInPandas(scan_cell, "vec_a long, vec_b long, cosine double")
     )
 
     # Skewed tail: oversized cells only — hash members into
-    # ~block_rows blocks, one matmul per block pair.
-    nblk = F.ceil(F.col("n_cell") / F.lit(block_rows))
+    # ~blk_rows blocks, one matmul per block pair.
+    nblk = F.ceil(F.col("n_cell") / F.lit(blk_rows))
     blocks = (
-        asgc.where(F.col("n_cell") > block_rows)
+        asgc.where(F.col("n_cell") > small_rows)
         .withColumn("blk", F.pmod(F.xxhash64("vec_id"), nblk))
         .groupBy("cell", "blk")
         .agg(F.collect_list(F.struct("vec_id", "v")).alias("vecs"))
