@@ -224,9 +224,15 @@ def generate(
                 rolled = rolled * sign
             c["embedding"] = [row.tolist() for row in rolled]
             emb_copies.append(c)
+        # row_group_size: parquet splits only at row-group boundaries,
+        # so a single-group file caps the scan at ONE task no matter
+        # what maxPartitionBytes says (r12: the d=768 sf10 tier
+        # serialized the whole assignment pass — 4.7 GB of Arrow
+        # traffic — through one core this way).
         pq.write_table(
             pa.Table.from_pandas(pd.concat(emb_copies, ignore_index=True), preserve_index=False),
             f"{out_dir}/embeddings.parquet",
+            row_group_size=10_000,
         )
         print(f"embeddings: {len(emb)} -> {len(emb) * copies}", file=sys.stderr)
 
