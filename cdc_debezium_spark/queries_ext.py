@@ -1838,10 +1838,12 @@ def ext_stream_dedup_embedding_roundtrip(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        # 600 s: only binds at decade-fixture scale (sf10 drains in
-        # ~400 s — six micro-batches each re-reading the grown index);
-        # the sf0.01 driver gate takes seconds.
-        if not q.awaitTermination(600):
+        # 1800 s: only binds at decade-fixture scale — the d=768 sf10
+        # tier drains in ~700-1200 s (six micro-batches, each paying
+        # the bit-exact per-dimension verify kernel at 768 dims, ~40x
+        # a BLAS matmul by design — oracle parity over speed on this
+        # one shared path); the sf0.01 driver gate takes seconds.
+        if not q.awaitTermination(1800):
             q.stop()
             raise TimeoutError(
                 "ext_stream_dedup_embedding_roundtrip: stream did not drain in 600s"
