@@ -617,21 +617,30 @@ def incremental_embedding_ingest(
     vectors (~1 KB/pair; at sf1 occupancy that is ~16 GB of shuffled
     pair payload, measured blowing the sweep cap), while the cogroup
     ships each cell's rows ONCE and the candidate cross-product lives
-    only inside a numpy kernel. The kernel is the shared
-    _neg_cosine_matrix dimension-at-a-time accumulation — the SAME
-    left-to-right IEEE sequence as the DuckDB oracle's fold (r11
-    ADVICE: raw BLAS `A @ B.T` block-reorders the sum, so a pair near
-    the 0.4 threshold or a 4dp rounding boundary could flip between
-    redeliveries as the right-side matrix shape changes; the fixed
-    per-dimension order makes every pair's cosine independent of
-    batch shape, so .distinct() always collapses redelivered pairs).
+    only inside a numpy kernel.
+
+    The EMITTED cosine is shape-independent and bit-exact with the
+    DuckDB oracle's fold (r11 ADVICE: raw BLAS `A @ B.T`
+    block-reorders the sum, so a pair near the 0.4 threshold or a 4dp
+    rounding boundary could flip between redeliveries as the
+    right-side matrix shape changes, and .distinct() would not
+    collapse the pair). Doing the WHOLE candidate matrix with the
+    exact per-dimension kernel costs ~40× BLAS (measured: the d=768
+    sf10 drain blew its timeout) — so verify is two-phase: a BLAS
+    prefilter keeps pairs with cos >= threshold - 1e-9 (BLAS differs
+    from the fold by ~1e-15, so no qualifying pair can be lost under
+    any batch shape), then ONLY the surviving pairs — O(qualifying ×
+    d), thousands not hundreds of millions — are recomputed with the
+    strict d-ascending per-pair fold, whose value is what gets
+    thresholded, 4dp-rounded and emitted. Redelivered pairs therefore
+    always carry the identical cosine and collapse in .distinct().
     Occupancy stays bounded at scale by growing k with the corpus
     (the trained-centroid path), the same rule every IVF lane records.
     """
     import numpy as np
     import pandas as pd
 
-    from .similarity import _neg_cosine_matrix, assign_cells
+    from .similarity import assign_cells
 
     new_asg = assign_cells(new_emb, nassign=nassign, cents=cents)
     all_asg = new_asg if index is None else index.unionByName(new_asg)
@@ -645,22 +654,33 @@ def incremental_embedding_ingest(
             return out
         A = np.stack(left["v"].to_numpy()).astype(np.float64)
         B = np.stack(right["v"].to_numpy()).astype(np.float64)
-        cos = -_neg_cosine_matrix(
-            A,
-            left["norm"].to_numpy().astype(np.float64),
-            B,
-            right["norm"].to_numpy().astype(np.float64),
-        )
+        na = left["norm"].to_numpy().astype(np.float64)
+        nb = right["norm"].to_numpy().astype(np.float64)
         ia = left["vec_id"].to_numpy()
         ib = right["vec_id"].to_numpy()
-        ii, jj = np.nonzero((cos >= thr) & (ia[:, None] != ib[None, :]))
+        # phase 1: BLAS prefilter with a margin far above BLAS-vs-fold
+        # drift (~1e-15) and far below any real decision boundary
+        blas = (A @ B.T) / np.outer(na, nb)
+        ii, jj = np.nonzero(
+            (blas >= thr - 1e-9) & (ia[:, None] != ib[None, :])
+        )
         if not len(ii):
+            return out
+        # phase 2: strict d-ascending fold per surviving pair — the
+        # oracle's IEEE sequence, shape-independent
+        Ai, Bj = A[ii], B[jj]
+        acc = np.zeros(len(ii), dtype=np.float64)
+        for d in range(A.shape[1]):
+            acc += Ai[:, d] * Bj[:, d]
+        cos = acc / (na[ii] * nb[jj])
+        keep = cos >= thr
+        if not keep.any():
             return out
         return pd.DataFrame(
             {
-                "vec_a": np.minimum(ia[ii], ib[jj]),
-                "vec_b": np.maximum(ia[ii], ib[jj]),
-                "cosine": np.floor(cos[ii, jj] * 10000.0 + 0.5) / 10000.0,
+                "vec_a": np.minimum(ia[ii][keep], ib[jj][keep]),
+                "vec_b": np.maximum(ia[ii][keep], ib[jj][keep]),
+                "cosine": np.floor(cos[keep] * 10000.0 + 0.5) / 10000.0,
             }
         )
 
