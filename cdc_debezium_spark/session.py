@@ -67,6 +67,16 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Optional driver JVM thread-stack override (SPARK_GRAFT_XSS=64m):
+    # the d=768 decade probe hit a java.util.regex StackOverflowError
+    # on the stream execution thread (regex recursion depth grows with
+    # input length; the default ~1 MB stack caps it). Only applied
+    # when explicitly requested — scale scripts set it, tests don't.
+    xss = os.environ.get("SPARK_GRAFT_XSS")
+    if xss:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", f"-Xss{xss}"
+        )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return tune(builder.getOrCreate())
