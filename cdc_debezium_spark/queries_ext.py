@@ -1843,10 +1843,12 @@ def ext_stream_dedup_embedding_roundtrip(spark, sf_dir):
         # the bit-exact per-dimension verify kernel at 768 dims, ~40x
         # a BLAS matmul by design — oracle parity over speed on this
         # one shared path); the sf0.01 driver gate takes seconds.
-        if not q.awaitTermination(1800):
+        drain_s = 1800
+        if not q.awaitTermination(drain_s):
             q.stop()
             raise TimeoutError(
-                "ext_stream_dedup_embedding_roundtrip: stream did not drain in 600s"
+                "ext_stream_dedup_embedding_roundtrip: "
+                f"stream did not drain in {drain_s}s"
             )
         return (
             spark.read.parquet(out_dir)

@@ -100,13 +100,17 @@ def _flatness(batches: list[dict], compact_every: int) -> dict:
     JIT/codegen warmup, compaction batches pay the scheduled fold).
     A compaction batch is detected from state shape — live_deltas == 0
     after the call means the batch folded (works for BOTH the fixed
-    cadence and the size-threshold policy) — with the cadence modulo
+    cadence and the size-threshold policy) — but ONLY for sinks that
+    ever produce delta dirs: a copy-on-write sink has live_deltas == 0
+    on every batch by construction, and treating that as "compacted"
+    would exclude its whole run (r12 ADVICE). The cadence modulo stays
     as a fallback for sinks that keep deltas for other reasons."""
+    had_deltas = any(b.get("live_deltas", 0) > 0 for b in batches)
     steady = [
         b
         for i, b in enumerate(batches)
         if i > 0
-        and b.get("live_deltas", 1) != 0
+        and not (had_deltas and b.get("live_deltas", 1) == 0)
         and not (compact_every and (i + 1) % compact_every == 0)
     ]
     if len(steady) < 4:
