@@ -2183,10 +2183,14 @@ def cdc_stream_latest_state_roundtrip(spark, sf_dir):
     try:
         chunks = event_chunks_cached(spark, sf_dir, n_chunks=4, repeat=2)
         stream = cdc.to_cdc(read_event_stream(spark, chunks))
-        # size-threshold compaction (fold when delta bytes >= base
-        # bytes) — the production policy; fixed cadence remains a knob
+        # fixed-cadence compaction: this sink's base is KEY-BOUNDED
+        # (#keys rows), so ratio-only size-threshold degenerates to
+        # fold-every-batch (measured at sf10 as a 1.4x drain,
+        # STREAM_PROFILE_r12) — cadence (or ratio + a min-delta-bytes
+        # floor) is the per-sink default; the log-sized scd2 twin
+        # keeps ratio.
         sink = DeltaUpsertSink(
-            state, keys=["pk"], order=["ts_us", "ord2"], compact_ratio=1.0
+            state, keys=["pk"], order=["ts_us", "ord2"], compact_every=3
         )
         q = run_upsert_stream(stream, sink, f"{base}/cp")
         if not q.awaitTermination(300):
@@ -2526,6 +2530,11 @@ def cdc_scd2_stream_roundtrip(spark, sf_dir):
     try:
         chunks = event_chunks_cached(spark, sf_dir, n_chunks=4, repeat=2)
         stream = cdc.to_cdc(read_event_stream(spark, chunks))
+        # ratio-only size-threshold compaction: history is LOG-sized,
+        # the base grows with ingested volume, so the geometric
+        # amortization holds (STREAM_PROFILE_r12: flat per-batch cost)
+        # — the per-sink default, unlike the key-bounded latest-state
+        # twin which uses cadence.
         sink = Scd2DeltaHistorySink(state, keys=["pk"], compact_ratio=1.0)
         q = run_upsert_stream(stream, sink, f"{base}/cp")
         if not q.awaitTermination(300):

@@ -916,17 +916,26 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def _deltas_exceed_ratio(path: str, ratio: float) -> bool:
+def _deltas_exceed_ratio(path: str, ratio: float, min_bytes: int = 0) -> bool:
     """Size-threshold compaction trigger (r11 verdict item 3): compact
-    when accumulated delta bytes exceed `ratio` × base bytes. With no
-    base yet, any delta triggers (the first fold establishes the base
-    cheaply). Amortization: each fold costs O(base + deltas) and is
-    only fired once deltas ≥ ratio×base, so base grows geometrically
-    and total compaction work over a drain is O(total × (1+ratio)/ratio)
-    — linear in ingested bytes with a knob, unlike a fixed cadence
+    when accumulated delta bytes exceed `ratio` × base bytes AND the
+    `min_bytes` floor. With no base yet, any delta over the floor
+    triggers (the first fold establishes the base cheaply).
+    Amortization: each fold costs O(base + deltas) and is only fired
+    once deltas ≥ ratio×base, so base grows geometrically and total
+    compaction work over a drain is O(total × (1+ratio)/ratio) —
+    linear in ingested bytes with a knob, unlike a fixed cadence
     whose per-fold cost grows with the accumulated base while the
     folded delta volume stays flat (the sf10 profile's 4.2→5.7 s
     monotone compaction folds under modulo-3).
+
+    The `min_bytes` floor exists because the amortization argument
+    assumes the base grows with the log. For a KEY-BOUNDED base
+    (latest-state: #keys rows, however much is ingested) every
+    batch-sized delta exceeds ratio×base, so ratio-only degenerates to
+    fold-every-batch — measured at sf10 as a 1.4× drain for 3.6×
+    faster reads (STREAM_PROFILE_r12). The floor restores batching:
+    fold only once at least `min_bytes` of deltas accumulated.
 
     Local-FS stat walk stands in for the FileSystem listing a cluster
     deployment would use; the decision needs only directory sizes,
@@ -937,6 +946,8 @@ def _deltas_exceed_ratio(path: str, ratio: float) -> bool:
     base = os.path.join(path, "base")
     base_b = _dir_bytes(base) if os.path.isdir(base) else 0
     delta_b = sum(_dir_bytes(d) for d in deltas)
+    if delta_b < min_bytes:
+        return False
     if base_b == 0:
         return delta_b > 0
     return delta_b >= ratio * base_b
@@ -1032,6 +1043,7 @@ class DeltaUpsertSink:
         drop_deleted: bool = True,
         compact_every: int = 0,
         compact_ratio: float = 0.0,
+        compact_min_bytes: int = 0,
     ) -> None:
         self.path = path
         self.keys = list(keys)
@@ -1042,8 +1054,15 @@ class DeltaUpsertSink:
         # when delta bytes ≥ ratio × base bytes — see
         # _deltas_exceed_ratio for the amortization argument) and
         # takes precedence over the fixed compact_every cadence.
+        # POLICY DEFAULT (measured, STREAM_PROFILE_r12): this sink's
+        # base is KEY-BOUNDED (#keys rows regardless of log volume),
+        # so ratio-only degenerates to fold-every-batch — pair
+        # compact_ratio with a compact_min_bytes floor, or use the
+        # fixed compact_every cadence. Ratio-only is the right default
+        # for the LOG-sized Scd2DeltaHistorySink, not here.
         self.compact_every = compact_every
         self.compact_ratio = compact_ratio
+        self.compact_min_bytes = compact_min_bytes
         self._batches_seen = 0
 
     def _delta_glob(self) -> list[str]:
@@ -1062,7 +1081,9 @@ class DeltaUpsertSink:
         )
         self._batches_seen += 1
         if self.compact_ratio > 0:
-            if _deltas_exceed_ratio(self.path, self.compact_ratio):
+            if _deltas_exceed_ratio(
+                self.path, self.compact_ratio, self.compact_min_bytes
+            ):
                 self.compact(batch.sparkSession)
         elif self.compact_every and self._batches_seen % self.compact_every == 0:
             self.compact(batch.sparkSession)
@@ -1136,15 +1157,22 @@ class Scd2DeltaHistorySink:
         ord_col: str = "ord2",
         compact_every: int = 0,
         compact_ratio: float = 0.0,
+        compact_min_bytes: int = 0,
     ) -> None:
         self.path = path
         self.keys = list(keys)
         self.ts_col = ts_col
         self.ord_col = ord_col
         # same policy pair as DeltaUpsertSink: compact_ratio (size
-        # threshold, preferred) vs compact_every (fixed cadence).
+        # threshold) vs compact_every (fixed cadence). Ratio-only IS
+        # the right default HERE: history is log-sized, the base grows
+        # with ingested volume, and the geometric-growth amortization
+        # holds (STREAM_PROFILE_r12 measured flat per-batch cost). The
+        # compact_min_bytes floor is available for symmetry but not
+        # needed for a log-sized base.
         self.compact_every = compact_every
         self.compact_ratio = compact_ratio
+        self.compact_min_bytes = compact_min_bytes
         self._batches_seen = 0
 
     def _delta_glob(self) -> list[str]:
@@ -1176,7 +1204,9 @@ class Scd2DeltaHistorySink:
         )
         self._batches_seen += 1
         if self.compact_ratio > 0:
-            if _deltas_exceed_ratio(self.path, self.compact_ratio):
+            if _deltas_exceed_ratio(
+                self.path, self.compact_ratio, self.compact_min_bytes
+            ):
                 self.compact(batch.sparkSession)
         elif self.compact_every and self._batches_seen % self.compact_every == 0:
             self.compact(batch.sparkSession)

@@ -660,6 +660,69 @@ def test_delta_upsert_sink_size_threshold_policy(spark, sf_dir, tmp_path):
     assert not _deltas_exceed_ratio(str(tmp_path / "nowhere"), 1.0)
 
 
+def test_per_sink_compaction_defaults_fold_counts(spark, tmp_path):
+    """Per-sink compaction defaults (r12 verdict item 6), pinned by
+    fold COUNTS at the sf0.01-gate drain shape (8 batches): the
+    latest-state sink's base is key-bounded, so ratio-only measured
+    degenerate (fold-every-batch, 1.4x drain at sf10 —
+    STREAM_PROFILE_r12) and the gate lane now uses cadence; ratio +
+    a min-delta-bytes floor is the scale alternative. The log-sized
+    scd2 base keeps ratio. Sinks are driven directly (foreachBatch
+    shape) so the counts are deterministic."""
+    from cdc_debezium_spark.streaming.state import DeltaUpsertSink
+
+    n_batches, n_keys = 8, 5
+
+    def drive(sink):
+        folds = []
+        orig = sink.compact
+        sink.compact = lambda sp: folds.append(orig(sp))
+        for b in range(n_batches):
+            batch = spark.createDataFrame(
+                [(k, b * 10 + k, 0, "u", f"v{b}") for k in range(n_keys)],
+                "pk long, ts_us long, ord2 long, op string, val string",
+            )
+            sink(batch, b)
+        return folds
+
+    # cadence 3 over 8 batches -> folds after batches 3 and 6, exactly
+    cad = drive(
+        DeltaUpsertSink(str(tmp_path / "cad"), keys=["pk"], compact_every=3)
+    )
+    assert len(cad) == n_batches // 3 == 2
+
+    # ratio-only on a key-bounded base: every batch-sized delta
+    # reaches ratio x base, so it folds EVERY batch — the documented
+    # degenerate shape this test exists to keep visible
+    deg = drive(
+        DeltaUpsertSink(str(tmp_path / "deg"), keys=["pk"], compact_ratio=1.0)
+    )
+    assert len(deg) == n_batches
+
+    # ratio + min-bytes floor: no fold until the floor is reached
+    floored = drive(
+        DeltaUpsertSink(
+            str(tmp_path / "flr"),
+            keys=["pk"],
+            compact_ratio=1.0,
+            compact_min_bytes=1 << 40,
+        )
+    )
+    assert len(floored) == 0
+
+    # all three policies read back the identical latest state
+    cols = ["pk", "ts_us", "val"]
+    want = _rows(
+        DeltaUpsertSink(str(tmp_path / "cad"), keys=["pk"]).read_live(spark), cols
+    )
+    assert len(want) == n_keys
+    for p in ("deg", "flr"):
+        got = _rows(
+            DeltaUpsertSink(str(tmp_path / p), keys=["pk"]).read_live(spark), cols
+        )
+        assert got == want
+
+
 def test_delta_sink_base_swap_crash_leaves_readable_state(spark, sf_dir, tmp_path):
     """The r9 review found the original compaction rmtree'd the old
     base BEFORE renaming the new one in — a crash in that window lost
