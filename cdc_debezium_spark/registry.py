@@ -36,31 +36,29 @@ def query(key: str, oracle: str | None = None):
 # fails if the layout stops leading with the oldest debt, or if this
 # marker falls >1 round behind the newest committed file (the rebuild
 # ratchet).
-_PRIORITY_BUILT_FROM = 11
+_PRIORITY_BUILT_FROM = 12
 
 # Keys whose registered implementation changed materially AFTER their
 # last driver sample — the prior CORRECTNESS rows attest retired code,
 # so the rotation (and the staleness guard) treats them as
-# never-sampled until the driver re-checks them. r12: the eight
-# memory-sink gate lanes converged on the scratch-dir + lazy-reader
-# materialization (r11 verdict item 4), the streaming-ANN verify
-# kernel moved to the shared bit-exact _neg_cosine_matrix
-# accumulation, the minhash ingest fixture writer moved off the
-# driver-side toPandas, and the two merge-on-read stream lanes
-# switched to the size-threshold compaction policy (r11 verdict
-# item 3).
+# never-sampled until the driver re-checks them. r13: the r12
+# `_neg_cosine_matrix` retile's consumer lanes were never in the r12
+# driver sample (r12 verdict item 3 names them), and this round moved
+# every batch embedding-verify onto the shared two-phase exact-fold
+# kernel (`_two_phase_cosine`) and switched the latest-state gate
+# lane's compaction policy from ratio to cadence (verdict item 6).
 _RESAMPLE_FORCED = {
-    "cdc_stream_latest_state_roundtrip",
-    "cdc_scd2_stream_roundtrip",
-    "agg_tumbling_window_stream_roundtrip",
-    "agg_sliding_window_stream_roundtrip",
-    "join_stream_static_enrich_roundtrip",
-    "join_stream_stream_roundtrip",
-    "events_late_data_drop_roundtrip",
-    "udf_stateful_processor_roundtrip",
-    "udf_session_timeout_roundtrip",
-    "ext_stream_dedup_minhash_roundtrip",
+    # r12 kernel retile, no driver row since (last samples r7-r10)
+    "ext_dedup_embedding_ann",
+    "ext_dedup_embedding_ann_trained",
+    "ext_similarity_ivf_trained",
+    "ext_similarity_ivf_prod",
+    "ext_similarity_ivfpq",
+    "ext_dedup_semantic",
+    # r13 two-phase verify unification + compaction-policy change
+    "ext_dedup_embedding_blocked",
     "ext_stream_dedup_embedding_roundtrip",
+    "cdc_stream_latest_state_roundtrip",
 }
 
 # Key-tiering policy (staleness is a policy, not an accident):
@@ -77,95 +75,48 @@ _RESAMPLE_FORCED = {
 # _PRIORITY must lead with every never-sampled key, then the stalest
 # cohort, so any count-budgeted driver prefix retires the oldest debt.
 #
-# Round-12 layout (from CORRECTNESS_r01..r11): the never-sampled
-# block leads — the eleven _RESAMPLE_FORCED keys (code changed this
-# round after their r11/earlier samples) — then the FULL 44-key
-# r6-stale cohort the r11 verdict named (6 rounds without a driver
-# row), ordered hot-tier-first with the five cold diagnostics/recall
-# lanes last so a 50-key driver budget (11 forced + 39 r6) retires
-# everything except those five (they lead the r13 rebuild). The r7
-# cohort follows as the continuation tail. Target after this round:
-# r6 cohort reduced to <= 5 keys, all cold-tier.
+# Round-13 layout (from CORRECTNESS_r01..r12): the never-sampled
+# block leads — the nine _RESAMPLE_FORCED keys (kernel/verify/policy
+# code changed after their last samples) — then the 5-key r6 cold
+# cohort (7 rounds without a driver row; r12's budget stopped just
+# short of them), then the r7 cohort minus its two forced members
+# (39 keys), hot-tier (executed sink protocols, stream roundtrips)
+# first and the three recall diagnostics last. A 50-key driver budget
+# (9 forced + 5 r6 + 36 r7) retires everything except those three
+# diagnostics, which lead the r14 rebuild with the r8 cohort.
 _PRIORITY = [
     # --- never driver-sampled under the current implementation
     #     (_RESAMPLE_FORCED — see above) ---
-    "cdc_stream_latest_state_roundtrip",
-    "cdc_scd2_stream_roundtrip",
-    "agg_tumbling_window_stream_roundtrip",
-    "agg_sliding_window_stream_roundtrip",
-    "join_stream_static_enrich_roundtrip",
-    "join_stream_stream_roundtrip",
-    "events_late_data_drop_roundtrip",
-    "udf_stateful_processor_roundtrip",
-    "udf_session_timeout_roundtrip",
-    "ext_stream_dedup_minhash_roundtrip",
-    "ext_stream_dedup_embedding_roundtrip",
-    # --- r6-stale cohort (44): last driver row in CORRECTNESS_r06,
-    #     hot-tier (bench-headline, streaming-agg, CDC-adjacent)
-    #     first; these 39 fill the 50-key budget ---
-    "sql_pricing_summary",
-    "ext_dedup_minhash",
-    "agg_sliding_window",
-    "doc_nested_roundtrip",
-    "events_lateness_audit",
-    "udf_cogroup_processor",
-    "udtf_tokenize",
-    "agg_approx_distinct",
-    "agg_cube",
-    "agg_distinct",
-    "agg_stats",
-    "filter_predicates",
-    "project_basic",
-    "join_outer",
-    "join_range",
-    "join_semi_anti",
-    "pivot_status",
-    "explode_array",
-    "set_intersect_except",
-    "set_union",
-    "sort_orderby",
-    "window_lag_lead",
-    "scalar_array_map",
-    "scalar_conditional",
-    "scalar_datetime",
-    "scalar_hash",
-    "scalar_json",
-    "scalar_math",
-    "scalar_string",
-    "ext_corpus_clean",
-    "ext_decontaminate",
-    "ext_dedup_canonical",
-    "ext_dedup_clusters",
-    "ext_dedup_embedding",
+    "ext_dedup_embedding_ann",
+    "ext_dedup_embedding_ann_trained",
+    "ext_similarity_ivf_trained",
+    "ext_similarity_ivf_prod",
+    "ext_similarity_ivfpq",
+    "ext_dedup_semantic",
     "ext_dedup_embedding_blocked",
-    "ext_dedup_exact",
-    "ext_dedup_minhash_incremental",
-    "ext_dedup_simhash",
-    "ext_similarity_rp_lsh",
-    # --- r6 cold-tier diagnostics (outside a 50-key budget; they
-    #     lead the r13 rebuild if the driver doesn't sample deeper) ---
+    "ext_stream_dedup_embedding_roundtrip",
+    "cdc_stream_latest_state_roundtrip",
+    # --- r6 cold cohort (5): last driver row in CORRECTNESS_r06,
+    #     7 rounds stale — the oldest debt on the books ---
     "ext_cluster_profile",
     "ext_dedup_graph_degree",
     "ext_dedup_minhash_recall",
     "ext_dedup_simhash_pairs",
     "ext_dedup_spans",
-    # --- r7 cohort continuation, hot-tier (executed sink protocols,
-    #     stream roundtrips) first ---
+    # --- r7 cohort (39 = 41 minus the two forced members),
+    #     hot-tier (executed sink protocols, stream roundtrips)
+    #     first; the three recall diagnostics close the list so a
+    #     50-key budget cut falls on them ---
     "cdc_es_bulk_roundtrip",
     "cdc_clickhouse_replacing_roundtrip",
     "cdc_redis_latest_kv_roundtrip",
     "cdc_schema_evolution_roundtrip",
     "agg_session_window_stream_roundtrip",
     "events_stream_progress_audit",
-    "join_bloom_prefilter",
-    "json_map_explode",
-    "type_coercion",
-    "window_distribution",
     "agg_count_min_sketch",
     "agg_hll_sketch",
     "agg_kmv_distinct",
     "agg_quantile_sampled",
-    "ext_dedup_semantic",
     "ext_embedding_quantize",
     "ext_multimodal_frames",
     "ext_multimodal_patches",
@@ -174,11 +125,7 @@ _PRIORITY = [
     "ext_sample_mixture",
     "ext_sample_stratified",
     "ext_similarity_ivf",
-    "ext_similarity_ivf_recall",
-    "ext_similarity_ivf_trained",
-    "ext_similarity_ivfpq_recall",
     "ext_similarity_range",
-    "ext_similarity_rp_lsh_recall",
     "ext_similarity_topk",
     "ext_text_bpe_tokens",
     "ext_text_charngrams",
@@ -192,6 +139,13 @@ _PRIORITY = [
     "ext_text_stats",
     "ext_text_tfidf",
     "ext_text_vocab",
+    "join_bloom_prefilter",
+    "json_map_explode",
+    "type_coercion",
+    "window_distribution",
+    "ext_similarity_ivf_recall",
+    "ext_similarity_ivfpq_recall",
+    "ext_similarity_rp_lsh_recall",
 ]
 
 
