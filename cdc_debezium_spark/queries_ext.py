@@ -520,8 +520,14 @@ def ext_stream_dedup_minhash_roundtrip(spark, sf_dir):
             s = batch.sparkSession
             index = s.read.parquet(idx_dir)
             new_rows, pairs = dedup.incremental_minhash_ingest(index, batch)
+            # same recompute guard as the embedding twin: the batch's
+            # signature rows feed both the candidate join and the
+            # index append — persist so shingle+minhash aggregation
+            # runs once per batch
+            new_rows = new_rows.persist()
             pairs.write.mode("append").parquet(out_dir)
             new_rows.write.mode("append").parquet(idx_dir)
+            new_rows.unpersist()
 
         q = (
             spark.readStream.schema("doc_id long, text string")
@@ -1807,7 +1813,16 @@ def ext_stream_dedup_embedding_roundtrip(spark, sf_dir):
             chunk = emb.where(F.col("vec_id") % 3 == i).coalesce(1)
             for r in range(2):  # every chunk delivered twice
                 path = f"{chunks_dir}/chunk_{i:04d}_{r}"
-                chunk.write.mode("overwrite").parquet(path)
+                # small row groups: parquet splits only at row-group
+                # boundaries, and the one-file-per-chunk delivery
+                # contract (maxFilesPerTrigger=1) would otherwise put
+                # a decade-tier chunk's whole scan — and with it the
+                # per-batch assignment kernel — on 1-3 tasks (the r12
+                # single-row-group fixture bug, reintroduced by this
+                # rewrite; measured blowing the sf10 d=768 drain cap)
+                chunk.write.mode("overwrite").option(
+                    "parquet.block.size", 4 << 20
+                ).parquet(path)
                 for f_ in os.listdir(path):
                     os.utime(os.path.join(path, f_), (t0 + seq, t0 + seq))
                 seq += 1
@@ -1825,8 +1840,16 @@ def ext_stream_dedup_embedding_roundtrip(spark, sf_dir):
             new_asg, pairs = dedup.incremental_embedding_ingest(
                 index, batch, cents, threshold=0.4, nassign=4
             )
+            # the batch's assignment feeds THREE consumers (the
+            # verify's new side, its all-side union, and the index
+            # append) — unpersisted, the n×k Arrow scoring kernel
+            # runs three times per batch (measured: the recompute
+            # plus the serialized chunk scan blew the sf10 d=768
+            # drain past its 1800s cap)
+            new_asg = new_asg.persist()
             pairs.write.mode("append").parquet(out_dir)
             new_asg.write.mode("append").parquet(idx_dir)
+            new_asg.unpersist()
 
         q = (
             spark.readStream.schema(emb.schema)
