@@ -158,6 +158,32 @@ def _neg_cosine_matrix(A, norms, C, cn):
     return -(acc / (cn[None, :] * norms[:, None]))
 
 
+def _topk_cells(A, norms, C, cn, na):
+    """Row-blocked fused score+select: top-`na` centroid indices per
+    row WITHOUT materializing the full (n, k) score matrix. At
+    corpus-proportional k (the IVF growth rule: k = n/stride) the full
+    matrix for one 10k-row Arrow batch is n×k×8 bytes — 1.6 GB at the
+    sf100 tier's k=20k, and 32 concurrent workers OOM-killed the box
+    (r13 probe, OS oom-kill of the JVM). Each ~32 MB row block's
+    scores come from _neg_cosine_matrix (bit-exact fold — per-row
+    accumulation is independent of row blocking) and are argsorted
+    (stable: ties pick the lowest index = lowest cell over
+    cell-ascending centroids) and discarded, so worker memory is
+    O(block × k), not O(batch × k). Returns an (n, min(na, k)) int
+    index matrix; na=1 column 0 equals np.argmin (same tie rule)."""
+    import numpy as np
+
+    n, k = A.shape[0], C.shape[0]
+    na = min(na, k)
+    rows = max(1, (32 << 20) // (max(k, 1) * 8))
+    out = np.empty((n, na), dtype=np.int64)
+    for i0 in range(0, n, rows):
+        i1 = min(i0 + rows, n)
+        nc = _neg_cosine_matrix(A[i0:i1], norms[i0:i1], C, cn)
+        out[i0:i1] = np.argsort(nc, axis=1, kind="stable")[:, :na]
+    return out
+
+
 def _assign_packed(v: DataFrame, cents, extra: list[str]) -> DataFrame:
     """Nearest-centroid assignment against a packed centroid set.
 
@@ -210,10 +236,7 @@ def _assign_packed(v: DataFrame, cents, extra: list[str]) -> DataFrame:
                 norms = pdf["norm"].to_numpy()
                 if not (norms > 0).all():
                     raise ValueError("_assign_packed: zero-norm vector")
-                nc = _neg_cosine_matrix(
-                    A, norms, C, cn
-                )
-                best = np.argmin(nc, axis=1)
+                best = _topk_cells(A, norms, C, cn, 1)[:, 0]
                 out = {"vec_id": pdf["vec_id"].to_numpy()}
                 for c in extra:
                     out[c] = pdf[c]
@@ -496,8 +519,7 @@ def assign_cells(
                         continue
                     A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
                     norms = pdf["norm"].to_numpy()
-                    nc = _neg_cosine_matrix(A, norms, C, cn)
-                    top = np.argsort(nc, axis=1, kind="stable")[:, :na]
+                    top = _topk_cells(A, norms, C, cn, na)
                     yield pd.DataFrame(
                         {
                             "vec_id": np.repeat(pdf["vec_id"].to_numpy(), na),

@@ -1123,6 +1123,52 @@ def test_triangle_count_degree_oriented_on_hub_graph(spark):
     assert triangle_count(k3).collect()[0]["n_triangles"] == 1
 
 
+def test_topk_cells_matches_full_matrix_any_block():
+    """The fused row-blocked top-k selection (added after the sf100
+    probe OOM: a 10k-row Arrow batch's full score matrix at k=20k is
+    1.6 GB/worker) must reproduce the full-matrix argsort exactly for
+    every row count, k, and na — including ties (stable sort, lowest
+    cell wins) and the na=1 argmin equivalence."""
+    import numpy as np
+
+    from cdc_debezium_spark.ext.similarity import (
+        _neg_cosine_matrix,
+        _topk_cells,
+    )
+
+    d = 16
+    A = np.array(
+        [[(((i * d + k) * 48271) % 2003) / 1001.5 - 1.0 for k in range(d)]
+         for i in range(37)],
+        dtype=np.float64,
+    )
+    A[5] = A[20]  # force exact score ties across centroid rows below
+    C = np.vstack([A[3], A[3], A[11]])  # duplicate centroid: tie case
+    an = np.sqrt((A * A).sum(axis=1))
+    cn = np.sqrt((C * C).sum(axis=1))
+    full = np.argsort(
+        _neg_cosine_matrix(A, an, C, cn), axis=1, kind="stable"
+    )
+    for na in (1, 2, 3, 5):
+        got = _topk_cells(A, an, C, cn, na)
+        assert got.shape == (37, min(na, 3))
+        assert (got == full[:, : min(na, 3)]).all(), f"na={na}"
+    # na=1 column equals argmin with numpy's lowest-index tie rule
+    assert (
+        _topk_cells(A, an, C, cn, 1)[:, 0]
+        == np.argmin(_neg_cosine_matrix(A, an, C, cn), axis=1)
+    ).all()
+    # multi-block path: k large enough that the 32 MB block holds
+    # fewer rows than the batch (rows = 32M/(k*8) < 37 needs k > 113k)
+    big_C = np.repeat(C, 40_000, axis=0)  # k=120000
+    big_cn = np.repeat(cn, 40_000)
+    blocked = _topk_cells(A, an, big_C, big_cn, 4)
+    full_big = np.argsort(
+        _neg_cosine_matrix(A, an, big_C, big_cn), axis=1, kind="stable"
+    )[:, :4]
+    assert (blocked == full_big).all()
+
+
 def test_neg_cosine_kernel_bit_exact_with_hof_fold_d768(spark):
     """The Arrow assignment kernel's bit-exactness with the Spark HOF
     fold, re-pinned at the realistic-dimension tier (r11 verdict
