@@ -217,6 +217,24 @@ def main() -> None:
             ),
             lambda s, sp: s.read_live(sp),
         ),
+        "merge_on_read_DeltaUpsertSink_ratio_floor": (
+            "delta_ratio_floor",
+            # the r13 per-sink default for key-bounded bases: ratio
+            # with a min-delta-bytes floor, so the fold fires on
+            # accumulated bytes instead of every batch (the measured
+            # ratio-only degeneration)
+            lambda p: (
+                DeltaUpsertSink(
+                    p,
+                    keys=["pk"],
+                    order=["ts_us", "ord2"],
+                    compact_ratio=1.0,
+                    compact_min_bytes=32 << 20,
+                ),
+                0,
+            ),
+            lambda s, sp: s.read_live(sp),
+        ),
         "merge_on_read_Scd2DeltaHistorySink": (
             "scd2_delta",
             lambda p: (Scd2DeltaHistorySink(p, keys=["pk"], compact_every=3), 3),
