@@ -562,6 +562,135 @@ def assign_cells(
     )
 
 
+def assign_cells_coarse(
+    emb: DataFrame,
+    cents: DataFrame,
+    nassign: int = 1,
+    coarse_probe: int = 4,
+    n_coarse: int | None = None,
+) -> DataFrame:
+    """Two-level (coarse-quantized) IVF assignment — the 100 TB path
+    for the ONE super-linear term left in the ANN family. Exact
+    assignment scores every vector against every centroid: n×k dots,
+    and the scale rule grows k with the corpus (k = n/stride keeps
+    cell sizes bounded), so the assignment pass alone is O(n²/stride)
+    — measured as the dominant piece of the sf100 ANN leg. The
+    standard IVF answer (FAISS's coarse quantizer over the centroid
+    set): cluster the k centroids into ~√k coarse groups ONCE
+    (driver-side mini-Lloyd over k rows — the same bound as
+    kmeans_centroids' driver state), route each vector through the
+    coarse layer (n×√k dots), and score only the centroids of its
+    `coarse_probe` nearest groups (n × probe·k/√k expected). Total
+    per-vector work drops from k to √k·(1 + probe) dots — at k=20,000
+    that is 141·5 ≈ 705 vs 20,000, a ~28× cut that grows with k.
+
+    APPROXIMATE by construction: a vector's true nearest centroid is
+    found iff its group is probed (recall measured by pytest and the
+    SCALE sweep; `coarse_probe >= n_coarse` degrades to exact and must
+    match `assign_cells` EXACTLY — the equivalence pin). Selection is
+    the same rule as assign_cells: cosine desc, cell asc, stable.
+    Returns the assign_cells schema (vec_id, v, norm, cell). Not wired
+    into any oracle lane — gate lanes keep exact assignment (their
+    oracles emulate it); this is the documented swap-in for corpora
+    where n×k no longer fits the ingest budget.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = _with_unit(emb)
+    crows = sorted(cents.collect(), key=lambda r: r["cell"])
+    if not crows:
+        raise ValueError("assign_cells_coarse: empty centroid set")
+    C = np.array([r["cv"] for r in crows], dtype=np.float64)
+    cn = np.array([r["cnorm"] for r in crows], dtype=np.float64)
+    cell_ids = np.array([r["cell"] for r in crows], dtype=np.int64)
+    k = len(crows)
+    nc_groups = min(n_coarse or max(1, int(round(k**0.5))), k)
+    w = min(coarse_probe, nc_groups)
+    na = min(nassign, k)
+
+    # --- coarse layer: deterministic mini-Lloyd over the k centroids
+    # (driver-side numpy; k rows is the same driver bound every
+    # IVF/kmeans lane already accepts). Init: first nc_groups
+    # centroids in cell order; ties: lowest group index (argmin).
+    CC = C[:nc_groups].copy()
+    ccn = cn[:nc_groups].copy()
+    for _ in range(2):
+        grp = np.argmin(_neg_cosine_matrix(C, cn, CC, ccn), axis=1)
+        for g in range(nc_groups):
+            m = np.nonzero(grp == g)[0]
+            if len(m):
+                CC[g] = C[m].mean(axis=0)
+        ccn = np.sqrt((CC * CC).sum(axis=1))
+        if not (ccn > 0).all():  # degenerate mean: keep a safe norm
+            bad = ccn <= 0
+            CC[bad] = C[:nc_groups][bad]
+            ccn = np.sqrt((CC * CC).sum(axis=1))
+    grp = np.argmin(_neg_cosine_matrix(C, cn, CC, ccn), axis=1)
+    members = [np.nonzero(grp == g)[0] for g in range(nc_groups)]
+
+    # candidate triplets are n_rows × w × k/√k entries; chunk the row
+    # axis so one chunk's triplets stay ~tens of MB even at
+    # probe → n_coarse (the full-probe equivalence path) — an
+    # unchunked 10k-row Arrow batch at high probe crashed a worker
+    exp_cand = max(1, w * ((k + nc_groups - 1) // nc_groups))
+    chunk_rows = max(256, (16 << 20) // (exp_cand * 24))
+
+    def run(batches):
+        for pdf in batches:
+            for c0 in range(0, len(pdf), chunk_rows):
+                yield from _run_chunk(pdf.iloc[c0 : c0 + chunk_rows])
+
+    def _run_chunk(pdf):
+        n = len(pdf)
+        if n == 0:
+            return
+        A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = pdf["norm"].to_numpy()
+        probed = _topk_cells(A, norms, CC, ccn, w)  # (n, w) groups
+        rows_l, cells_l, scores_l = [], [], []
+        for g in range(nc_groups):
+            mem = members[g]
+            if not len(mem):
+                continue
+            rmask = (probed == g).any(axis=1)
+            ridx = np.nonzero(rmask)[0]
+            if not len(ridx):
+                continue
+            ncs = _neg_cosine_matrix(A[ridx], norms[ridx], C[mem], cn[mem])
+            rows_l.append(np.repeat(ridx, len(mem)))
+            cells_l.append(np.tile(mem, len(ridx)))
+            scores_l.append(ncs.reshape(-1))
+        if not rows_l:  # every probed group centroid-less (degenerate)
+            return
+        rows = np.concatenate(rows_l)
+        cells = np.concatenate(cells_l)
+        scores = np.concatenate(scores_l)
+        # per-row top-na, the assign_cells rule: cosine desc
+        # (neg-cos asc), then cell asc — lexsort is stable
+        order = np.lexsort((cell_ids[cells], scores, rows))
+        rows, cells = rows[order], cells[order]
+        first = np.ones(len(rows), dtype=bool)
+        first[1:] = rows[1:] != rows[:-1]
+        rank = np.arange(len(rows)) - np.maximum.accumulate(
+            np.where(first, np.arange(len(rows)), 0)
+        )
+        keep = rank < na
+        rows, cells = rows[keep], cells[keep]
+        yield pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy()[rows],
+                "v": pdf["v"].to_numpy()[rows],
+                "norm": norms[rows],
+                "cell": cell_ids[cells],
+            }
+        )
+
+    return v.mapInPandas(
+        run, "vec_id long, v array<double>, norm double, cell long"
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 10,
