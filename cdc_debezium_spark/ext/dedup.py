@@ -962,6 +962,7 @@ def embedding_near_dupes_ann(
     nassign: int = 4,
     block_rows: int | None = None,
     cents: DataFrame | None = None,
+    coarse_probe: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via IVF-bucketed candidates —
     the sub-quadratic scale path (judge r1 item 4).
@@ -1037,9 +1038,28 @@ def embedding_near_dupes_ann(
     else:
         small_rows = blk_rows = block_rows  # explicit override: both
 
-    asg = assign_cells(emb, centroid_stride, nassign, cents=cents).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # coarse_probe opts the candidate stage onto two-level assignment
+    # (similarity.assign_cells_coarse) — the swap for corpora where
+    # the exact n×k assignment no longer fits the ingest budget
+    # (k = n/stride grows with the corpus; the sf100 measurement cut
+    # the assignment pass 6.5× at k=20k). Verify stays the shared
+    # exact two-phase kernel either way, so every EMITTED pair is a
+    # true >= threshold pair — coarse routing can only lose
+    # candidates (recall), never corrupt a cosine. Default (None)
+    # keeps exact assignment: the oracle emulates it.
+    if coarse_probe is not None:
+        from .similarity import _strided_cents, _with_unit, assign_cells_coarse
+
+        c = cents if cents is not None else _strided_cents(
+            _with_unit(emb), centroid_stride
+        )
+        asg = assign_cells_coarse(
+            emb, c, nassign=nassign, coarse_probe=coarse_probe
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        asg = assign_cells(emb, centroid_stride, nassign, cents=cents).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     counts = asg.groupBy("cell").agg(F.count("*").alias("n_cell"))
     asgc = asg.join(F.broadcast(counts), "cell")
 

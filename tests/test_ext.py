@@ -1169,6 +1169,40 @@ def test_topk_cells_matches_full_matrix_any_block():
     assert (blocked == full_big).all()
 
 
+def test_ann_lane_with_coarse_assignment(emb):
+    """The dedup lane's coarse_probe opt-in: at full probe the pair
+    set equals the exact lane EXACTLY (assignment equivalence +
+    shared verify kernel); at partial probe every emitted pair is a
+    true pair from the exact set (coarse routing loses candidates,
+    never corrupts cosines) with high pair recall here."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_near_dupes_ann(emb, 0.4).collect()
+    }
+    full = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_near_dupes_ann(
+            emb, 0.4, coarse_probe=10**6
+        ).collect()
+    }
+    assert full == exact
+    part = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_near_dupes_ann(
+            emb, 0.4, coarse_probe=3
+        ).collect()
+    }
+    # substituted cells can co-locate pairs the exact candidate set
+    # missed, so the truth bound is the brute fold lane, not exact-ANN
+    brute = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_near_dupes(emb, 0.4).collect()
+    }
+    assert set(part) <= set(brute)
+    assert all(brute[p] == c for p, c in part.items())
+    assert len(set(part) & set(exact)) / len(exact) >= 0.8
+
+
 def test_coarse_assignment_exact_at_full_probe_and_high_recall(emb):
     """Two-level IVF assignment (the 100 TB path for the n×k
     assignment term): with coarse_probe >= n_coarse it scores every
