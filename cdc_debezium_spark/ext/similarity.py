@@ -628,6 +628,16 @@ def assign_cells_coarse(
             ccn = np.sqrt((CC * CC).sum(axis=1))
     grp = np.argmin(_neg_cosine_matrix(C, cn, CC, ccn), axis=1)
     members = [np.nonzero(grp == g)[0] for g in range(nc_groups)]
+    # Prune centroid-less groups BEFORE routing: a vector whose probed
+    # groups were all empty used to vanish from the output entirely
+    # (beyond the documented loses-candidates contract). Every centroid
+    # lands in exactly one group (argmin), so >=1 group is non-empty and
+    # probing only non-empty groups guarantees every vector >=1 cell.
+    nonempty = [g for g in range(nc_groups) if len(members[g])]
+    CC, ccn = CC[nonempty], ccn[nonempty]
+    members = [members[g] for g in nonempty]
+    nc_groups = len(nonempty)
+    w = min(w, nc_groups)
 
     # candidate triplets are n_rows × w × k/√k entries; chunk the row
     # axis so one chunk's triplets stay ~tens of MB even at

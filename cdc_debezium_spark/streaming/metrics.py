@@ -86,11 +86,19 @@ def render_exposition(capture: "ProgressCapture") -> str:
     metrics_path /metrics; kafka-connect exposes consumer lag and
     connector state the same way). Metric mapping:
 
-      up                                  — 1 while the process serves
+      cdc_stream_endpoint_up              — 1 while the process serves
+                                            (namespaced: Prometheus
+                                            synthesizes its own `up`
+                                            per scrape, so exporting a
+                                            literal `up` would collide)
       cdc_stream_queries_active           — started minus terminated
       cdc_stream_input_rows_total{query}  — numInputRows summed with
-                                            last-report-wins per batch
-                                            (total_input_rows' rule)
+                                            max-report-wins per batch
+                                            (monotone, so PromQL
+                                            rate()/increase() never see
+                                            a phantom counter reset from
+                                            a progress re-emission that
+                                            reports fewer rows)
       cdc_stream_last_batch_id{query}     — latest batchId seen
       cdc_stream_last_batch_duration_ms{query,phase}
                                           — durationMs of the latest
@@ -105,9 +113,9 @@ def render_exposition(capture: "ProgressCapture") -> str:
     (scrape-safe under concurrent progress callbacks: list.append is
     atomic and renders tolerate a mid-append prefix)."""
     lines = [
-        "# HELP up Endpoint liveness (Prometheus convention).",
-        "# TYPE up gauge",
-        "up 1",
+        "# HELP cdc_stream_endpoint_up Endpoint liveness (namespaced; Prometheus adds its own synthetic up).",
+        "# TYPE cdc_stream_endpoint_up gauge",
+        "cdc_stream_endpoint_up 1",
         "# HELP cdc_stream_queries_active Streaming queries started minus terminated.",
         "# TYPE cdc_stream_queries_active gauge",
         f"cdc_stream_queries_active {len(capture.started) - len(capture.terminated)}",
@@ -116,13 +124,16 @@ def render_exposition(capture: "ProgressCapture") -> str:
     last_report: dict[str, dict] = {}
     for p in capture.progress:
         qid = str(p["id"])
-        latest_rows[(qid, p["batchId"])] = p["numInputRows"]
+        key = (qid, p["batchId"])
+        # max per (query, batch): a re-emission reporting fewer rows must
+        # not shrink a TYPE-counter series between scrapes.
+        latest_rows[key] = max(latest_rows.get(key, 0), p["numInputRows"])
         last_report[qid] = p
     totals: dict[str, int] = {}
     for (qid, _bid), n in latest_rows.items():
         totals[qid] = totals.get(qid, 0) + n
     lines += [
-        "# HELP cdc_stream_input_rows_total Input rows per query (last report per batch wins).",
+        "# HELP cdc_stream_input_rows_total Input rows per query (max report per batch wins; monotone).",
         "# TYPE cdc_stream_input_rows_total counter",
     ]
     for qid in sorted(totals):

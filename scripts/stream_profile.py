@@ -73,14 +73,32 @@ def _n_deltas(path: str) -> int:
 
 
 class _Meter:
-    """foreachBatch wrapper: per-batch addBatch wall + state shape."""
+    """foreachBatch wrapper: per-batch addBatch wall + state shape.
+
+    Compaction batches are detected from compact-CALL instrumentation
+    (the sink's own compact() wrapped with a counter), not inferred
+    from residual state shape — a size-threshold sink that degenerates
+    to fold-every-batch leaves live_deltas == 0 after EVERY batch,
+    which the shape heuristic misread as zero compactions (r13
+    ADVICE). Copy-on-write sinks never call compact() from addBatch,
+    so they correctly record compacted=False throughout."""
 
     def __init__(self, sink, state_dir: str) -> None:
         self.sink = sink
         self.state_dir = state_dir
         self.batches: list[dict] = []
+        self.compact_calls = 0
+        if hasattr(sink, "compact"):
+            orig = sink.compact
+
+            def counted(*a, **kw):
+                self.compact_calls += 1
+                return orig(*a, **kw)
+
+            sink.compact = counted
 
     def __call__(self, batch, batch_id: int) -> None:
+        before = self.compact_calls
         t0 = time.time()
         self.sink(batch, batch_id)
         dt = time.time() - t0
@@ -90,6 +108,7 @@ class _Meter:
                 "addbatch_s": round(dt, 3),
                 "state_bytes": _du(self.state_dir),
                 "live_deltas": _n_deltas(self.state_dir),
+                "compacted": self.compact_calls > before,
             }
         )
 
@@ -98,20 +117,25 @@ def _flatness(batches: list[dict], compact_every: int) -> dict:
     """first-quarter vs last-quarter median addBatch over steady
     batches (compaction batches and batch 0 excluded — batch 0 pays
     JIT/codegen warmup, compaction batches pay the scheduled fold).
-    A compaction batch is detected from state shape — live_deltas == 0
-    after the call means the batch folded (works for BOTH the fixed
-    cadence and the size-threshold policy) — but ONLY for sinks that
-    ever produce delta dirs: a copy-on-write sink has live_deltas == 0
-    on every batch by construction, and treating that as "compacted"
-    would exclude its whole run (r12 ADVICE). The cadence modulo stays
-    as a fallback for sinks that keep deltas for other reasons."""
+    A compaction batch is the instrumented `compacted` flag from the
+    meter's compact-call counter (r13 ADVICE: the previous state-shape
+    heuristic — live_deltas == 0 after the call — misclassified the
+    degenerate ratio policy that folds EVERY batch as all-steady,
+    counting every fold as steady-state cost). The shape heuristic and
+    the cadence modulo stay as fallbacks for batch dicts recorded
+    without the flag (older committed profiles re-analyzed)."""
+    had_flag = any("compacted" in b for b in batches)
     had_deltas = any(b.get("live_deltas", 0) > 0 for b in batches)
+
+    def is_compaction(i: int, b: dict) -> bool:
+        if had_flag:
+            return bool(b.get("compacted"))
+        if had_deltas and b.get("live_deltas", 1) == 0:
+            return True
+        return bool(compact_every and (i + 1) % compact_every == 0)
+
     steady = [
-        b
-        for i, b in enumerate(batches)
-        if i > 0
-        and not (had_deltas and b.get("live_deltas", 1) == 0)
-        and not (compact_every and (i + 1) % compact_every == 0)
+        b for i, b in enumerate(batches) if i > 0 and not is_compaction(i, b)
     ]
     if len(steady) < 4:
         return {"steady_batches": len(steady)}
@@ -159,14 +183,10 @@ def profile_sink(spark, chunk_dir: str, make_sink, read_back, label: str) -> dic
         out = read_back(sink, spark)
         rows = out.count()
         read_s = time.time() - t1
-        # compaction batches detectable only for delta-layout sinks
-        # (cow sinks never have delta dirs, so live_deltas is always 0)
-        had_deltas = any(b["live_deltas"] > 0 for b in meter.batches)
-        n_compactions = (
-            sum(1 for b in meter.batches if b["live_deltas"] == 0)
-            if had_deltas
-            else None
-        )
+        # compaction count from the compact-call counter (cow sinks
+        # never call compact from addBatch, so this is 0 for them —
+        # reported as None to keep the "not applicable" signal)
+        n_compactions = meter.compact_calls if meter.compact_calls else None
         return {
             "stream_drain_s": round(drain, 2),
             "read_back_s": round(read_s, 2),

@@ -1242,6 +1242,63 @@ def test_coarse_assignment_exact_at_full_probe_and_high_recall(emb):
     assert hit >= 0.85, hit  # probe recall on the sf0.001 fixture
 
 
+def test_coarse_assignment_prunes_empty_groups(spark):
+    """r13 ADVICE: an empty coarse group (possible when duplicate /
+    collinear centroids tie into a sibling group during the mini-Lloyd)
+    must not cost anything — not a dropped vector (the advice's silent
+    total-drop contract violation) and not a wasted probe slot. The
+    fix prunes centroid-less groups BEFORE routing, so (a) every input
+    vector gets >= 1 assignment at any probe, and (b) probe slots land
+    only on groups that can yield candidates.
+
+    Geometry engineered for a stable empty group: cells 0-1 collinear
+    on e1 (their group mean stays on e1, so the duplicate-direction
+    init center of group 1 never re-attracts members), cells 2-4
+    collinear on e2. With n_coarse=3 the init centers are c0, c1, c2;
+    c1 ties into group 0 every iteration, leaving group 1 permanently
+    empty with its stale e1 center."""
+    from cdc_debezium_spark.ext.similarity import (
+        CENT_SCHEMA,
+        assign_cells_coarse,
+    )
+
+    cents = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 1.0),
+            (1, [2.0, 0.0, 0.0], 2.0),
+            (2, [0.0, 1.0, 0.0], 1.0),
+            (3, [0.0, 2.0, 0.0], 2.0),
+            (4, [0.0, 3.0, 0.0], 3.0),
+        ],
+        CENT_SCHEMA,
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.5, 0.0]),   # e1-leaning
+            (1, [0.1, 1.0, 0.0]),   # e2-leaning
+            (2, [1.0, 0.0, 0.0]),   # exactly on the duplicated direction
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    for probe in (1, 2, 3):
+        out = assign_cells_coarse(
+            emb, cents, nassign=5, coarse_probe=probe, n_coarse=3
+        )
+        got = sorted(
+            (r["vec_id"], r["cell"])
+            for r in out.select("vec_id", "cell").collect()
+        )
+        covered = {v for v, _ in got}
+        assert covered == {0, 1, 2}, (probe, got)  # no vector vanishes
+        if probe >= 2:
+            # pre-fix, vec 0's second probe slot burned on the empty
+            # e1-duplicate group (cos .894 ties the real e1 group and
+            # beats e2's .447) and it only ever saw cells {0, 1};
+            # post-prune the slot reaches the e2 group's cells too
+            vec0_cells = {c for v, c in got if v == 0}
+            assert vec0_cells == {0, 1, 2, 3, 4}, (probe, vec0_cells)
+
+
 def test_neg_cosine_kernel_bit_exact_with_hof_fold_d768(spark):
     """The Arrow assignment kernel's bit-exactness with the Spark HOF
     fold, re-pinned at the realistic-dimension tier (r11 verdict

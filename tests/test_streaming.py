@@ -210,7 +210,10 @@ def test_metrics_endpoint_scrapes_real_stream(spark, sf_dir, tmp_path):
             url = f"http://127.0.0.1:{ep.port}/metrics"
             # scrapeable (and alive) before any query runs
             pre = urllib.request.urlopen(url, timeout=10).read().decode()
-            assert "up 1" in pre.splitlines()
+            # namespaced liveness gauge — a literal `up` would collide
+            # with Prometheus's synthetic per-scrape up series
+            assert "cdc_stream_endpoint_up 1" in pre.splitlines()
+            assert "\nup " not in pre and not pre.startswith("up ")
 
             stream = cdc.to_cdc(read_event_stream(spark, chunk_dir))
             sink = ParquetUpsertSink(str(tmp_path / "state_m"))
@@ -232,10 +235,11 @@ def test_metrics_endpoint_scrapes_real_stream(spark, sf_dir, tmp_path):
                 continue
             name_labels, val = ln.rsplit(" ", 1)
             series[name_labels] = float(val)
-        # rows-total matches the listener's last-report-wins sum
+        # rows-total matches the listener's accounting (max per batch
+        # == last-report-wins here: no shrinking re-emissions occurred)
         key = f'cdc_stream_input_rows_total{{query="{qid}"}}'
         assert series.get(key) == cap.total_input_rows(qid) == total
-        assert series["up"] == 1
+        assert series["cdc_stream_endpoint_up"] == 1
         assert series["cdc_stream_queries_active"] >= 0
         # every non-comment line parses as the exposition grammar
         pat = re.compile(
@@ -296,6 +300,37 @@ def test_exposition_label_escaping():
     assert '\\"' in line and "\\\\" in line and "\\n" in line
     assert "\n" not in line  # the raw newline never leaks into a line
     assert line.endswith(" 7")
+
+
+def test_exposition_counter_monotone_under_shrinking_reemission():
+    """TYPE counter must never decrease between scrapes: a progress
+    re-emission for the same batch reporting FEWER rows (observed with
+    listener re-delivery) must not shrink cdc_stream_input_rows_total
+    — PromQL rate()/increase() would misread the dip as a counter
+    reset and overcount (r13 ADVICE)."""
+    from cdc_debezium_spark.streaming.metrics import (
+        ProgressCapture,
+        render_exposition,
+    )
+
+    def total(cap):
+        text = render_exposition(cap)
+        line = next(
+            ln for ln in text.splitlines()
+            if ln.startswith("cdc_stream_input_rows_total")
+        )
+        return float(line.rsplit(" ", 1)[1])
+
+    cap = ProgressCapture()
+    rep = {"id": "q1", "batchId": 0, "numInputRows": 100,
+           "inputRowsPerSecond": 1.0, "durationMs": {}}
+    cap.progress.append(dict(rep))
+    scrape1 = total(cap)
+    cap.progress.append(dict(rep, numInputRows=40))  # shrinking re-emission
+    scrape2 = total(cap)
+    assert scrape1 == 100 and scrape2 >= scrape1
+    cap.progress.append(dict(rep, batchId=1, numInputRows=10))
+    assert total(cap) == 110  # new batches still accumulate
 
 
 @pytest.mark.parametrize("n_chunks", [1, 7])
