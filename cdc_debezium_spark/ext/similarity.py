@@ -1031,6 +1031,74 @@ def rp_lsh_bits_for(n: int, target_occupancy: int = 64) -> int:
     return max(8, math.ceil(math.log2(max(n, 1) / target_occupancy)))
 
 
+# Committed measurement points the nassign budget rule is sized from
+# (SCALE_ANN_D768_r13.json + SCALE.md "d=768 addendum": trained
+# centroids, d=768, threshold 0.4, 20k vectors):
+#   - pair recall vs nassign at k_ref=156:  1:0.161  2:0.386  4:0.701
+#     8:0.945 (interpolated log-linearly in nassign between points;
+#     past the last point the MISS is assumed to halve per doubling of
+#     nassign — conservative vs the measured 5.4x drop from 4 -> 8)
+#   - pair recall vs k at nassign=4:  40:0.817  100:0.724  156:0.701
+#     400:0.658 — a fitted slope of ~-0.048 recall per DOUBLING of k
+_NASSIGN_CURVE = [(1, 0.161), (2, 0.386), (4, 0.701), (8, 0.945)]
+_NASSIGN_K_REF = 156
+_RECALL_PER_K_DOUBLING = -0.048
+
+
+def nassign_for(k: int, target_recall: float = 0.9) -> int:
+    """Scale-aware candidate budget: the smallest nassign expected to
+    hold `target_recall` pair recall at `k` IVF cells, sized from the
+    committed d=768 recall curves (constants above).
+
+    Why this must grow with k (r13 verdict item 2): the IVF scale rule
+    grows k with the corpus (k = n/stride keeps cell sizes bounded),
+    and the d=768 sweep measured recall at FIXED nassign falling
+    monotonically with k (0.817 @ k=40 -> 0.658 @ k=400, nassign=4) —
+    smaller cells split tight dup clusters across cell boundaries more
+    often. A production user following the k rule therefore gets
+    silently falling recall unless nassign rises with k; this encodes
+    the pairing the SCALE.md addendum documented (the same
+    measure-then-encode pattern as rp_lsh_bits_for above).
+
+    Mechanics: shift the target by the measured k-penalty relative to
+    the curve's reference k (a log-linear fit, ~-0.048 recall per
+    doubling of k), then invert the nassign->recall curve (log-linear
+    between committed points, miss-halving extrapolation past the last
+    point). Clamped to [1, k] — nassign beyond k is meaningless. The
+    curve is fixture-specific evidence, not a guarantee: corpora with
+    looser dup structure route better (the SCALE.md caveat), so this
+    is a budget default, not a recall contract; gate lanes keep their
+    pinned explicit nassign (their oracles emulate exact parameters).
+    """
+    import math
+
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1): {target_recall}")
+    k = max(int(k), 1)
+    penalty = _RECALL_PER_K_DOUBLING * math.log2(k / _NASSIGN_K_REF)
+    eff = min(target_recall - penalty, 0.995)
+
+    def curve_recall(na: float) -> float:
+        pts = _NASSIGN_CURVE
+        if na <= pts[0][0]:
+            return pts[0][1]
+        for (a, ra), (b, rb) in zip(pts, pts[1:]):
+            if na <= b:
+                f = (math.log2(na) - math.log2(a)) / (
+                    math.log2(b) - math.log2(a)
+                )
+                return ra + f * (rb - ra)
+        last_na, last_r = pts[-1]
+        return 1.0 - (1.0 - last_r) * 2.0 ** (
+            math.log2(last_na) - math.log2(na)
+        )
+
+    na = 1
+    while na < k and curve_recall(na) < eff:
+        na += 1
+    return na
+
+
 def rp_lsh_pairs(
     emb: DataFrame,
     bits: int | str = 8,

@@ -1733,9 +1733,11 @@ def ext_dedup_embedding_ann(spark, sf_dir):
     (vectors sharing one of their 4 nearest cells; 4 assigns keep
     recall ~0.9 at sf0.1 where 2 gave 0.5), exact-cosine verify. The
     oracle emulates the full bucketing pipeline, so the recall
-    contract is verified like the minhash-LSH lane."""
+    contract is verified like the minhash-LSH lane. nassign is pinned
+    explicitly (the oracle above emulates exactly 4 assignments);
+    production callers get the k-sized auto default (nassign_for)."""
     return dedup.embedding_near_dupes_ann(
-        load_table(spark, sf_dir, "embeddings"), 0.4
+        load_table(spark, sf_dir, "embeddings"), 0.4, nassign=4
     )
 
 

@@ -1242,6 +1242,64 @@ def test_coarse_assignment_exact_at_full_probe_and_high_recall(emb):
     assert hit >= 0.85, hit  # probe recall on the sf0.001 fixture
 
 
+def test_nassign_for_encodes_the_committed_recall_curve():
+    """r13 verdict item 2: the d=768 sweep's k-geometry tradeoff
+    (recall at fixed nassign falls monotonically with k) must be
+    ENCODED, not just documented. nassign_for(k, target) inverts the
+    committed curve (SCALE_ANN_D768_r13.json): checked at the measured
+    points, plus the two monotonicity laws a budget rule must obey."""
+    from cdc_debezium_spark.ext.similarity import (
+        _NASSIGN_CURVE,
+        _NASSIGN_K_REF,
+        nassign_for,
+    )
+
+    # at the reference k, each measured (nassign, recall) point is the
+    # answer for its own recall level (curve inversion is exact there)
+    for na, rec in _NASSIGN_CURVE:
+        assert nassign_for(_NASSIGN_K_REF, rec - 1e-9) == na, (na, rec)
+    # one notch above a point's recall needs MORE than that nassign
+    assert nassign_for(_NASSIGN_K_REF, 0.702) > 4
+    # the k-sweep's headline: at k=400 the same 0.70 target needs a
+    # bigger budget than nassign=4 delivered there (measured 0.658)
+    assert nassign_for(400, 0.70) > 4
+    # and a small-k corpus gets it cheaper
+    assert nassign_for(40, 0.70) <= 4
+    # monotone in k at fixed target, monotone in target at fixed k
+    budgets_k = [nassign_for(k, 0.9) for k in (10, 40, 156, 400, 2000, 20000)]
+    assert budgets_k == sorted(budgets_k)
+    budgets_t = [nassign_for(156, t) for t in (0.3, 0.5, 0.7, 0.9, 0.99)]
+    assert budgets_t == sorted(budgets_t)
+    # clamped to [1, k]; extreme targets never blow up
+    assert nassign_for(1, 0.99) == 1
+    assert 1 <= nassign_for(3, 0.999999 - 0.000001) <= 3
+    assert nassign_for(20000, 0.99) <= 20000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        nassign_for(100, 1.5)
+
+
+def test_embedding_ann_auto_nassign_matches_pinned_on_fixture(emb):
+    """The auto default resolves from the centroid count: on the
+    sf0.001 fixture (5 strided cells) nassign_for lands on the gate
+    lanes' pinned 4, so auto and explicit runs are identical — the
+    'unchanged oracles' half of the r13 verdict item."""
+    auto = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_near_dupes_ann(emb, 0.4).collect()
+    }
+    pinned = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_near_dupes_ann(emb, 0.4, nassign=4).collect()
+    }
+    assert auto == pinned and auto
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.embedding_near_dupes_ann(emb, 0.4, nassign="bogus")
+
+
 def test_coarse_assignment_prunes_empty_groups(spark):
     """r13 ADVICE: an empty coarse group (possible when duplicate /
     collinear centroids tie into a sibling group during the mini-Lloyd)
