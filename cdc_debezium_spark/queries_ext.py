@@ -539,10 +539,14 @@ def ext_stream_dedup_minhash_roundtrip(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
+        # cap binds only at decade-fixture scale; CDC_STREAM_DRAIN_CAP_S
+        # lets the scale rehearsals raise it without touching gate runs
+        drain_s = int(os.environ.get("CDC_STREAM_DRAIN_CAP_S", "300"))
+        if not q.awaitTermination(drain_s):
             q.stop()
             raise TimeoutError(
-                "ext_stream_dedup_minhash_roundtrip: stream did not drain in 300s"
+                "ext_stream_dedup_minhash_roundtrip: "
+                f"stream did not drain in {drain_s}s"
             )
         return spark.read.parquet(out_dir).select("doc_a", "doc_b").distinct()
     finally:
@@ -1868,7 +1872,8 @@ def ext_stream_dedup_embedding_roundtrip(spark, sf_dir):
         # the bit-exact per-dimension verify kernel at 768 dims, ~40x
         # a BLAS matmul by design — oracle parity over speed on this
         # one shared path); the sf0.01 driver gate takes seconds.
-        drain_s = 1800
+        # CDC_STREAM_DRAIN_CAP_S raises it for the sf100 rehearsals.
+        drain_s = int(os.environ.get("CDC_STREAM_DRAIN_CAP_S", "1800"))
         if not q.awaitTermination(drain_s):
             q.stop()
             raise TimeoutError(
