@@ -88,6 +88,13 @@ def _split(pairs_df) -> dict:
 def main() -> None:
     sf1 = sys.argv[1] if len(sys.argv) > 1 else os.path.join(_REPO, "scale", "sf1_d768")
     sf10 = sys.argv[2] if len(sys.argv) > 2 else os.path.join(_REPO, "scale", "sf10_d768")
+    # one long session runs three k-means trainings plus ~14 ANN legs;
+    # retained plan/execution metadata for the packed-literal centroid
+    # plans (k x 768 literal doubles each) sits on the driver heap for
+    # the session's life, and 8g OOMed once the decade warm moved the
+    # big training ahead of the sf10 legs - give the rehearsal driver
+    # the headroom a long-lived production driver would have
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     spark = get_spark(app_name="ann-d768")
     # the d768 tiers are single ~40-400 MB parquet files; the default
     # 128 MB split gives 1-4 scan tasks, serializing the Arrow
@@ -118,8 +125,15 @@ def main() -> None:
 
     k_trained = max(16, n1 // 128)
     out["sf1"]["k_trained"] = k_trained
+    # cache_key=sf1 (not a ':curve' suffix): the SAME (k, iters, exact)
+    # entry the registry lane and the decade warm below resolve, so the
+    # whole script trains sf1 exactly once. A third in-session training
+    # is not just wasted wall - each k-means iteration's packed-literal
+    # centroid plan (k x 768 literals) leaves megabytes of retained
+    # plan metadata in the driver JVM, and the accumulated sessions
+    # OOMed an 8g heap on the first run of this protocol.
     trained_cents = similarity.kmeans_centroids(
-        emb1, k=k_trained, iters=2, exact=False, cache_key=sf1 + ":curve"
+        emb1, k=k_trained, iters=2, exact=False, cache_key=sf1
     )
     curve = {}
     for label, cents in (("strided", None), ("trained", trained_cents)):
@@ -172,6 +186,7 @@ def main() -> None:
               f"{decade[tier]['train_wall_s']}s", file=sys.stderr)
         for key in keys:
             spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()  # drop dead plan trees
             t0 = time.time()
             df = registry.QUERIES[key](spark, sf_dir)
             sp = _split(df)
