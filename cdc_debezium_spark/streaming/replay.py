@@ -100,17 +100,58 @@ def write_event_chunks(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
-        .orderBy("ts_us", "event_id")
-        .toPandas()
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_us", "user_id", "event_type", "value", "props"
     )
+    n = src.count()
     os.makedirs(out_dir, exist_ok=True)
-    n = len(ev)
+    t0 = time.time() - (n_chunks * repeat + 1)  # stay in the past
+
+    if n > 5_000_000:
+        # Decade-fixture path (sf100: 100M rows blew both the driver
+        # pandas collect and spark.driver.maxResultSize): chunk
+        # DISTRIBUTED via repartitionByRange on the same (ts_us,
+        # event_id) log order — disjoint ordered ranges, one output
+        # file per range, rows sorted within each — then stamp/copy
+        # the files exactly like the driver path. Range boundaries
+        # come from Spark's reservoir sampling, so chunk sizes are
+        # approximately n/n_chunks rather than exact; gate lanes
+        # whose oracles pin exact ceil(n/chunks) splits stay on the
+        # exact driver path below the cutoff (driver fixtures are
+        # <= sf0.1, orders of magnitude under it).
+        import shutil as _shutil
+
+        staging = os.path.join(out_dir, "_staging")
+        (
+            src.repartitionByRange(n_chunks, "ts_us", "event_id")
+            .sortWithinPartitions("ts_us", "event_id")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        parts = sorted(
+            f
+            for f in os.listdir(staging)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        total = 0
+        seq = 0
+        for i, part in enumerate(parts):
+            src_path = os.path.join(staging, part)
+            rows = pq.read_metadata(src_path).num_rows
+            if not rows:
+                continue
+            for r in range(repeat):
+                path = f"{out_dir}/chunk_{i:04d}_{r}.parquet"
+                _shutil.copyfile(src_path, path)
+                os.utime(path, (t0 + seq, t0 + seq))
+                seq += 1
+                total += rows
+        _shutil.rmtree(staging, ignore_errors=True)
+        return total
+
+    ev = src.orderBy("ts_us", "event_id").toPandas()
     per = (n + n_chunks - 1) // n_chunks
     total = 0
-    t0 = time.time() - (n_chunks * repeat + 1)  # stay in the past
     seq = 0
     for i in range(n_chunks):
         chunk = ev.iloc[i * per : (i + 1) * per]
