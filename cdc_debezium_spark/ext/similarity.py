@@ -708,17 +708,32 @@ def ivf_topk(
     nprobe: int = 2,
     centroid_stride: int = 100,
     cents: DataFrame | None = None,
+    coarse_probe: int | None = None,
 ) -> DataFrame:
     """ANN top-k probing only the `nprobe` nearest cells per query.
 
     The corpus side is joined on the cell id — at scale this is a
     partition-pruned read of nprobe cells, not a corpus scan.
     ``cents`` overrides the placeholder centroids (kmeans_centroids).
+
+    ``coarse_probe`` opts the CORPUS-side assignment onto the
+    two-level coarse quantizer (assign_cells_coarse) — the same swap
+    the dedup lane exposes, for corpora where the exact n×k index
+    build no longer fits the ingest budget (k = n/stride grows with
+    the corpus; the sf100 measurement cut the assignment pass 5.7×
+    end-to-end at k=20k). Query-side probing is unchanged (queries ×
+    k stays cheap); a corpus vector routed to a substituted cell is
+    simply found via that cell, so emitted cosines stay exact and at
+    coarse_probe >= n_coarse results equal the exact path. Default
+    (None) keeps exact assignment — the oracle emulates it.
     """
     v = _with_unit(emb)
     if cents is None:
         cents = _strided_cents(v, centroid_stride)
-    cells = assign_cells(emb, cents=cents)
+    if coarse_probe is not None:
+        cells = assign_cells_coarse(emb, cents, coarse_probe=coarse_probe)
+    else:
+        cells = assign_cells(emb, cents=cents)
     q = v.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -1300,6 +1300,35 @@ def test_embedding_ann_auto_nassign_matches_pinned_on_fixture(emb):
         dedup.embedding_near_dupes_ann(emb, 0.4, nassign="bogus")
 
 
+def test_ivf_topk_coarse_probe_full_equals_exact(emb):
+    """The query-path coarse opt-in (ivf_topk coarse_probe): at full
+    probe it must reproduce the exact-assignment result row-for-row
+    (same top-k, ranks, 4dp cosines); at partial probe it stays
+    deterministic and every emitted cosine is the true cosine (verify
+    is exact — coarse routing only changes which corpus vectors are
+    reachable through a probed cell)."""
+    from cdc_debezium_spark.ext.similarity import ivf_topk
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in df.collect()
+        )
+
+    exact = rows(ivf_topk(emb, n_queries=5, k=5, nprobe=3))
+    full = rows(ivf_topk(emb, n_queries=5, k=5, nprobe=3, coarse_probe=10**6))
+    assert full == exact
+    p1 = rows(ivf_topk(emb, n_queries=5, k=5, nprobe=3, coarse_probe=2))
+    p2 = rows(ivf_topk(emb, n_queries=5, k=5, nprobe=3, coarse_probe=2))
+    assert p1 == p2 and p1
+    # partial-probe cosines are true values: any (query, neighbor)
+    # also present in the exact result carries the identical cosine
+    exact_cos = {(q, n): c for q, _r, n, c in exact}
+    for q, _r, n, c in p1:
+        if (q, n) in exact_cos:
+            assert exact_cos[(q, n)] == c
+
+
 def test_coarse_assignment_prunes_empty_groups(spark):
     """r13 ADVICE: an empty coarse group (possible when duplicate /
     collinear centroids tie into a sibling group during the mini-Lloyd)
