@@ -1065,11 +1065,17 @@ def embedding_near_dupes_ann(
     # coarse_probe opts the candidate stage onto two-level assignment
     # (similarity.assign_cells_coarse) — the swap for corpora where
     # the exact n×k assignment no longer fits the ingest budget
-    # (k = n/stride grows with the corpus; the sf100 measurement cut
-    # the assignment pass 6.5× at k=20k). Verify stays the shared
+    # (k = n/stride grows with the corpus). Verify stays the shared
     # exact two-phase kernel either way, so every EMITTED pair is a
-    # true >= threshold pair — coarse routing can only lose
-    # candidates (recall), never corrupt a cosine. Default (None)
+    # true >= threshold pair — coarse routing can only change WHICH
+    # true pairs are co-located, never corrupt a cosine. Measured
+    # end-to-end frontier (SCALE_ANN_COARSE_PAIR_r14.json): at
+    # k=2,000 exact assignment wins (probe 32 needed for 0.94
+    # exact-set recall, 0.84x); at k=20,000 coarse probe 8-16 emits
+    # 85-90% as many true pairs at 5.7-2.7x, with low overlap against
+    # the exact lane's specific pair set (substitution dominates
+    # isotropic embeddings) — use it for yield-oriented dedup at
+    # large k, not to reproduce exact-ANN output. Default (None)
     # keeps exact assignment: the oracle emulates it.
     if coarse_probe is not None:
         from .similarity import _strided_cents, _with_unit, assign_cells_coarse
