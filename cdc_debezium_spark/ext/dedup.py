@@ -572,7 +572,7 @@ def incremental_embedding_ann(
     new_emb: DataFrame,
     cents: DataFrame,
     threshold: float = 0.4,
-    nassign: int = 4,
+    nassign: int | str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Streaming ingest for embedding near-dup detection (judge r4
     item 6): the ANN analog of incremental_minhash_candidates, for the
@@ -659,7 +659,8 @@ def incremental_embedding_ingest(
     new_emb: DataFrame,
     cents: DataFrame,
     threshold: float = 0.4,
-    nassign: int = 4,
+    nassign: int | str = "auto",
+    target_recall: float = 0.9,
 ) -> tuple[DataFrame, DataFrame]:
     """One ingest step of the incremental ANN index, returning the
     batch's OWN assignment rows (what a cell-partitioned storage index
@@ -691,7 +692,17 @@ def incremental_embedding_ingest(
     import numpy as np
     import pandas as pd
 
-    from .similarity import assign_cells
+    from .similarity import assign_cells, nassign_for
+
+    # nassign="auto" mirrors the batch lane's k-sized budget default
+    # (nassign_for over the committed recall curve). The centroid set
+    # is FIXED for an index's lifetime, so auto resolves to the same
+    # value on every micro-batch — assignment stays consistent across
+    # the persisted index. Gate lanes pass explicit nassign.
+    if nassign == "auto":
+        nassign = nassign_for(cents.count(), target_recall)
+    elif not isinstance(nassign, int):
+        raise ValueError(f"nassign must be an int or 'auto': {nassign!r}")
 
     new_asg = assign_cells(new_emb, nassign=nassign, cents=cents)
     all_asg = new_asg if index is None else index.unionByName(new_asg)

@@ -1300,6 +1300,37 @@ def test_embedding_ann_auto_nassign_matches_pinned_on_fixture(emb):
         dedup.embedding_near_dupes_ann(emb, 0.4, nassign="bogus")
 
 
+def test_streaming_ingest_auto_nassign_matches_pinned(emb):
+    """API symmetry for the streaming primitive: nassign="auto"
+    resolves from the FIXED centroid set (same value every
+    micro-batch, so the persisted index stays assignment-consistent)
+    and on the fixture equals the batch gate's pinned 4 — identical
+    assignment rows and pair sets."""
+    import pyspark.sql.functions as F
+
+    from cdc_debezium_spark.ext.similarity import _strided_cents, _with_unit
+
+    cents = _strided_cents(_with_unit(emb), 100).cache()
+    batch = emb.where(F.col("vec_id") < 200)
+
+    def snap(nassign):
+        asg, pairs = dedup.incremental_embedding_ingest(
+            None, batch, cents, threshold=0.4, nassign=nassign
+        )
+        return (
+            sorted((r["vec_id"], r["cell"]) for r in asg.select("vec_id", "cell").collect()),
+            sorted((r["vec_a"], r["vec_b"], r["cosine"]) for r in pairs.collect()),
+        )
+
+    assert snap("auto") == snap(4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.incremental_embedding_ingest(
+            None, batch, cents, nassign="bogus"
+        )
+
+
 def test_ivf_topk_coarse_probe_full_equals_exact(emb):
     """The query-path coarse opt-in (ivf_topk coarse_probe): at full
     probe it must reproduce the exact-assignment result row-for-row
