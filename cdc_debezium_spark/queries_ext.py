@@ -3186,21 +3186,33 @@ def ext_eval_overlap_report(spark, sf_dir):
     (ext_sample_hash's 10%), so train/eval is stable across engines
     and corpus growth.
 
-    Shape at 100 TB: one token shuffle builds shingle rows
-    (doc_id-partitioned lead() windows); the train shingle set is a
-    shingle-keyed DISTINCT (linear shuffle); the hit test is a
+    Shape at 100 TB (r15, guide §2.4): split membership is the
+    deterministic hash predicate itself, applied as a NARROW filter
+    on each side's scan — the old shape materialized the eval-id
+    table and ran semi/anti joins against it (a third corpus scan
+    plus two doc_id-keyed joins, all gone). The train shingle set is
+    a shingle-keyed DISTINCT (linear shuffle); the hit test is a
     shingle-keyed left join with NO broadcast assumption — the train
     shingle table is corpus-scale, exactly like the bigram count
     tables. Per-eval-doc rollup is one doc_id aggregate. Integer
     counters; the only float is the final integer-ratio, identical
     IEEE754 ops on both engines, 4dp floor.
     """
+    from .ext.hashing import word_hash
+
     docs = load_table(spark, sf_dir, "documents")
-    ev_ids = sampling.hash_sample(docs, 10).select("doc_id")
-    sh = dedup._shingle_hash_rows(docs, n=3, distinct=True)
-    ev_sh = sh.join(ev_ids, "doc_id", "left_semi")
+    # identical membership to sampling.hash_sample(docs, 10): eval ⇔
+    # word_hash(text) % 100 < 10; null text hashes to null ⇒ neither
+    # side under the old semi/anti shape's eval table, train under
+    # the anti join — coalesce keeps that edge exact.
+    is_eval = F.coalesce(
+        word_hash(F.col("text")) % 100 < 10, F.lit(False)
+    )
+    sh_ev_docs = docs.where(is_eval)
+    sh_tr_docs = docs.where(~is_eval)
+    ev_sh = dedup._shingle_hash_rows(sh_ev_docs, n=3, distinct=True)
     tr_sh = (
-        sh.join(ev_ids, "doc_id", "left_anti")
+        dedup._shingle_hash_rows(sh_tr_docs, n=3, distinct=True)
         .select("shash")
         .distinct()
         .withColumn("hit", F.lit(1))

@@ -36,29 +36,24 @@ def query(key: str, oracle: str | None = None):
 # fails if the layout stops leading with the oldest debt, or if this
 # marker falls >1 round behind the newest committed file (the rebuild
 # ratchet).
-_PRIORITY_BUILT_FROM = 12
+_PRIORITY_BUILT_FROM = 14
 
 # Keys whose registered implementation changed materially AFTER their
 # last driver sample — the prior CORRECTNESS rows attest retired code,
 # so the rotation (and the staleness guard) treats them as
-# never-sampled until the driver re-checks them. r13: the r12
-# `_neg_cosine_matrix` retile's consumer lanes were never in the r12
-# driver sample (r12 verdict item 3 names them), and this round moved
-# every batch embedding-verify onto the shared two-phase exact-fold
-# kernel (`_two_phase_cosine`) and switched the latest-state gate
-# lane's compaction policy from ratio to cadence (verdict item 6).
-_RESAMPLE_FORCED = {
-    # r12 kernel retile, no driver row since (last samples r7-r10)
-    "ext_dedup_embedding_ann",
-    "ext_dedup_embedding_ann_trained",
-    "ext_similarity_ivf_trained",
-    "ext_similarity_ivf_prod",
-    "ext_similarity_ivfpq",
-    "ext_dedup_semantic",
-    # r13 two-phase verify unification + compaction-policy change
-    "ext_dedup_embedding_blocked",
-    "ext_stream_dedup_embedding_roundtrip",
-    "cdc_stream_latest_state_roundtrip",
+# never-sampled until the driver re-checks them. The nine r13-forced
+# keys were all re-sampled green in CORRECTNESS_r14 (verdict §2.G), so
+# the set was empty at the r15 rebuild; the r15 OPTIMIZATION rewrites
+# below changed these lanes' physical shape (results oracle-identical,
+# verified at sf0.01+sf0.001; OPTIMIZATION_r15.md has the evidence):
+_RESAMPLE_FORCED: set[str] = {
+    # r15 text-family shape changes (window frequency counts, narrow
+    # corpus stats, filter-pushdown split membership)
+    "ext_retrieval_bm25",
+    "ext_retrieval_fusion",
+    "ext_text_chunk_dedup",
+    "ext_sample_dsir",
+    "ext_eval_overlap_report",
 }
 
 # Key-tiering policy (staleness is a policy, not an accident):
@@ -75,77 +70,84 @@ _RESAMPLE_FORCED = {
 # _PRIORITY must lead with every never-sampled key, then the stalest
 # cohort, so any count-budgeted driver prefix retires the oldest debt.
 #
-# Round-13 layout (from CORRECTNESS_r01..r12): the never-sampled
-# block leads — the nine _RESAMPLE_FORCED keys (kernel/verify/policy
-# code changed after their last samples) — then the 5-key r6 cold
-# cohort (7 rounds without a driver row; r12's budget stopped just
-# short of them), then the r7 cohort minus its two forced members
-# (39 keys), hot-tier (executed sink protocols, stream roundtrips)
-# first and the three recall diagnostics last. A 50-key driver budget
-# (9 forced + 5 r6 + 36 r7) retires everything except those three
-# diagnostics, which lead the r14 rebuild with the r8 cohort.
+# Round-15 layout (from CORRECTNESS_r01..r14): no never-sampled keys
+# (every registry key has a driver row and _RESAMPLE_FORCED cleared at
+# the r14 re-samples). The oldest debt leads: the 3-key r7 cold
+# cohort (recall diagnostics, 8 rounds without a driver row — the r14
+# rotation slip the staleness ratchet caught), then the full 50-key r8
+# cohort (6 rounds stale: the entire TPC-H suite, cdc_agg_view,
+# udaf_grouped_agg, agg_grouping_sets, ...), hot-tier wire/CDC keys and
+# the bench-flagship TPC-H shapes first so a 50-key budget cut falls on
+# the three mature format-roundtrip scans at the tail. 3 + 50 = 53;
+# a 50-key driver sample retires everything but those three scans,
+# which lead the r16 rebuild with the r9 cohort.
 _PRIORITY = [
-    # --- never driver-sampled under the current implementation
-    #     (_RESAMPLE_FORCED — see above) ---
-    "ext_dedup_embedding_ann",
-    "ext_dedup_embedding_ann_trained",
-    "ext_similarity_ivf_trained",
-    "ext_similarity_ivf_prod",
-    "ext_similarity_ivfpq",
-    "ext_dedup_semantic",
-    "ext_dedup_embedding_blocked",
-    "ext_stream_dedup_embedding_roundtrip",
-    "cdc_stream_latest_state_roundtrip",
-    # --- r6 cold cohort (5): last driver row in CORRECTNESS_r06,
-    #     7 rounds stale — the oldest debt on the books ---
-    "ext_cluster_profile",
-    "ext_dedup_graph_degree",
-    "ext_dedup_minhash_recall",
-    "ext_dedup_simhash_pairs",
-    "ext_dedup_spans",
-    # --- r7 cohort (39 = 41 minus the two forced members),
-    #     hot-tier (executed sink protocols, stream roundtrips)
-    #     first; the three recall diagnostics close the list so a
-    #     50-key budget cut falls on them ---
-    "cdc_es_bulk_roundtrip",
-    "cdc_clickhouse_replacing_roundtrip",
-    "cdc_redis_latest_kv_roundtrip",
-    "cdc_schema_evolution_roundtrip",
-    "agg_session_window_stream_roundtrip",
-    "events_stream_progress_audit",
-    "agg_count_min_sketch",
-    "agg_hll_sketch",
-    "agg_kmv_distinct",
-    "agg_quantile_sampled",
-    "ext_embedding_quantize",
-    "ext_multimodal_frames",
-    "ext_multimodal_patches",
-    "ext_sample_cluster_balanced",
-    "ext_sample_hash",
-    "ext_sample_mixture",
-    "ext_sample_stratified",
-    "ext_similarity_ivf",
-    "ext_similarity_range",
-    "ext_similarity_topk",
-    "ext_text_bpe_tokens",
-    "ext_text_charngrams",
-    "ext_text_chunks",
-    "ext_text_entropy",
-    "ext_text_fingerprint",
-    "ext_text_langid",
-    "ext_text_quality_rules",
-    "ext_text_repetition",
-    "ext_text_scrub",
-    "ext_text_stats",
-    "ext_text_tfidf",
-    "ext_text_vocab",
-    "join_bloom_prefilter",
-    "json_map_explode",
-    "type_coercion",
-    "window_distribution",
+    # --- treated as never-sampled: r15 optimization-round shape
+    #     changes (_RESAMPLE_FORCED above) ---
+    "ext_retrieval_bm25",
+    "ext_retrieval_fusion",
+    "ext_text_chunk_dedup",
+    "ext_sample_dsir",
+    "ext_eval_overlap_report",
+    # --- r7 cold cohort (3): last driver row in CORRECTNESS_r07 ---
     "ext_similarity_ivf_recall",
     "ext_similarity_ivfpq_recall",
     "ext_similarity_rp_lsh_recall",
+    # --- r8 cohort (50), hot-tier CDC/wire keys first ---
+    "cdc_multi_table_pipeline",
+    "cdc_agg_view",
+    "cdc_logical_table_router",
+    "cdc_content_based_router",
+    "cdc_header_enrich",
+    "cdc_partition_routing",
+    "cdc_timezone_convert",
+    "cdc_wire_size_audit",
+    "cdc_log_continuity_audit",
+    "xml_wire_roundtrip",
+    # bench-flagship TPC-H shapes next, then the rest of the suite
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q18",
+    "tpch_q3",
+    "tpch_q10",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    # relational / scalar / events / ext remainder of the r8 cohort
+    "udaf_grouped_agg",
+    "agg_grouping_sets",
+    "agg_decimal_exact",
+    "agg_theta_set_ops",
+    "join_as_of_forward",
+    "join_geo_cell",
+    "events_assoc_rules",
+    "events_burst_detection",
+    "events_haar_energy",
+    "events_holt_winters",
+    "events_mad_outliers",
+    "events_markov_stationary",
+    "ext_dedup_winnowing",
+    "ext_dq_expectations",
+    "ext_graph_label_propagation",
+    "ext_graph_triangles",
+    "ext_privacy_k_anon",
+    "ext_quality_nb_classifier",
+    "ext_similarity_knn_hubness",
+    "ext_text_lexical_richness",
+    "ext_text_zipf_fit",
+    # mature format-roundtrip scans close the list so a 50-key
+    # budget cut falls here
+    "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip",
+    "scan_orc_roundtrip",
 ]
 
 
