@@ -228,7 +228,20 @@ def _assign_packed(v: DataFrame, cents, extra: list[str]) -> DataFrame:
         if not (cn > 0).all():
             raise ValueError("_assign_packed: zero-norm centroid")
 
+        # r15 (guide §5 + r14 verdict item 3): ship the centroid
+        # matrix as a BROADCAST VARIABLE, not a closure capture. A
+        # captured (k, d) float64 matrix is pickled into the Python
+        # command embedded in every assignment plan — at d=768,
+        # k=2000 that is ~12 MB of plan metadata PER Lloyd iteration,
+        # and repeated in-session trainings accumulated until an
+        # 8 GiB driver JVM died (SCALE.md §Round-14). The broadcast
+        # handle is a few bytes in the plan; the blocks live in the
+        # block manager and are reclaimed by the ContextCleaner when
+        # the returned DataFrame is garbage-collected.
+        bc = v.sparkSession.sparkContext.broadcast((C, cn, cell_ids))
+
         def run(batches):
+            C_, cn_, cells_ = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -236,11 +249,11 @@ def _assign_packed(v: DataFrame, cents, extra: list[str]) -> DataFrame:
                 norms = pdf["norm"].to_numpy()
                 if not (norms > 0).all():
                     raise ValueError("_assign_packed: zero-norm vector")
-                best = _topk_cells(A, norms, C, cn, 1)[:, 0]
+                best = _topk_cells(A, norms, C_, cn_, 1)[:, 0]
                 out = {"vec_id": pdf["vec_id"].to_numpy()}
                 for c in extra:
                     out[c] = pdf[c]
-                out["cell"] = cell_ids[best]
+                out["cell"] = cells_[best]
                 yield pd.DataFrame(out)
 
         types = {"v": "array<double>", "qv": "array<long>"}
@@ -511,21 +524,27 @@ def assign_cells(
             cn = np.array([r["cnorm"] for r in crows], dtype=np.float64)
             cell_ids = np.array([r["cell"] for r in crows], dtype=np.int64)
             na = min(nassign, len(crows))
+            # broadcast variable, not a closure capture — see
+            # _assign_packed (r14 verdict item 3: plan-embedded
+            # centroid matrices accumulated across in-session
+            # trainings until the driver JVM died)
+            bc = emb.sparkSession.sparkContext.broadcast((C, cn, cell_ids))
 
             def run(batches):
+                C_, cn_, cells_ = bc.value
                 for pdf in batches:
                     b = len(pdf)
                     if b == 0:
                         continue
                     A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
                     norms = pdf["norm"].to_numpy()
-                    top = _topk_cells(A, norms, C, cn, na)
+                    top = _topk_cells(A, norms, C_, cn_, na)
                     yield pd.DataFrame(
                         {
                             "vec_id": np.repeat(pdf["vec_id"].to_numpy(), na),
                             "v": [vv for vv in pdf["v"] for _ in range(na)],
                             "norm": np.repeat(norms, na),
-                            "cell": cell_ids[top].reshape(-1),
+                            "cell": cells_[top].reshape(-1),
                         }
                     )
 
@@ -645,13 +664,21 @@ def assign_cells_coarse(
     # unchunked 10k-row Arrow batch at high probe crashed a worker
     exp_cand = max(1, w * ((k + nc_groups - 1) // nc_groups))
     chunk_rows = max(256, (16 << 20) // (exp_cand * 24))
+    # broadcast variable, not a closure capture — see _assign_packed
+    # (r14 verdict item 3); the coarse layer ships both centroid
+    # matrices plus the per-group member lists
+    bc = emb.sparkSession.sparkContext.broadcast(
+        (CC, ccn, C, cn, cell_ids, members)
+    )
 
     def run(batches):
+        state = bc.value
         for pdf in batches:
             for c0 in range(0, len(pdf), chunk_rows):
-                yield from _run_chunk(pdf.iloc[c0 : c0 + chunk_rows])
+                yield from _run_chunk(pdf.iloc[c0 : c0 + chunk_rows], state)
 
-    def _run_chunk(pdf):
+    def _run_chunk(pdf, state):
+        CC, ccn, C, cn, cell_ids, members = state
         n = len(pdf)
         if n == 0:
             return
@@ -1213,28 +1240,33 @@ def rp_lsh_pairs(
             .select("vec_a", "vec_b", round4(F.col("cos")).alias("cosine"))
         )
     # OR-amplification: candidates from every table, deduped once,
-    # then one exact verify per distinct candidate. The bucketed frame
-    # is cached only for the L bucket joins: the candidate list is
+    # then one exact verify per distinct candidate. r15 (guide §2.4):
+    # the per-table (vec_id, bucket) rows are STACKED with posexplode
+    # and self-joined ONCE on the (table, bucket) compound key — the
+    # old shape ran L separate self-joins and unioned them (measured
+    # 9.9 s → 2.8 s for the (4,16) sweep leg at sf0.1; candidate set
+    # byte-identical, 1,279,893 rows both ways). The bucketed frame
+    # is cached only for the candidate join: the candidate list is
     # materialized eagerly (localCheckpoint) so the cache can be
     # dropped before returning — otherwise every sweep invocation
     # leaks its cached partitions into executor storage (r7 advice).
     v = v.persist()
     try:
-        cand = None
-        for t in range(tables):
-            a = v.select(
-                F.col(f"bucket_{t}").alias("bk"), F.col("vec_id").alias("vec_a")
-            )
-            bb = v.select(
-                F.col(f"bucket_{t}").alias("bk"), F.col("vec_id").alias("vec_b")
-            )
-            p = (
-                a.join(bb, "bk")
-                .where(F.col("vec_a") < F.col("vec_b"))
-                .select("vec_a", "vec_b")
-            )
-            cand = p if cand is None else cand.union(p)
-        cand = cand.distinct().localCheckpoint()
+        stacked = v.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[F.col(f"bucket_{t}") for t in range(tables)])
+            ).alias("t", "bk"),
+        )
+        a = stacked.select("t", "bk", F.col("vec_id").alias("vec_a"))
+        bb = stacked.select("t", "bk", F.col("vec_id").alias("vec_b"))
+        cand = (
+            a.join(bb, ["t", "bk"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .distinct()
+            .localCheckpoint()
+        )
     finally:
         v.unpersist()
     # verify re-derives (vec_id, v, norm) from the base scan — one

@@ -4145,11 +4145,24 @@ def ext_similarity_rp_lsh_recall(spark, sf_dir):
 
 
 def _rp_recall_sweep(emb, truth):
-    out = None
-    for bits, tables in _RP_RECALL_CONFIGS:
-        found = similarity.rp_lsh_pairs(
+    # r15 (guide §2.6): the sweep's per-config candidate builds are
+    # independent eager jobs (multi-table rp_lsh_pairs materializes
+    # its candidate list with localCheckpoint), so they run from a
+    # small thread pool — each config's stage tail back-fills the
+    # others' idle executors instead of serializing three jobs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(cfg):
+        bits, tables = cfg
+        return similarity.rp_lsh_pairs(
             emb, bits=bits, threshold=0.4, tables=tables
         ).select("vec_a", "vec_b", F.lit(1).alias("is_found"))
+
+    with ThreadPoolExecutor(max_workers=len(_RP_RECALL_CONFIGS)) as pool:
+        founds = list(pool.map(build, _RP_RECALL_CONFIGS))
+
+    out = None
+    for (bits, tables), found in zip(_RP_RECALL_CONFIGS, founds):
         u = truth.join(found, ["vec_a", "vec_b"], "full").select(
             F.coalesce("is_true", F.lit(0)).alias("t"),
             F.coalesce("is_found", F.lit(0)).alias("f"),

@@ -54,6 +54,12 @@ _RESAMPLE_FORCED: set[str] = {
     "ext_text_chunk_dedup",
     "ext_sample_dsir",
     "ext_eval_overlap_report",
+    # r15 embedding/LSH shape changes (brute pair scan → blocked
+    # two-phase kernel; multi-table LSH candidate join → stacked
+    # single join; sweep legs thread-overlapped)
+    "ext_dedup_embedding",
+    "ext_similarity_rp_lsh",
+    "ext_similarity_rp_lsh_recall",
 }
 
 # Key-tiering policy (staleness is a policy, not an accident):
@@ -89,10 +95,14 @@ _PRIORITY = [
     "ext_text_chunk_dedup",
     "ext_sample_dsir",
     "ext_eval_overlap_report",
-    # --- r7 cold cohort (3): last driver row in CORRECTNESS_r07 ---
+    "ext_dedup_embedding",
+    "ext_similarity_rp_lsh",
+    "ext_similarity_rp_lsh_recall",
+    # --- r7 cold cohort: last driver row in CORRECTNESS_r07
+    #     (ext_similarity_rp_lsh_recall moved to the forced block
+    #     above — its implementation changed this round) ---
     "ext_similarity_ivf_recall",
     "ext_similarity_ivfpq_recall",
-    "ext_similarity_rp_lsh_recall",
     # --- r8 cohort (50), hot-tier CDC/wire keys first ---
     "cdc_multi_table_pipeline",
     "cdc_agg_view",
