@@ -1085,6 +1085,13 @@ def rp_lsh_bits_for(n: int, target_occupancy: int = 64) -> int:
 _NASSIGN_CURVE = [(1, 0.161), (2, 0.386), (4, 0.701), (8, 0.945)]
 _NASSIGN_K_REF = 156
 _RECALL_PER_K_DOUBLING = -0.048
+# Auto-budget ceiling (r14 ADVICE): the curve is measured only up to
+# nassign=8, and in-cell candidate work scales ~nassign² — an
+# extrapolated budget of 88 (where the miss-halving tail lands once
+# the 0.995 clamp binds at k ≳ 616) is a silent ~480x cost blowup
+# justified by zero measurements. Cap auto at 2x the last measured
+# curve point; callers who really want more pass an explicit nassign.
+_NASSIGN_MAX_AUTO = 2 * _NASSIGN_CURVE[-1][0]
 
 
 def nassign_for(k: int, target_recall: float = 0.9) -> int:
@@ -1106,18 +1113,33 @@ def nassign_for(k: int, target_recall: float = 0.9) -> int:
     the curve's reference k (a log-linear fit, ~-0.048 recall per
     doubling of k), then invert the nassign->recall curve (log-linear
     between committed points, miss-halving extrapolation past the last
-    point). Clamped to [1, k] — nassign beyond k is meaningless. The
+    point). Clamped to [1, min(k, _NASSIGN_MAX_AUTO)] — nassign beyond
+    k is meaningless, and budgets past 2x the last MEASURED curve
+    point are refused rather than extrapolated (r14 ADVICE: the
+    miss-halving tail otherwise lands on 88 for any k ≳ 616 — ~480x
+    the pinned default's in-cell work on zero measured evidence).
+    When the 0.995 effective-target clamp binds, the k-penalty says
+    the requested recall is predicted UNREACHABLE at that k — a
+    warning says so instead of silently spending the ceiling. The
     curve is fixture-specific evidence, not a guarantee: corpora with
     looser dup structure route better (the SCALE.md caveat), so this
     is a budget default, not a recall contract; gate lanes keep their
     pinned explicit nassign (their oracles emulate exact parameters).
     """
     import math
+    import warnings
 
     if not 0.0 < target_recall < 1.0:
         raise ValueError(f"target_recall must be in (0, 1): {target_recall}")
     k = max(int(k), 1)
     penalty = _RECALL_PER_K_DOUBLING * math.log2(k / _NASSIGN_K_REF)
+    if target_recall - penalty > 0.995:
+        warnings.warn(
+            f"nassign_for: target recall {target_recall} is predicted "
+            f"unreachable at k={k} (measured k-penalty {-penalty:.3f}); "
+            f"budgeting for the 0.995 effective ceiling instead",
+            stacklevel=2,
+        )
     eff = min(target_recall - penalty, 0.995)
 
     def curve_recall(na: float) -> float:
@@ -1135,9 +1157,18 @@ def nassign_for(k: int, target_recall: float = 0.9) -> int:
             math.log2(last_na) - math.log2(na)
         )
 
+    cap = min(k, _NASSIGN_MAX_AUTO)
     na = 1
-    while na < k and curve_recall(na) < eff:
+    while na < cap and curve_recall(na) < eff:
         na += 1
+    if curve_recall(na) < eff and k > _NASSIGN_MAX_AUTO:
+        warnings.warn(
+            f"nassign_for: budget capped at {_NASSIGN_MAX_AUTO} (2x the "
+            f"last measured curve point); the extrapolated curve wants "
+            f"more for recall {target_recall} at k={k} — pass an "
+            f"explicit nassign to exceed the measured range",
+            stacklevel=2,
+        )
     return na
 
 

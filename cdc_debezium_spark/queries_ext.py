@@ -541,7 +541,10 @@ def ext_stream_dedup_minhash_roundtrip(spark, sf_dir):
         )
         # cap binds only at decade-fixture scale; CDC_STREAM_DRAIN_CAP_S
         # lets the scale rehearsals raise it without touching gate runs
-        drain_s = int(os.environ.get("CDC_STREAM_DRAIN_CAP_S", "300"))
+        # max(default, env): the knob exists to RAISE caps for scale
+        # rehearsals; a value sized for this lane must not LOWER the
+        # other stream lane's larger default (r14 ADVICE)
+        drain_s = max(300, int(os.environ.get("CDC_STREAM_DRAIN_CAP_S", "0")))
         if not q.awaitTermination(drain_s):
             q.stop()
             raise TimeoutError(
@@ -1873,7 +1876,8 @@ def ext_stream_dedup_embedding_roundtrip(spark, sf_dir):
         # a BLAS matmul by design — oracle parity over speed on this
         # one shared path); the sf0.01 driver gate takes seconds.
         # CDC_STREAM_DRAIN_CAP_S raises it for the sf100 rehearsals.
-        drain_s = int(os.environ.get("CDC_STREAM_DRAIN_CAP_S", "1800"))
+        # max(default, env) — see the minhash lane's cap note (r14 ADVICE)
+        drain_s = max(1800, int(os.environ.get("CDC_STREAM_DRAIN_CAP_S", "0")))
         if not q.awaitTermination(drain_s):
             q.stop()
             raise TimeoutError(

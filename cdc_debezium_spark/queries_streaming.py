@@ -792,11 +792,18 @@ def events_stream_progress_audit(spark, sf_dir):
                     "in 300s"
                 )
             qid = str(q.id)
-            expected = sum(
-                int(p["numInputRows"])
-                for p in q.recentProgress
-                if p["numInputRows"] > 0
-            )
+            # max-per-batchId, the SAME aggregation render_exposition
+            # applies to the scraped counter (r14 ADVICE: a plain sum
+            # double-counts a re-emitted batchId and fails the scrape
+            # equality spuriously)
+            exp_per_batch: dict[int, int] = {}
+            for p in q.recentProgress:
+                if p["numInputRows"] > 0:
+                    exp_per_batch[p["batchId"]] = max(
+                        exp_per_batch.get(p["batchId"], 0),
+                        int(p["numInputRows"]),
+                    )
+            expected = sum(exp_per_batch.values())
             # listener callbacks are async — wait for the capture to
             # absorb every progress event before scraping
             deadline = time.time() + 30

@@ -48,11 +48,16 @@ class ProgressCapture(StreamingQueryListener):
 
     def total_input_rows(self, query_id: str | None = None) -> int:
         """Rows across micro-batches; a batchId can be reported more
-        than once (progress re-emission), so last report wins."""
+        than once (progress re-emission), so MAX report per
+        (query, batch) wins — the SAME rule render_exposition applies
+        to cdc_stream_input_rows_total (r14 ADVICE: last-report-wins
+        here vs max-wins there made a shrinking re-emission spin the
+        progress-audit wait loop for its full timeout)."""
         latest: dict[tuple[str, int], int] = {}
         for p in self.progress:
             if query_id is None or str(p["id"]) == str(query_id):
-                latest[(str(p["id"]), p["batchId"])] = p["numInputRows"]
+                key = (str(p["id"]), p["batchId"])
+                latest[key] = max(latest.get(key, 0), p["numInputRows"])
         return sum(latest.values())
 
 

@@ -183,10 +183,15 @@ def profile_sink(spark, chunk_dir: str, make_sink, read_back, label: str) -> dic
         out = read_back(sink, spark)
         rows = out.count()
         read_s = time.time() - t1
-        # compaction count from the compact-call counter (cow sinks
-        # never call compact from addBatch, so this is 0 for them —
-        # reported as None to keep the "not applicable" signal)
-        n_compactions = meter.compact_calls if meter.compact_calls else None
+        # compaction count from the compact-call counter. r14 ADVICE:
+        # a delta-layout sink that legitimately performed ZERO
+        # compactions (cadence longer than the run) must report 0, not
+        # None — None is reserved for sinks with no compact() at all
+        # (copy-on-write: "not applicable"), so committed profiles
+        # keep the two cases distinguishable.
+        n_compactions = (
+            meter.compact_calls if hasattr(sink, "compact") else None
+        )
         return {
             "stream_drain_s": round(drain, 2),
             "read_back_s": round(read_s, 2),

@@ -1534,3 +1534,34 @@ def test_repeated_trainings_do_not_accumulate_plan_state(spark, sf_dir):
                 emb, f"{td}/ivf_{i}", k=32, iters=2, exact=False
             )
             assert cents.count() > 0
+
+
+def test_nassign_auto_budget_capped_at_measured_range():
+    """r14 ADVICE (medium): the auto budget may never extrapolate past
+    2x the last measured curve point — in-cell work scales ~nassign²,
+    so the un-capped miss-halving tail (88 at k ≳ 616) was a silent
+    ~480x cost blowup. Unreachable targets and the binding cap both
+    warn instead of silently spending."""
+    import warnings as _w
+
+    from cdc_debezium_spark.ext.similarity import (
+        _NASSIGN_MAX_AUTO,
+        nassign_for,
+    )
+
+    assert _NASSIGN_MAX_AUTO == 16
+    for k in (616, 10_000, 1_000_000):
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            assert nassign_for(k, 0.9) <= _NASSIGN_MAX_AUTO
+    # the clamp-binding case warns (target predicted unreachable)
+    with _w.catch_warnings(record=True) as got:
+        _w.simplefilter("always")
+        nassign_for(1_000_000, 0.9)
+    assert any("unreachable" in str(x.message) for x in got)
+    assert any("capped" in str(x.message) for x in got)
+    # inside the measured range nothing warns
+    with _w.catch_warnings(record=True) as got:
+        _w.simplefilter("always")
+        assert nassign_for(156, 0.7) == 4
+    assert not got
