@@ -499,16 +499,28 @@ def ext_stream_dedup_minhash_roundtrip(spark, sf_dir):
         seq = 0
         for i in range(3):
             chunk = docs.where(F.col("doc_id") % 3 == i).coalesce(1)
+            # r15 (guide §1/§6): the redelivered copy is BYTE-IDENTICAL
+            # fixture plumbing — write each chunk through Spark once and
+            # OS-copy it for the second delivery instead of re-running
+            # the write job (halves the fixture-write jobs at every SF;
+            # the stream sees the same six files with the same mtime
+            # ordering, so batch content and semantics are unchanged)
             for r in range(2):  # every chunk delivered twice
                 path = f"{chunks_dir}/chunk_{i:04d}_{r}"
-                chunk.write.mode("overwrite").parquet(path)
+                if r == 0:
+                    chunk.write.mode("overwrite").parquet(path)
+                else:
+                    shutil.copytree(f"{chunks_dir}/chunk_{i:04d}_0", path)
                 for f_ in os.listdir(path):
                     os.utime(os.path.join(path, f_), (t0 + seq, t0 + seq))
                 seq += 1
 
         # Initialize both stores with typed empty frames so the
         # foreachBatch probe and the final read never hit a
-        # schema-less dir.
+        # schema-less dir. NO coalesce/repartition here: an empty
+        # LocalRelation write is already a single cheap job, and
+        # .coalesce(1) on it DEFEATS the empty-relation fast path
+        # (measured r15: 0.55 s plain vs 4.4 s with coalesce(1)).
         spark.createDataFrame([], "doc_id long, band int, k0 long, k1 long").write.mode(
             "overwrite"
         ).parquet(idx_dir)
@@ -1828,14 +1840,22 @@ def ext_stream_dedup_embedding_roundtrip(spark, sf_dir):
                 # a decade-tier chunk's whole scan — and with it the
                 # per-batch assignment kernel — on 1-3 tasks (the r12
                 # single-row-group fixture bug, reintroduced by this
-                # rewrite; measured blowing the sf10 d=768 drain cap)
-                chunk.write.mode("overwrite").option(
-                    "parquet.block.size", 4 << 20
-                ).parquet(path)
+                # rewrite; measured blowing the sf10 d=768 drain cap).
+                # Redelivery (r=1) is a byte-identical OS copy of the
+                # r=0 write — same six files, same mtime order, half
+                # the fixture-write jobs (r15, guide §1/§6).
+                if r == 0:
+                    chunk.write.mode("overwrite").option(
+                        "parquet.block.size", 4 << 20
+                    ).parquet(path)
+                else:
+                    shutil.copytree(f"{chunks_dir}/chunk_{i:04d}_0", path)
                 for f_ in os.listdir(path):
                     os.utime(os.path.join(path, f_), (t0 + seq, t0 + seq))
                 seq += 1
 
+        # NO coalesce on the empty init frames — it defeats the
+        # empty-LocalRelation write fast path (r15: 0.55 s -> 4.4 s)
         spark.createDataFrame(
             [], "vec_id long, v array<double>, norm double, cell long"
         ).write.mode("overwrite").parquet(idx_dir)
@@ -4835,6 +4855,17 @@ def ext_graph_label_propagation(spark, sf_dir):
     ed = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
+    # r15 (guide §5.3): TRUNCATE the edge lineage before the rounds.
+    # labels_{n+1} references labels_n twice and ed once, so the
+    # logical tree grows ~3x per round and after 2 rounds carries ~14
+    # copies of the full candidate-pipeline subtree — the ANALYZER
+    # walks all of them on every reference even though the cached
+    # frame shortcuts execution (withCachedData substitutes AFTER
+    # analysis). Measured at sf0.01 (tiny data, pure overhead): 22 s
+    # median -> see OPTIMIZATION_r15.md. localCheckpoint is the same
+    # edge-scaled lineage cut triangle_count documents; the blocks are
+    # edge-sized and lane-local.
+    ed = ed.localCheckpoint(eager=True)
     labels = ed.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
@@ -5012,8 +5043,16 @@ def ext_similarity_knn_hubness(spark, sf_dir):
 
     Reciprocity here = fraction of directed kNN edges whose reverse
     edge also exists; n_mutual counts unordered mutual pairs.
+
+    r15 (guide §4.2): edges come from similarity.knn_edges — the
+    strict-fold Arrow kernel against a broadcast slice — instead of a
+    BroadcastNestedLoopJoin evaluating ~4M interpreted HOF dots plus a
+    full-pair-table window (32.9 s at sf1). Cosines and the window's
+    (cos DESC, vec_id ASC) tie rule are reproduced bit-exactly, so the
+    edge SET — all the output depends on — is unchanged.
     """
     from .ext.hashing import word_hash
+    from .ext.similarity import knn_edges
 
     emb = load_table(spark, sf_dir, "embeddings")
     n_total = emb.count()
@@ -5024,30 +5063,10 @@ def ext_similarity_knn_hubness(spark, sf_dir):
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     ).withColumn(
-        "nrm",
+        "norm",
         F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
     )
-    from pyspark.sql import Window
-
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("u").orderBy(F.desc("cos"), F.asc("v"))
-    edges = (
-        v.alias("a")
-        .join(v.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("u"),
-            F.col("b.vec_id").alias("v"),
-            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _KNN_K)
-        .select("u", "v")
-        .persist()
-    )
+    edges = knn_edges(v, _KNN_K).persist()
     nodes = v.agg(F.count("*").alias("n_nodes"))
     ne = edges.agg(F.count("*").alias("n_edges"))
     mut = (

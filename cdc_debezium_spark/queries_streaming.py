@@ -177,7 +177,11 @@ def agg_tumbling_window_stream_roundtrip(spark, sf_dir):
     import tempfile
 
     from .queries_cdc import _format_lane_dir
-    from .streaming.replay import event_chunks_cached, read_event_stream
+    from .streaming.replay import (
+        event_chunks_cached,
+        read_event_stream,
+        scaled_state_partitions,
+    )
 
     base = tempfile.mkdtemp(prefix="stream_wagg_gate_")
     try:
@@ -206,21 +210,26 @@ def agg_tumbling_window_stream_roundtrip(spark, sf_dir):
         )
         out_dir = _format_lane_dir("tumbling_stream", sf_dir)
         shutil.rmtree(out_dir, ignore_errors=True)
-        q = (
-            agg.writeStream.foreachBatch(
-                lambda b, _i: b.write.mode("overwrite").parquet(out_dir)
+        # scale-adaptive state partitions (r15): two stateful operators
+        # (dropDuplicates + windowed agg) each commit one state store
+        # per shuffle partition per micro-batch — see
+        # replay.scaled_state_partitions
+        with scaled_state_partitions(spark, chunks):
+            q = (
+                agg.writeStream.foreachBatch(
+                    lambda b, _i: b.write.mode("overwrite").parquet(out_dir)
+                )
+                .outputMode("complete")
+                .option("checkpointLocation", f"{base}/cp")
+                .trigger(availableNow=True)
+                .start()
             )
-            .outputMode("complete")
-            .option("checkpointLocation", f"{base}/cp")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "agg_tumbling_window_stream_roundtrip: stream did not "
-                "drain in 300s"
-            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "agg_tumbling_window_stream_roundtrip: stream did not "
+                    "drain in 300s"
+                )
         return spark.read.parquet(out_dir)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -361,7 +370,11 @@ def join_stream_stream_roundtrip(spark, sf_dir):
     import tempfile
 
     from .queries_cdc import _format_lane_dir
-    from .streaming.replay import event_chunks_cached, read_event_stream
+    from .streaming.replay import (
+        event_chunks_cached,
+        read_event_stream,
+        scaled_state_partitions,
+    )
 
     base = tempfile.mkdtemp(prefix="stream_ssjoin_gate_")
     try:
@@ -384,18 +397,22 @@ def join_stream_stream_roundtrip(spark, sf_dir):
         ).select(F.col("c_user").alias("user_id"))
         out_dir = _format_lane_dir("ssjoin_stream", sf_dir)
         shutil.rmtree(out_dir, ignore_errors=True)
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", f"{base}/cp")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "join_stream_stream_roundtrip: stream did not drain in 300s"
+        # scale-adaptive state partitions (r15): the two-sided join
+        # keeps a state store per shuffle partition per side; see
+        # replay.scaled_state_partitions (20 s -> 4.6 s at sf0.01)
+        with scaled_state_partitions(spark, chunks):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", f"{base}/cp")
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "join_stream_stream_roundtrip: stream did not drain in 300s"
+                )
         return (
             spark.read.schema("user_id long")
             .parquet(out_dir)
@@ -448,7 +465,11 @@ def agg_session_window_stream_roundtrip(spark, sf_dir):
     import tempfile
     import uuid
 
-    from .streaming.replay import event_chunks_cached, read_event_stream
+    from .streaming.replay import (
+        event_chunks_cached,
+        read_event_stream,
+        scaled_state_partitions,
+    )
 
     base = tempfile.mkdtemp(prefix="stream_sess_gate_")
     try:
@@ -479,21 +500,24 @@ def agg_session_window_stream_roundtrip(spark, sf_dir):
 
         out_dir = _format_lane_dir("session_stream", sf_dir)
         _shutil.rmtree(out_dir, ignore_errors=True)
-        q = (
-            agg.writeStream.foreachBatch(
-                lambda b, _i: b.write.mode("overwrite").parquet(out_dir)
+        # scale-adaptive state partitions (r15) — see
+        # replay.scaled_state_partitions
+        with scaled_state_partitions(spark, chunks):
+            q = (
+                agg.writeStream.foreachBatch(
+                    lambda b, _i: b.write.mode("overwrite").parquet(out_dir)
+                )
+                .outputMode("complete")
+                .option("checkpointLocation", f"{base}/cp")
+                .trigger(availableNow=True)
+                .start()
             )
-            .outputMode("complete")
-            .option("checkpointLocation", f"{base}/cp")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "agg_session_window_stream_roundtrip: stream did not "
-                "drain in 300s"
-            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "agg_session_window_stream_roundtrip: stream did not "
+                    "drain in 300s"
+                )
         return spark.read.parquet(out_dir)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -607,7 +631,7 @@ def events_late_data_drop_roundtrip(spark, sf_dir):
     import tempfile
 
     from .queries_cdc import _format_lane_dir
-    from .streaming.replay import EVENT_STREAM_SCHEMA
+    from .streaming.replay import EVENT_STREAM_SCHEMA, scaled_state_partitions
 
     base = tempfile.mkdtemp(prefix="stream_late_gate_")
     try:
@@ -632,19 +656,25 @@ def events_late_data_drop_roundtrip(spark, sf_dir):
         # verdict item).
         out_dir = _format_lane_dir("late_drop_stream", sf_dir)
         shutil.rmtree(out_dir, ignore_errors=True)
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", f"{base}/cp")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "events_late_data_drop_roundtrip: stream did not drain in 300s"
+        # scale-adaptive state partitions (r15): the watermark is
+        # computed globally per micro-batch (max event time - delay),
+        # never per partition, so the drop/emission protocol — and the
+        # oracle equality — is partition-count invariant; see
+        # replay.scaled_state_partitions
+        with scaled_state_partitions(spark, f"{base}/chunks"):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", f"{base}/cp")
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "events_late_data_drop_roundtrip: stream did not drain in 300s"
+                )
         return spark.read.schema("start_us long, n long").parquet(out_dir)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -682,7 +712,11 @@ def agg_sliding_window_stream_roundtrip(spark, sf_dir):
     import tempfile
 
     from .queries_cdc import _format_lane_dir
-    from .streaming.replay import event_chunks_cached, read_event_stream
+    from .streaming.replay import (
+        event_chunks_cached,
+        read_event_stream,
+        scaled_state_partitions,
+    )
 
     base = tempfile.mkdtemp(prefix="stream_slide_gate_")
     try:
@@ -705,21 +739,24 @@ def agg_sliding_window_stream_roundtrip(spark, sf_dir):
         )
         out_dir = _format_lane_dir("sliding_stream", sf_dir)
         shutil.rmtree(out_dir, ignore_errors=True)
-        q = (
-            agg.writeStream.foreachBatch(
-                lambda b, _i: b.write.mode("overwrite").parquet(out_dir)
+        # scale-adaptive state partitions (r15) — see
+        # replay.scaled_state_partitions
+        with scaled_state_partitions(spark, chunks):
+            q = (
+                agg.writeStream.foreachBatch(
+                    lambda b, _i: b.write.mode("overwrite").parquet(out_dir)
+                )
+                .outputMode("complete")
+                .option("checkpointLocation", f"{base}/cp")
+                .trigger(availableNow=True)
+                .start()
             )
-            .outputMode("complete")
-            .option("checkpointLocation", f"{base}/cp")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "agg_sliding_window_stream_roundtrip: stream did not "
-                "drain in 300s"
-            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "agg_sliding_window_stream_roundtrip: stream did not "
+                    "drain in 300s"
+                )
         return spark.read.parquet(out_dir)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -891,7 +928,11 @@ def udf_stateful_processor_roundtrip(spark, sf_dir):
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from .queries_cdc import _format_lane_dir
-    from .streaming.replay import event_chunks_cached, read_event_stream
+    from .streaming.replay import (
+        event_chunks_cached,
+        read_event_stream,
+        scaled_state_partitions,
+    )
 
     def track(key, pdfs, state: GroupState):
         # One key's micro-batch rows can be split across several Arrow
@@ -940,19 +981,25 @@ def udf_stateful_processor_roundtrip(spark, sf_dir):
         )
         out_dir = _format_lane_dir("stateful_udf_stream", sf_dir)
         shutil.rmtree(out_dir, ignore_errors=True)
-        q = (
-            emitted.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", f"{base}/cp")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "udf_stateful_processor_roundtrip: stream did not drain in 300s"
+        # scale-adaptive state partitions (r15): which micro-batch a
+        # key appears in is chunk-determined, never partition-
+        # determined, so emissions — and the max-n_events final
+        # selection — are partition-count invariant; see
+        # replay.scaled_state_partitions
+        with scaled_state_partitions(spark, chunks):
+            q = (
+                emitted.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", f"{base}/cp")
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "udf_stateful_processor_roundtrip: stream did not drain in 300s"
+                )
         out = spark.read.schema(
             "user_id long, n_events long, max_val double, last_val double"
         ).parquet(out_dir)
@@ -1090,19 +1137,25 @@ def udf_stateful_tws_roundtrip(spark, sf_dir):
         )
         out_dir = _format_lane_dir("tws_stream", sf_dir)
         shutil.rmtree(out_dir, ignore_errors=True)
-        q = (
-            emitted.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", f"{base}/cp")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "udf_stateful_tws_roundtrip: stream did not drain in 300s"
+        # scale-adaptive state partitions (r15) — see
+        # replay.scaled_state_partitions; emissions are partition-count
+        # invariant (same argument as the classic stateful lane)
+        from .streaming.replay import scaled_state_partitions
+
+        with scaled_state_partitions(spark, chunks):
+            q = (
+                emitted.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", f"{base}/cp")
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "udf_stateful_tws_roundtrip: stream did not drain in 300s"
+                )
         out = spark.read.schema(
             "user_id long, n_events long, max_val double, last_val double"
         ).parquet(out_dir)
@@ -1275,19 +1328,26 @@ def udf_session_timeout_roundtrip(spark, sf_dir):
         # driver (r11 verdict item).
         out_dir = _format_lane_dir("session_timeout_stream", sf_dir)
         shutil.rmtree(out_dir, ignore_errors=True)
-        q = (
-            emitted.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", f"{base}/cp")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "udf_session_timeout_roundtrip: stream did not drain in 300s"
+        # scale-adaptive state partitions (r15): the watermark driving
+        # EventTimeTimeout is global per micro-batch, so timeout firing
+        # — and the emitted session set — is partition-count invariant;
+        # see replay.scaled_state_partitions
+        from .streaming.replay import scaled_state_partitions
+
+        with scaled_state_partitions(spark, chunks):
+            q = (
+                emitted.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", f"{base}/cp")
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "udf_session_timeout_roundtrip: stream did not drain in 300s"
+                )
         return spark.read.schema(
             "user_id long, n long, start_us long, last_us long"
         ).parquet(out_dir)

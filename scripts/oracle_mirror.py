@@ -54,10 +54,13 @@ def main() -> None:
             "<= 2048 (sf <= 0.1). Use the sweep for larger fixtures."
         )
 
-    passed, failed, rows_only = 0, {}, []
+    import time as _time
+
+    passed, failed, rows_only, secs = 0, {}, [], {}
     for key in sorted(registry.QUERIES):
         if not key.startswith(prefix):
             continue
+        t0 = _time.perf_counter()
         try:
             if key not in registry.ORACLES:
                 # execute-only: proves the plan runs end-to-end, NOT
@@ -70,6 +73,10 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001
             failed[key] = f"{type(ex).__name__}: {str(ex)[:160]}"
             print(f"FAIL {key}: {failed[key]}", file=sys.stderr, flush=True)
+        finally:
+            # wall per key (spark query + duckdb oracle + compare) —
+            # the r15 optimization round's prioritization signal
+            secs[key] = round(_time.perf_counter() - t0, 3)
 
     print(
         json.dumps(
@@ -78,6 +85,7 @@ def main() -> None:
                 "passed": passed,
                 "failed": failed,
                 "rows_only_executed": rows_only,
+                "secs": secs,
             }
         )
     )

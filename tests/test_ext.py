@@ -1565,3 +1565,51 @@ def test_nassign_auto_budget_capped_at_measured_range():
         _w.simplefilter("always")
         assert nassign_for(156, 0.7) == 4
     assert not got
+
+
+def test_knn_edges_matches_window_ranking(spark, sf_dir):
+    """r15: the hubness lane's edge builder moved from an interpreted
+    HOF-fold pair join + row_number window to the broadcast Arrow
+    kernel (similarity.knn_edges). The kernel must reproduce the
+    window's EXACT edge set — same strict-fold cosine, same
+    (cos DESC, vec_id ASC) tie rule — or the oracled counts drift."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from cdc_debezium_spark.ext.similarity import knn_edges
+    from cdc_debezium_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    k = 5
+    got = {(r["u"], r["v"]) for r in knn_edges(v, k).collect()}
+
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("cos"), F.asc("v"))
+    want = {
+        (r["u"], r["v"])
+        for r in (
+            v.alias("a")
+            .join(v.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("u"),
+                F.col("b.vec_id").alias("v"),
+                (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cos"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("u", "v")
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0

@@ -2092,3 +2092,50 @@ def test_transform_with_state_lane(spark, sf_dir):
     out = udf_stateful_tws_roundtrip(spark, sf_dir)
     assert out.count() > 0
     assert set(out.columns) == {"user_id", "n_events", "max_val", "last_val"}
+
+
+def test_scaled_state_partitions_rule_and_restore(spark, tmp_path):
+    """r15: stateful gate lanes derive their state-store partition
+    count from source bytes (AQE cannot coalesce stateful-streaming
+    shuffles). Pin the sizing rule — floor 4, ceiling the session
+    default, ~32 MB per partition — the env override, and that the
+    session conf is restored either way."""
+    import os
+
+    from cdc_debezium_spark.streaming.replay import scaled_state_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    default = spark.conf.get(key)
+
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "f.bin").write_bytes(b"x" * 1024)
+    with scaled_state_partitions(spark, str(small)):
+        assert spark.conf.get(key) == "4"  # floor
+    assert spark.conf.get(key) == default  # restored
+
+    big = tmp_path / "big"
+    big.mkdir()
+    # sparse file: size counts, no real disk
+    with open(big / "f.bin", "wb") as f:
+        f.truncate(int(default) * (32 << 20) * 2)
+    with scaled_state_partitions(spark, str(big)):
+        # ceiling: never exceeds the session default
+        assert spark.conf.get(key) == default
+    assert spark.conf.get(key) == default
+
+    os.environ["CDC_STREAM_STATE_PARTS"] = "6"
+    try:
+        with scaled_state_partitions(spark, str(small)):
+            assert spark.conf.get(key) == "6"
+    finally:
+        del os.environ["CDC_STREAM_STATE_PARTS"]
+    assert spark.conf.get(key) == default
+
+    # restore happens on exception too
+    try:
+        with scaled_state_partitions(spark, str(small)):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == default
