@@ -530,7 +530,11 @@ def ext_stream_dedup_minhash_roundtrip(spark, sf_dir):
 
         def ingest(batch, _bid):
             s = batch.sparkSession
-            index = s.read.parquet(idx_dir)
+            # explicit schema: skips per-micro-batch footer/schema
+            # inference over the growing index dir (r15, guide §6)
+            index = s.read.schema(
+                "doc_id long, band int, k0 long, k1 long"
+            ).parquet(idx_dir)
             new_rows, pairs = dedup.incremental_minhash_ingest(index, batch)
             # same recompute guard as the embedding twin: the batch's
             # signature rows feed both the candidate join and the
@@ -563,7 +567,12 @@ def ext_stream_dedup_minhash_roundtrip(spark, sf_dir):
                 "ext_stream_dedup_minhash_roundtrip: "
                 f"stream did not drain in {drain_s}s"
             )
-        return spark.read.parquet(out_dir).select("doc_a", "doc_b").distinct()
+        return (
+            spark.read.schema("doc_a long, doc_b long")
+            .parquet(out_dir)
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -1865,7 +1874,11 @@ def ext_stream_dedup_embedding_roundtrip(spark, sf_dir):
 
         def ingest(batch, _bid):
             s = batch.sparkSession
-            index = s.read.parquet(idx_dir)
+            # explicit schema: skips per-micro-batch footer/schema
+            # inference over the growing index dir (r15, guide §6)
+            index = s.read.schema(
+                "vec_id long, v array<double>, norm double, cell long"
+            ).parquet(idx_dir)
             new_asg, pairs = dedup.incremental_embedding_ingest(
                 index, batch, cents, threshold=0.4, nassign=4
             )
@@ -1905,7 +1918,8 @@ def ext_stream_dedup_embedding_roundtrip(spark, sf_dir):
                 f"stream did not drain in {drain_s}s"
             )
         return (
-            spark.read.parquet(out_dir)
+            spark.read.schema("vec_a long, vec_b long, cosine double")
+            .parquet(out_dir)
             .select("vec_a", "vec_b", "cosine")
             .distinct()
         )
