@@ -1297,19 +1297,18 @@ def rp_lsh_pairs(
             )
         ),
     )
-    # one scan computes every table's bucket (codegen column per table)
-    for t in range(tables):
-        bucket = F.lit(0)
-        for b in range(bits):
-            plane = planes[t * bits + b]
-            proj = _dot(F.col("v"), F.array(*[F.lit(c) for c in plane]))
-            bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-        v = v.withColumn(f"bucket_{t}", bucket)
-
     verify_cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     if tables == 1:
-        # single table: verify INLINE on the bucket join — one shuffle,
-        # vectors never re-joined (the pre-amplification fast shape)
+        # single table: pure-JVM shape kept verbatim (the HEADLINE
+        # lane): expression bucketing + verify INLINE on the bucket
+        # join — one shuffle, vectors never re-joined, no Arrow
+        # boundary on a path whose candidate count is small by sizing
+        bucket = F.lit(0)
+        for b in range(bits):
+            plane = planes[b]
+            proj = _dot(F.col("v"), F.array(*[F.lit(c) for c in plane]))
+            bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        v = v.withColumn("bucket_0", bucket)
         a = v.select(
             F.col("bucket_0").alias("bk"), F.col("vec_id").alias("vec_a"),
             F.col("v").alias("va"), F.col("norm").alias("na"),
@@ -1327,23 +1326,68 @@ def rp_lsh_pairs(
         )
     # OR-amplification: candidates from every table, deduped once,
     # then one exact verify per distinct candidate. r15 (guide §2.4):
-    # the per-table (vec_id, bucket) rows are STACKED with posexplode
-    # and self-joined ONCE on the (table, bucket) compound key — the
-    # old shape ran L separate self-joins and unioned them (measured
-    # 9.9 s → 2.8 s for the (4,16) sweep leg at sf0.1; candidate set
-    # byte-identical, 1,279,893 rows both ways). The bucketed frame
-    # is cached only for the candidate join: the candidate list is
-    # materialized eagerly (localCheckpoint) so the cache can be
-    # dropped before returning — otherwise every sweep invocation
-    # leaks its cached partitions into executor storage (r7 advice).
-    v = v.persist()
+    # the per-table (vec_id, bucket) rows are STACKED and self-joined
+    # ONCE on the (table, bucket) compound key — the old shape ran L
+    # separate self-joins and unioned them (measured 9.9 s → 2.8 s for
+    # the (4,16) sweep leg at sf0.1; candidate set byte-identical,
+    # 1,279,893 rows both ways).
+    #
+    # r15 second pass (guide §4.2): bucketing evaluated bits×tables
+    # interpreted HOF folds PER ROW (64 folds/row at the (4,16) sweep
+    # point) and the verify an interpreted fold PER CANDIDATE (~1.28M
+    # at that point). Both now run in Arrow kernels that accumulate
+    # ONE DIMENSION AT A TIME — the identical IEEE sequence as the
+    # fold expressions (the _neg_cosine_matrix argument), so every
+    # projection sign, cosine, threshold test and 4dp rounding is
+    # bit-identical and the DuckDB oracle still matches. The planes
+    # matrix ships as a BROADCAST variable (r14 verdict item 3 — no
+    # closure literals in plans). The bucketed frame is cached only
+    # for the candidate join: the candidate list is materialized
+    # eagerly (localCheckpoint) so the cache can be dropped before
+    # returning — otherwise every sweep invocation leaks its cached
+    # partitions into executor storage (r7 advice).
+    import numpy as np
+
+    P = np.array(planes, dtype=np.float64)  # (tables*bits, d)
+    bc_p = emb.sparkSession.sparkContext.broadcast(P)
+    n_bits, n_tables = bits, tables
+
+    def bucketize(batches):
+        import pandas as pd
+
+        P_ = bc_p.value
+        t_idx = np.arange(n_tables, dtype=np.int32)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            if A.shape[1] != P_.shape[1]:
+                raise ValueError(
+                    f"rp_lsh_pairs: vector length != plane dim "
+                    f"{P_.shape[1]}: {A.shape[1]}"
+                )
+            acc = np.zeros((len(pdf), P_.shape[0]), dtype=np.float64)
+            for d_ in range(P_.shape[1]):
+                acc += A[:, d_, None] * P_[None, :, d_]
+            signs = (acc >= 0.0).astype(np.int64)
+            # plane layout: table t uses rows [t*bits, (t+1)*bits)
+            buckets = np.zeros((len(pdf), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                bk = np.zeros(len(pdf), dtype=np.int64)
+                for b in range(n_bits):
+                    bk += signs[:, t * n_bits + b] << b
+                buckets[:, t] = bk
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_tables),
+                    "t": np.tile(t_idx, len(pdf)),
+                    "bk": buckets.ravel(),
+                }
+            )
+
+    stacked = v.mapInPandas(bucketize, "vec_id long, t int, bk long").persist()
     try:
-        stacked = v.select(
-            "vec_id",
-            F.posexplode(
-                F.array(*[F.col(f"bucket_{t}") for t in range(tables)])
-            ).alias("t", "bk"),
-        )
         a = stacked.select("t", "bk", F.col("vec_id").alias("vec_a"))
         bb = stacked.select("t", "bk", F.col("vec_id").alias("vec_b"))
         cand = (
@@ -1354,7 +1398,7 @@ def rp_lsh_pairs(
             .localCheckpoint()
         )
     finally:
-        v.unpersist()
+        stacked.unpersist()
     # verify re-derives (vec_id, v, norm) from the base scan — one
     # extra column-pruned pass, cheaper than pinning the bucketed
     # frame in storage past the function's return
@@ -1362,10 +1406,33 @@ def rp_lsh_pairs(
                   F.col("norm").alias("na"))
     vb = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
                   F.col("norm").alias("nb"))
+    thr = threshold
+
+    def verify(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            VA = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            VB = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for d_ in range(VA.shape[1]):
+                acc += VA[:, d_] * VB[:, d_]
+            cos = acc / (pdf["na"].to_numpy() * pdf["nb"].to_numpy())
+            keep = cos >= thr
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "cosine": np.floor(cos[keep] * 10000.0 + 0.5) / 10000.0,
+                }
+            )
+
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .withColumn("cos", verify_cos)
-        .where(F.col("cos") >= threshold)
-        .select("vec_a", "vec_b", round4(F.col("cos")).alias("cosine"))
+        .mapInPandas(verify, "vec_a long, vec_b long, cosine double")
     )

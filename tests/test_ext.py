@@ -1613,3 +1613,77 @@ def test_knn_edges_matches_window_ranking(spark, sf_dir):
         )
     }
     assert got == want and len(got) > 0
+
+
+def test_rp_lsh_multitable_kernel_matches_expression_path(spark, sf_dir):
+    """r15: the multi-table rp_lsh path moved bucketing and candidate
+    verify from interpreted HOF folds to Arrow kernels (per-dimension
+    accumulation — the bit-exact-fold argument). Pin full output
+    parity (pairs AND 4dp cosines) against a pure-expression reference
+    of the old shape at the (4, 8) sweep config."""
+    import pyspark.sql.functions as F
+
+    from cdc_debezium_spark.ext.similarity import (
+        _dot,
+        _with_unit,
+        round4,
+        rp_lsh_pairs,
+        rp_planes,
+    )
+    from cdc_debezium_spark.sources.catalog import load_table
+
+    bits, tables, thr = 4, 8, 0.4
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in rp_lsh_pairs(emb, bits=bits, threshold=thr, tables=tables).collect()
+    }
+
+    dim = emb.select(F.size("embedding").alias("d")).head()["d"]
+    planes = rp_planes(bits * tables, dim)
+    v = _with_unit(emb)
+    for t in range(tables):
+        bucket = F.lit(0)
+        for b in range(bits):
+            proj = _dot(
+                F.col("v"), F.array(*[F.lit(c) for c in planes[t * bits + b]])
+            )
+            bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        v = v.withColumn(f"bucket_{t}", bucket)
+    stacked = v.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"bucket_{t}") for t in range(tables)])
+        ).alias("t", "bk"),
+    )
+    cand = (
+        stacked.select("t", "bk", F.col("vec_id").alias("vec_a"))
+        .join(
+            stacked.select("t", "bk", F.col("vec_id").alias("vec_b")),
+            ["t", "bk"],
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    vb = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    verify_cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    want = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in (
+            cand.join(va, "vec_a")
+            .join(vb, "vec_b")
+            .withColumn("cos", verify_cos)
+            .where(F.col("cos") >= thr)
+            .select("vec_a", "vec_b", round4(F.col("cos")).alias("cosine"))
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0
