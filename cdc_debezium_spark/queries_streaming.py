@@ -984,9 +984,11 @@ def udf_stateful_processor_roundtrip(spark, sf_dir):
         # scale-adaptive state partitions (r15): which micro-batch a
         # key appears in is chunk-determined, never partition-
         # determined, so emissions — and the max-n_events final
-        # selection — are partition-count invariant; see
-        # replay.scaled_state_partitions
-        with scaled_state_partitions(spark, chunks):
+        # selection — are partition-count invariant; mb_per_partition=0.5
+        # because the per-key USER PYTHON dominates (see
+        # replay.scaled_state_partitions — the sf1 sweep caught the
+        # JVM-density rule starving this lane 24 -> 59.5 s)
+        with scaled_state_partitions(spark, chunks, mb_per_partition=0.5):
             q = (
                 emitted.writeStream.outputMode("append")
                 .format("parquet")
@@ -1139,10 +1141,11 @@ def udf_stateful_tws_roundtrip(spark, sf_dir):
         shutil.rmtree(out_dir, ignore_errors=True)
         # scale-adaptive state partitions (r15) — see
         # replay.scaled_state_partitions; emissions are partition-count
-        # invariant (same argument as the classic stateful lane)
+        # invariant (same argument as the classic stateful lane);
+        # mb_per_partition=2: per-key USER PYTHON dominates
         from .streaming.replay import scaled_state_partitions
 
-        with scaled_state_partitions(spark, chunks):
+        with scaled_state_partitions(spark, chunks, mb_per_partition=0.5):
             q = (
                 emitted.writeStream.outputMode("append")
                 .format("parquet")
@@ -1331,10 +1334,11 @@ def udf_session_timeout_roundtrip(spark, sf_dir):
         # scale-adaptive state partitions (r15): the watermark driving
         # EventTimeTimeout is global per micro-batch, so timeout firing
         # — and the emitted session set — is partition-count invariant;
-        # see replay.scaled_state_partitions
+        # mb_per_partition=2: per-key USER PYTHON dominates (see
+        # replay.scaled_state_partitions)
         from .streaming.replay import scaled_state_partitions
 
-        with scaled_state_partitions(spark, chunks):
+        with scaled_state_partitions(spark, chunks, mb_per_partition=0.5):
             q = (
                 emitted.writeStream.outputMode("append")
                 .format("parquet")

@@ -50,7 +50,9 @@ CHUNK_CACHE_EVENTS: list = []
 
 
 @_contextmanager
-def scaled_state_partitions(spark: SparkSession, src_dir: str):
+def scaled_state_partitions(
+    spark: SparkSession, src_dir: str, mb_per_partition: float = 32
+):
     """Scale-adaptive shuffle-partition count for STATEFUL streaming
     queries (r15, guide §2.2 "make partitioning scale-adaptive").
 
@@ -65,14 +67,29 @@ def scaled_state_partitions(spark: SparkSession, src_dir: str):
     overhead, zero result change (partition count never affects WHAT a
     keyed stateful operator computes, only where keys live).
 
-    The rule mirrors AQE's sizing: one partition per ~32 MB of source
-    chunk bytes, floor 4, ceiling the session default (a cluster's
-    operator-sized setting still applies at scale — this helper only
-    ever SHRINKS below it, exactly like coalescing). The conf is set
-    for the duration of the ``with`` block (stream start pins it) and
-    restored after; CDC_STREAM_STATE_PARTS overrides for rehearsals.
-    Use ONLY around streams with a fresh checkpoint — resuming an old
-    checkpoint keeps its recorded count anyway.
+    The rule mirrors AQE's sizing: one partition per
+    ``mb_per_partition`` MB of source chunk bytes (default 32 — the
+    JVM-state density), floor 4, ceiling the session default (a
+    cluster's operator-sized setting still applies at scale — this
+    helper only ever SHRINKS below it, exactly like coalescing). The
+    conf is set for the duration of the ``with`` block (stream start
+    pins it) and restored after; CDC_STREAM_STATE_PARTS overrides for
+    rehearsals. Use ONLY around streams with a fresh checkpoint —
+    resuming an old checkpoint keeps its recorded count anyway.
+
+    ``mb_per_partition``: partition DENSITY must match the operator's
+    per-row cost. Built-in JVM stateful operators (windows, dedup,
+    joins) are commit-overhead-bound — 32 MB/partition won at BOTH
+    sf0.01 and sf1 in same-window A/Bs. applyInPandasWithState /
+    transformWithState run USER PYTHON per key: per-row cost is
+    1-2 orders denser (and snappy parquet bytes UNDER-represent row
+    count ~8 B/row on the event fixture), so the r15 sf1 sweep caught
+    the 32 MB rule starving them (udf_stateful 24 -> 59.5 s, the
+    timeout lane's 90 s cap blown; 2 MB still starved: 6 partitions =
+    52 s vs 24 s at the default). Those lanes pass
+    mb_per_partition=0.5 — the floor fires only on truly tiny gate
+    fixtures (<= ~2 MB of chunks, where 4 partitions measured
+    17.3 -> 4.0 s) and ~sf1 scale is back at the session default.
     """
     default = int(spark.conf.get("spark.sql.shuffle.partitions"))
     env = os.environ.get("CDC_STREAM_STATE_PARTS")
@@ -86,7 +103,8 @@ def scaled_state_partitions(spark: SparkSession, src_dir: str):
                     n_bytes += os.path.getsize(os.path.join(root, f))
                 except OSError:
                     pass
-        parts = max(4, min(default, -(-n_bytes // (32 << 20))))
+        per = max(1, int(mb_per_partition * (1 << 20)))
+        parts = max(4, min(default, -(-n_bytes // per)))
     if parts == default:
         yield
         return
