@@ -253,42 +253,55 @@ def dsir_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
       log_ratio(d) = (Σ_t tf·(log2(cnt_t(t)+1) − log2(cnt_raw(t)))) / |d|
                      + log2(n_raw) − log2(n_target + V)
 
-    Shape at 100 TB (r15, guide §2.4): one (doc_id, token) tf
-    shuffle; the raw and target count tables are WINDOW SUMS over the
-    token partition of that SAME tf frame (the old shape
-    re-aggregated two count branches and joined them back, scanning
-    the corpus three times; exchange reuse never fired). The n_raw /
-    n_t totals are NARROW per-row sums (no explode, no shuffle) and
-    the vocabulary size is the only remaining distinct-count branch;
-    all three broadcast as 1-row aggregates. Per-doc scoring is a
-    SORTED left-to-right fold over the doc's distinct tokens —
-    engine-exact floats, 4dp floor.
+    Shape at 100 TB (r16, guide §2.5 skew): ONE corpus-scale exchange
+    — the exploded token stream hash(doc_id)-repartitioned. That
+    partitioning satisfies the (doc_id, tok) grouping's clustering
+    requirement, so the tf aggregate needs no further exchange; tf is
+    persisted (its two consumers prune different columns, so exchange
+    reuse alone cannot deduplicate the corpus pass — same
+    multi-consumer persist contract as dedup._capped_pair_counts);
+    the raw/target count table is a partial-agged hash aggregate of
+    the collapsed tf (a stop-word's rows collapse per partition
+    before its tiny exchange) joined back on the token — broadcast
+    while the vocabulary fits, AQE-skew-splittable shuffle join
+    beyond. While broadcast, the probe keeps hash(doc_id), so the
+    per-doc fold aggregate ALSO needs no exchange. The r15 shape
+    computed the counts as WINDOW SUMS over the token partition: a
+    window partition cannot be split and lands every tf row of a hot
+    token in ONE task — at 100 TB a guaranteed single-task straggler
+    on exactly the stop-word keys (r15 verdict item 1); 60 %-hot
+    fixture A/B in OPTIMIZATION_r16.md (straggler task 11.6 s ->
+    0.6 s), real-corpus sf1 4.5 -> 2.5 s. n_raw / n_t / vocab all
+    come from ONE 1-row aggregate over the tiny count table — exactly
+    the oracle's `tot` CTE, no extra corpus passes, and null-text
+    rows contribute nothing (the r15 narrow per-row sums went through
+    size(), whose legacy -1-on-NULL would have skewed the totals —
+    r15 ADVICE). Per-doc scoring is a SORTED left-to-right fold over
+    the doc's distinct tokens — engine-exact floats, 4dp floor.
     """
     ftoks = F.filter(tokens_col(), lambda t: t != F.lit(""))
     toks = docs.select(
         "doc_id",
         "lang",
         F.explode(ftoks).alias("tok"),
-    )
+    ).repartition("doc_id")
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count("*").alias("tf"),
         F.max((F.col("lang") == target_lang).cast("int")).alias("is_t"),
-    )
-    wt = Window.partitionBy("tok")
-    counted = tf.withColumn("cnt_raw", F.sum("tf").over(wt)).withColumn(
-        "cnt_t",
+    ).persist()
+    cnt = tf.groupBy("tok").agg(
+        F.sum("tf").alias("cnt_raw"),
         F.coalesce(
-            F.sum(F.when(F.col("is_t") == 1, F.col("tf"))).over(wt),
+            F.sum(F.when(F.col("is_t") == 1, F.col("tf"))),
             F.lit(0).cast("long"),
-        ),
+        ).alias("cnt_t"),
     )
-    totals = docs.agg(
-        F.sum(F.size(ftoks)).cast("long").alias("n_raw"),
-        F.sum(
-            F.when(F.col("lang") == target_lang, F.size(ftoks)).otherwise(0)
-        ).cast("long").alias("n_t"),
+    counted = tf.join(cnt, "tok")
+    totals = cnt.agg(
+        F.sum("cnt_raw").cast("long").alias("n_raw"),
+        F.sum("cnt_t").cast("long").alias("n_t"),
+        F.count("*").alias("vocab"),
     )
-    vocab = toks.agg(F.count_distinct("tok").alias("vocab"))
     per_doc = (
         counted.groupBy("doc_id")
         .agg(
@@ -297,7 +310,6 @@ def dsir_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
             ).alias("ts")
         )
         .crossJoin(F.broadcast(totals))
-        .crossJoin(F.broadcast(vocab))
     )
     n_tok = F.aggregate("ts", F.lit(0).cast("long"), lambda a, s: a + s["tf"])
     fold = F.aggregate(

@@ -477,25 +477,42 @@ def chunk_dedup_stats(docs: DataFrame, size: int = 64) -> DataFrame:
     elsewhere in the corpus — the C4-style coarse-granularity dedup
     signal between whole-document dedup and exact span dedup.
 
-    Shape (r15, guide §2.4): the chunker is narrow per-row; the
-    corpus chunk frequency is a WINDOW COUNT over the (chunk_md5)
-    partition — the old shape re-aggregated a frequency branch and
-    joined it back, chunking the corpus twice. One chunk shuffle, one
-    per-doc shuffle, no joins, no pairwise stage of any kind.
+    Shape (r16, guide §2.5 skew): the chunker is narrow per-row and
+    runs ONCE into a single hash(doc_id) repartition that BOTH
+    branches share (identical subtree -> AQE reuses the exchange).
+    Because hash(doc_id) satisfies the (doc_id, chunk_md5) grouping's
+    clustering requirement, the occurrence counts aggregate with NO
+    further exchange; the corpus frequency is a partial-agged hash
+    aggregate of that collapsed table (a boilerplate chunk's rows
+    collapse per partition before its tiny exchange); and the join
+    back is keyed on chunk_md5 with ONE frequency row per key — it
+    broadcasts while the frequency table fits and degrades to an
+    AQE-skew-splittable shuffle join beyond that. While broadcast,
+    the probe keeps its hash(doc_id) partitioning, so the final
+    per-doc aggregate ALSO needs no exchange: one corpus-scale
+    exchange end to end (the r15 window shape had two). The r15 shape
+    computed dfc as a WINDOW COUNT over (chunk_md5) instead: window
+    partitions cannot be split, so a boilerplate chunk shared by
+    10-30 % of a 100 TB corpus serializes into ONE task (r15 verdict
+    item 1); skewed-fixture A/B in OPTIMIZATION_r16.md (max/median
+    task 8.2x -> 1.1x, wall 11.5 -> 6.8 s on the 60 %-hot fixture).
     Integer-ratio dup fractions hash exactly.
     """
-    ch = chunk_documents(docs, size=size, stride=size).select(
-        "doc_id", "chunk_md5"
+    ch = (
+        chunk_documents(docs, size=size, stride=size)
+        .select("doc_id", "chunk_md5")
+        .repartition("doc_id")
     )
-    joined = ch.withColumn(
-        "dfc", F.count("*").over(Window.partitionBy("chunk_md5"))
-    )
-    dup = F.sum(F.when(F.col("dfc") > 1, 1).otherwise(0))
+    g = ch.groupBy("doc_id", "chunk_md5").agg(F.count("*").alias("k"))
+    freq = g.groupBy("chunk_md5").agg(F.sum("k").alias("dfc"))
+    joined = g.join(freq, "chunk_md5")
+    n_chunks = F.sum("k")
+    dup = F.sum(F.when(F.col("dfc") > 1, F.col("k")).otherwise(0))
     return joined.groupBy("doc_id").agg(
-        F.count("*").alias("n_chunks"),
+        n_chunks.cast("long").alias("n_chunks"),
         dup.cast("long").alias("n_dup_chunks"),
         (
-            F.floor((dup / F.count("*")) * 10000.0 + F.lit(0.5)) / 10000.0
+            F.floor((dup / n_chunks) * 10000.0 + F.lit(0.5)) / 10000.0
         ).alias("dup_frac"),
     )
 
@@ -690,9 +707,17 @@ def bm25_scores(docs: DataFrame, query_k: int = 5) -> DataFrame:
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    # count/sum only non-null text (r15 ADVICE): the oracle derives
+    # stats FROM the tf chain, where a NULL-text doc contributes no
+    # rows — but size(split(NULL)) is -1 under legacy sizeOfNull and
+    # count(*) would still count the doc, silently skewing N and Σdl
+    # on any corpus with null text (gate fixtures are non-null, so
+    # values are unchanged there).
     stats = docs.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size(tokens_col())).cast("long").alias("sum_dl"),
+        F.count("text").alias("n_docs"),
+        F.sum(
+            F.when(F.col("text").isNotNull(), F.size(tokens_col())).otherwise(0)
+        ).cast("long").alias("sum_dl"),
     )
     # TakeOrderedAndProject, not a single-partition window: the
     # distinct-token table is corpus-scale at 100 TB.

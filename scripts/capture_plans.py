@@ -27,7 +27,9 @@ def main() -> None:
 
         keys = list(bench.HEADLINE) + list(bench.DIAGNOSTICS)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(_REPO, "plans", "r15")
+    out_dir = os.path.join(
+        _REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture-plans")
     registry.load_all()

@@ -91,7 +91,7 @@ def main() -> None:
             print(f"[{tag}] sf{sf} {key}: {res}", flush=True)
         con.close()
     if os.environ.get("VT_TIME", "0") != "0":
-        sf_dir = "/root/testdata/sf0.1"
+        sf_dir = os.environ.get("VT_TIME_SF_DIR", "/root/testdata/sf0.1")
         for key in keys:
             df = registry.QUERIES[key](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -834,3 +834,20 @@ def test_salted_hot_plan_unions_salted_and_plain_branches(spark, sf_dir):
     plan = _physical(registry.QUERIES["join_skew_salted_hot"](spark, sf_dir))
     assert "_salt" in plan
     assert "Union" in plan
+
+
+def test_zipf_keyed_lanes_have_no_window_over_hot_keys(spark, sf_dir):
+    """r15 verdict item 1: dsir_weights and chunk_dedup_stats must not
+    compute corpus frequencies as window functions partitioned by the
+    token / chunk hash — a window partition cannot be AQE-split, so a
+    Zipf-hot key (stop-word, boilerplate chunk) serializes its entire
+    row mass into ONE task at 100 TB. The r16 shapes hash-aggregate
+    (map-side partial agg) and join the 1-row-per-key count table
+    back; the per-doc aggregate rides the single hash(doc_id)
+    repartition with no further corpus exchange."""
+    for key in ("ext_sample_dsir", "ext_text_chunk_dedup"):
+        plan = _physical(registry.QUERIES[key](spark, sf_dir))
+        assert "Window" not in plan, f"{key}: unsalted window reappeared"
+        # the count-table attach must be a join (broadcast at gate
+        # scale; AQE-skew-splittable shuffle join beyond)
+        assert "Join" in plan, f"{key}: count-table join missing"
