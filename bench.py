@@ -198,13 +198,21 @@ def main() -> None:
         },
         "sf": sf,
     }
-    detail_path = os.path.join(_REPO, "bench_detail.json")
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(detail, f, indent=1)
-            f.write("\n")
-    except OSError:
-        pass  # read-only checkout: the stdout copy below still lands
+    cpus = os.environ.get(
+        "SPARK_GRAFT_CPUS", str(spark.sparkContext.defaultParallelism)
+    )
+    detail["cpus"] = int(cpus)
+    # r15 verdict item 3: each run also writes a per-core-count detail
+    # file so the 8-core scaling leg no longer clobbers the 32-core
+    # per-query medians (bench_detail.json stays the latest-run copy —
+    # unchanged contract; this is additive only).
+    for name in ("bench_detail.json", f"bench_detail_c{cpus}.json"):
+        try:
+            with open(os.path.join(_REPO, name), "w") as f:
+                json.dump(detail, f, indent=1)
+                f.write("\n")
+        except OSError:
+            pass  # read-only checkout: the stdout copy below still lands
     print(json.dumps(detail))
     # The FINAL line stays under ~200 bytes — r7's loss was a tail
     # capture of unknown (small) size, so even the 34-entry median map

@@ -128,6 +128,16 @@ def knn_edges(v: DataFrame, k: int) -> DataFrame:
     import pandas as pd
 
     rows = sorted(v.collect(), key=lambda r: r["vec_id"])
+    # The collect/broadcast pattern is only sound for a BOUNDED slice;
+    # the <= ~2000-row bound was previously just the caller's
+    # hash-sampling contract (r15 verdict item 5) — enforce it here so
+    # a future corpus-scale caller fails fast instead of OOMing the
+    # driver.
+    if len(rows) > 4096:
+        raise ValueError(
+            f"knn_edges: {len(rows)} rows exceeds the bounded-slice "
+            "contract (<= 4096); sample before building the kNN graph"
+        )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     C = np.array([r["v"] for r in rows], dtype=np.float64)
     cn = np.array([r["norm"] for r in rows], dtype=np.float64)
@@ -1347,6 +1357,19 @@ def rp_lsh_pairs(
     # returning — otherwise every sweep invocation leaks its cached
     # partitions into executor storage (r7 advice).
     import numpy as np
+
+    # Kernel-parity guard (r15 verdict item 5): the Arrow verify's
+    # floor(cos*1e4 + 0.5) matches round4()'s HALF_UP only for
+    # non-negative cosines (for a negative cosine HALF_UP rounds away
+    # from zero, floor(+0.5) toward +inf). Every emitted cosine is
+    # >= threshold, so non-negative thresholds keep the two paths
+    # bit-identical; refuse a negative one instead of silently
+    # diverging from the oracle.
+    if threshold < 0:
+        raise ValueError(
+            "rp_lsh_pairs(tables>1): negative threshold would diverge "
+            f"from the HALF_UP 4dp contract (got {threshold})"
+        )
 
     P = np.array(planes, dtype=np.float64)  # (tables*bits, d)
     bc_p = emb.sparkSession.sparkContext.broadcast(P)

@@ -1142,7 +1142,7 @@ def udf_stateful_tws_roundtrip(spark, sf_dir):
         # scale-adaptive state partitions (r15) — see
         # replay.scaled_state_partitions; emissions are partition-count
         # invariant (same argument as the classic stateful lane);
-        # mb_per_partition=2: per-key USER PYTHON dominates
+        # mb_per_partition=0.5: per-key USER PYTHON dominates
         from .streaming.replay import scaled_state_partitions
 
         with scaled_state_partitions(spark, chunks, mb_per_partition=0.5):
@@ -1334,7 +1334,7 @@ def udf_session_timeout_roundtrip(spark, sf_dir):
         # scale-adaptive state partitions (r15): the watermark driving
         # EventTimeTimeout is global per micro-batch, so timeout firing
         # — and the emitted session set — is partition-count invariant;
-        # mb_per_partition=2: per-key USER PYTHON dominates (see
+        # mb_per_partition=0.5: per-key USER PYTHON dominates (see
         # replay.scaled_state_partitions)
         from .streaming.replay import scaled_state_partitions
 

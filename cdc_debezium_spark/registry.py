@@ -36,30 +36,38 @@ def query(key: str, oracle: str | None = None):
 # fails if the layout stops leading with the oldest debt, or if this
 # marker falls >1 round behind the newest committed file (the rebuild
 # ratchet).
-_PRIORITY_BUILT_FROM = 14
+_PRIORITY_BUILT_FROM = 15
 
 # Keys whose registered implementation changed materially AFTER their
 # last driver sample — the prior CORRECTNESS rows attest retired code,
 # so the rotation (and the staleness guard) treats them as
-# never-sampled until the driver re-checks them. The nine r13-forced
-# keys were all re-sampled green in CORRECTNESS_r14 (verdict §2.G), so
-# the set was empty at the r15 rebuild; the r15 OPTIMIZATION rewrites
-# below changed these lanes' physical shape (results oracle-identical,
-# verified at sf0.01+sf0.001; OPTIMIZATION_r15.md has the evidence):
+# never-sampled until the driver re-checks them. The eight r15-forced
+# keys all came back green in CORRECTNESS_r15. This set now carries
+# (a) the r15 reshapes the r15 rotation MISSED (r15 ADVICE medium:
+# knn_hubness moved to the broadcast Arrow kernel, the stateful stream
+# lanes run under scaled_state_partitions, the stream-dedup roundtrips
+# got OS-copied redelivery + pinned index read schemas — none were in
+# the r15 driver sample), and (b) the r16 optimization reshapes
+# (skew-safe count tables in dsir/chunk_dedup, null-guarded bm25
+# corpus stats; oracle-identical at sf0.01+sf0.001, OPTIMIZATION_r16.md):
 _RESAMPLE_FORCED: set[str] = {
-    # r15 text-family shape changes (window frequency counts, narrow
-    # corpus stats, filter-pushdown split membership)
+    # (a) r15 reshapes without an r15 driver row
+    "ext_similarity_knn_hubness",
+    "agg_tumbling_window_stream_roundtrip",
+    "agg_session_window_stream_roundtrip",
+    "agg_sliding_window_stream_roundtrip",
+    "join_stream_stream_roundtrip",
+    "events_late_data_drop_roundtrip",
+    "udf_stateful_processor_roundtrip",
+    "udf_stateful_tws_roundtrip",  # env-gated; no-op where unregistered
+    "udf_session_timeout_roundtrip",
+    "ext_stream_dedup_minhash_roundtrip",
+    "ext_stream_dedup_embedding_roundtrip",
+    # (b) r16 optimization-round reshapes
+    "ext_sample_dsir",
+    "ext_text_chunk_dedup",
     "ext_retrieval_bm25",
     "ext_retrieval_fusion",
-    "ext_text_chunk_dedup",
-    "ext_sample_dsir",
-    "ext_eval_overlap_report",
-    # r15 embedding/LSH shape changes (brute pair scan → blocked
-    # two-phase kernel; multi-table LSH candidate join → stacked
-    # single join; sweep legs thread-overlapped)
-    "ext_dedup_embedding",
-    "ext_similarity_rp_lsh",
-    "ext_similarity_rp_lsh_recall",
 }
 
 # Key-tiering policy (staleness is a policy, not an accident):
@@ -76,88 +84,87 @@ _RESAMPLE_FORCED: set[str] = {
 # _PRIORITY must lead with every never-sampled key, then the stalest
 # cohort, so any count-budgeted driver prefix retires the oldest debt.
 #
-# Round-15 layout (from CORRECTNESS_r01..r14): no never-sampled keys
-# (every registry key has a driver row and _RESAMPLE_FORCED cleared at
-# the r14 re-samples). The oldest debt leads: the 3-key r7 cold
-# cohort (recall diagnostics, 8 rounds without a driver row — the r14
-# rotation slip the staleness ratchet caught), then the full 50-key r8
-# cohort (6 rounds stale: the entire TPC-H suite, cdc_agg_view,
-# udaf_grouped_agg, agg_grouping_sets, ...), hot-tier wire/CDC keys and
-# the bench-flagship TPC-H shapes first so a 50-key budget cut falls on
-# the three mature format-roundtrip scans at the tail. 3 + 50 = 53;
-# a 50-key driver sample retires everything but those three scans,
-# which lead the r16 rebuild with the r9 cohort.
+# Round-16 layout (from CORRECTNESS_r01..r15): the forced block above
+# leads (15 keys), then the r8 leftover cohort the 50-key r15 budget
+# could not retire (9 keys, 8 rounds stale), then the r9 cohort
+# (45 keys, hot-tier CDC/wire/avro first, flagship TPC-H next, so a
+# 50-key budget cut falls on the warm tail).
 _PRIORITY = [
-    # --- treated as never-sampled: r15 optimization-round shape
-    #     changes (_RESAMPLE_FORCED above) ---
+    # --- treated as never-sampled: _RESAMPLE_FORCED (r15 reshapes the
+    #     r15 sample missed + r16 optimization reshapes) ---
+    "ext_similarity_knn_hubness",
+    "agg_tumbling_window_stream_roundtrip",
+    "agg_session_window_stream_roundtrip",
+    "agg_sliding_window_stream_roundtrip",
+    "join_stream_stream_roundtrip",
+    "events_late_data_drop_roundtrip",
+    "udf_stateful_processor_roundtrip",
+    "udf_stateful_tws_roundtrip",
+    "udf_session_timeout_roundtrip",
+    "ext_stream_dedup_minhash_roundtrip",
+    "ext_stream_dedup_embedding_roundtrip",
+    "ext_sample_dsir",
+    "ext_text_chunk_dedup",
     "ext_retrieval_bm25",
     "ext_retrieval_fusion",
-    "ext_text_chunk_dedup",
-    "ext_sample_dsir",
-    "ext_eval_overlap_report",
-    "ext_dedup_embedding",
-    "ext_similarity_rp_lsh",
-    "ext_similarity_rp_lsh_recall",
-    # --- r7 cold cohort: last driver row in CORRECTNESS_r07
-    #     (ext_similarity_rp_lsh_recall moved to the forced block
-    #     above — its implementation changed this round) ---
-    "ext_similarity_ivf_recall",
-    "ext_similarity_ivfpq_recall",
-    # --- r8 cohort (50), hot-tier CDC/wire keys first ---
-    "cdc_multi_table_pipeline",
-    "cdc_agg_view",
-    "cdc_logical_table_router",
-    "cdc_content_based_router",
-    "cdc_header_enrich",
-    "cdc_partition_routing",
-    "cdc_timezone_convert",
-    "cdc_wire_size_audit",
-    "cdc_log_continuity_audit",
-    "xml_wire_roundtrip",
-    # bench-flagship TPC-H shapes next, then the rest of the suite
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q18",
-    "tpch_q3",
-    "tpch_q10",
-    "tpch_q2",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    # relational / scalar / events / ext remainder of the r8 cohort
-    "udaf_grouped_agg",
-    "agg_grouping_sets",
-    "agg_decimal_exact",
-    "agg_theta_set_ops",
-    "join_as_of_forward",
-    "join_geo_cell",
-    "events_assoc_rules",
-    "events_burst_detection",
-    "events_haar_energy",
-    "events_holt_winters",
-    "events_mad_outliers",
-    "events_markov_stationary",
-    "ext_dedup_winnowing",
-    "ext_dq_expectations",
+    # --- r8 leftover cohort: last driver row in CORRECTNESS_r08
+    #     (knn_hubness moved to the forced block above) ---
     "ext_graph_label_propagation",
     "ext_graph_triangles",
     "ext_privacy_k_anon",
     "ext_quality_nb_classifier",
-    "ext_similarity_knn_hubness",
     "ext_text_lexical_richness",
     "ext_text_zipf_fit",
-    # mature format-roundtrip scans close the list so a 50-key
-    # budget cut falls here
     "scan_csv_roundtrip",
     "scan_jsonl_roundtrip",
     "scan_orc_roundtrip",
+    # --- r9 cohort (45): hot-tier wire/CDC keys first ---
+    "avro_roundtrip",
+    "avro_schema_evolution_roundtrip",
+    "cdc_compaction_stats",
+    "cdc_dlq_split",
+    "cdc_incremental_snapshot",
+    "cdc_mask_columns",
+    "cdc_order_audit",
+    "cdc_outbox_router",
+    "cdc_scd2_stream_delta_roundtrip",
+    "cdc_schema_drift_stats",
+    "cdc_snapshot_diff",
+    "cdc_stream_latest_state_delta_roundtrip",
+    "cdc_transaction_metadata",
+    # bench-flagship TPC-H shapes next, then the warm remainder
+    "tpch_q1",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q22",
+    "agg_approx_quantile",
+    "agg_approx_topk",
+    "agg_argminmax",
+    "agg_histogram",
+    "agg_percentiles_exact",
+    "agg_theta_sketch_distinct",
+    "agg_weighted",
+    "events_active_sessions_sweep",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_gapfill_locf",
+    "events_ohlc_downsample",
+    "events_rate_anomaly",
+    "events_rolling_active_users",
+    "ext_corpus_pipeline",
+    "ext_dedup_exact_normalized",
+    "ext_embedding_pq",
+    "ext_multimodal_shards",
+    "ext_sample_importance",
+    "ext_text_bpe_pairs",
+    "ext_text_dedup_report",
+    "join_shuffle_hash",
+    "join_skew_salted",
+    "layout_zorder",
+    "scalar_bitwise",
+    "window_ntile",
 ]
 
 

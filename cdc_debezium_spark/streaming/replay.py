@@ -104,7 +104,11 @@ def scaled_state_partitions(
                 except OSError:
                     pass
         per = max(1, int(mb_per_partition * (1 << 20)))
-        parts = max(4, min(default, -(-n_bytes // per)))
+        # min AFTER max: with a session default below the floor of 4
+        # the old max(4, min(default, ...)) would RAISE the partition
+        # count above the default, violating the only-ever-shrinks
+        # contract (r15 ADVICE).
+        parts = min(default, max(4, -(-n_bytes // per)))
     if parts == default:
         yield
         return

@@ -1687,3 +1687,37 @@ def test_rp_lsh_multitable_kernel_matches_expression_path(spark, sf_dir):
         )
     }
     assert got == want and len(got) > 0
+
+
+def test_knn_edges_rejects_unbounded_slice(spark):
+    """r15 verdict item 5: knn_edges collects its input to the driver,
+    which is only sound for the bounded (~2000-row) sampling slice the
+    callers pass. The bound must be enforced INSIDE the kernel so a
+    corpus-scale caller fails fast instead of OOMing the driver."""
+    import pytest as _pytest
+    import pyspark.sql.functions as F
+
+    from cdc_debezium_spark.ext.similarity import knn_edges
+
+    v = spark.range(5000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("v"),
+        F.lit(1.0).alias("norm"),
+    )
+    with _pytest.raises(ValueError, match="bounded-slice"):
+        knn_edges(v, 3)
+
+
+def test_rp_lsh_multitable_rejects_negative_threshold(spark, sf_dir):
+    """r15 verdict item 5: the multi-table Arrow verify's
+    floor(cos*1e4+0.5) equals round4's HALF_UP only for non-negative
+    cosines; a negative threshold must be refused, not silently
+    rounded differently from the oracle."""
+    import pytest as _pytest
+
+    from cdc_debezium_spark.ext.similarity import rp_lsh_pairs
+    from cdc_debezium_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="negative threshold"):
+        rp_lsh_pairs(emb, bits=4, threshold=-0.1, tables=2)

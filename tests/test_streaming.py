@@ -2139,3 +2139,23 @@ def test_scaled_state_partitions_rule_and_restore(spark, tmp_path):
     except RuntimeError:
         pass
     assert spark.conf.get(key) == default
+
+
+def test_scaled_state_partitions_never_raises_above_default(spark, tmp_path):
+    """r15 ADVICE: with a session default BELOW the floor of 4 the rule
+    must keep the default (only-ever-shrinks contract), not raise the
+    state-partition count to 4."""
+    from cdc_debezium_spark.streaming.replay import scaled_state_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    default = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try:
+        d = tmp_path / "tiny"
+        d.mkdir()
+        (d / "f.bin").write_bytes(b"x" * 1024)
+        with scaled_state_partitions(spark, str(d)):
+            assert spark.conf.get(key) == "2"
+        assert spark.conf.get(key) == "2"
+    finally:
+        spark.conf.set(key, default)
