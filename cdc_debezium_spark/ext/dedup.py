@@ -69,7 +69,12 @@ def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def _capped_pair_counts(
-    docs: DataFrame, n: int, max_df: int, threshold: float, kind: str
+    docs: DataFrame,
+    n: int,
+    max_df: int,
+    threshold: float,
+    kind: str,
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, ni, na, nb) — EXACT counts for every df-capped
     candidate pair that can possibly reach `threshold`; the shared
@@ -136,11 +141,19 @@ def _capped_pair_counts(
     #   corpus-sized exchange once the joins flip past the broadcast
     #   threshold (sf10 measured 5,178 MB shuffled vs 2,384 with the
     #   cache).
-    rows = (
-        _shingle_hash_rows(docs, n=n, distinct=True)
-        .withColumnRenamed("shash", "s")
-        .persist()
-    )
+    # r16: a caller running BOTH this exact leg and a detector leg over
+    # the same corpus (the recall lanes) may pass the (doc_id, shash)
+    # rows it already persisted — MIN/collect_set consumers are
+    # duplicate-insensitive, so the distinct rows serve every leg and
+    # the corpus shingle pipeline runs once per query instead of 3x.
+    if rows is None:
+        rows = (
+            _shingle_hash_rows(docs, n=n, distinct=True)
+            .withColumnRenamed("shash", "s")
+            .persist()
+        )
+    else:
+        rows = rows.withColumnRenamed("shash", "s")
     df_tab = rows.groupBy("s").agg(F.count("*").alias("df"))
     # df >= 2: a shingle held by ONE document can't produce a pair, so
     # it has no business in the self-join — and in a mostly-unique
@@ -270,14 +283,18 @@ def _capped_pair_counts(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, n: int = 3, max_df: int = 1000
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_df: int = 1000,
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a CAPPED inverted-index
     join (two-phase, like minhash: cheap candidates, bound-pruned
     exact verify — see _capped_pair_counts for the cap and scale
-    story).
+    story; ``rows`` forwards a caller-persisted shingle-hash frame).
     """
-    counts = _capped_pair_counts(docs, n, max_df, threshold, "jaccard")
+    counts = _capped_pair_counts(docs, n, max_df, threshold, "jaccard", rows)
     jac = F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))
     return (
         counts.where(jac >= threshold)
@@ -482,7 +499,12 @@ def minhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_near_dupes(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> DataFrame:
+def minhash_near_dupes(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    rows: DataFrame | None = None,
+) -> DataFrame:
     """MinHash LSH candidates verified with exact Jaccard (the standard
     two-phase near-dup pipeline: cheap recall, exact precision).
 
@@ -491,13 +513,20 @@ def minhash_near_dupes(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> D
     per-doc shingle-hash ARRAYS — `array_intersect` per pair instead of
     a posting-list self-join, so verify cost is
     O(|candidates| * doc_len), independent of corpus size.
+
+    ``rows``: a caller-persisted (doc_id, shash) frame (the recall
+    lane shares the truth leg's distinct rows — MIN and collect_set
+    are duplicate-insensitive, so distinct vs raw rows is
+    value-identical here).
     """
-    # NOT cached: both consumers (signatures, verify sets) re-derive the
-    # rows from the parquet scan — two cheap codegen passes beat paying
-    # a 1M-row cache materialization barrier on the critical path (and
-    # on a cluster, beat pinning executor memory; measured 2.3s -> 1.4s
-    # at sf0.1 under bench's cold-cache protocol).
-    rows = _shingle_hash_rows(docs, n, distinct=False)
+    # Standalone: NOT cached — both consumers (signatures, verify sets)
+    # re-derive the rows from the parquet scan; two cheap codegen
+    # passes beat paying a 1M-row cache materialization barrier on the
+    # critical path (and on a cluster, beat pinning executor memory;
+    # measured 2.3s -> 1.4s at sf0.1 under bench's cold-cache
+    # protocol).
+    if rows is None:
+        rows = _shingle_hash_rows(docs, n, distinct=False)
     aggs = [
         F.min(minhash_col(F.col("shash"), j)).alias(f"m{j}")
         for j in range(len(MINHASH_SEEDS61))

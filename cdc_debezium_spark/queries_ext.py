@@ -3953,10 +3953,16 @@ def ext_dedup_minhash_recall(spark, sf_dir):
     pipelines share the shingle-hash rows; the join that compares
     them is survivor-sized (hundreds of pairs, not candidates)."""
     docs = load_table(spark, sf_dir, "documents")
-    truth = dedup.ngram_jaccard_pairs(docs, 0.5).select(
+    # r16: both legs consume the SAME persisted shingle-hash rows —
+    # the truth leg needs the distinct rows anyway, and the detector's
+    # MIN/collect_set aggregates are duplicate-insensitive, so sharing
+    # is value-identical and drops two of the lane's four corpus
+    # shingle pipelines (OPTIMIZATION_r16.md has the A/B).
+    rows = dedup._shingle_hash_rows(docs, 3, distinct=True).persist()
+    truth = dedup.ngram_jaccard_pairs(docs, 0.5, rows=rows).select(
         "doc_a", "doc_b", F.lit(1).alias("is_true")
     )
-    found = dedup.minhash_near_dupes(docs, 0.5).select(
+    found = dedup.minhash_near_dupes(docs, 0.5, rows=rows).select(
         "doc_a", "doc_b", F.lit(1).alias("is_found")
     )
     u = truth.join(found, ["doc_a", "doc_b"], "full").select(

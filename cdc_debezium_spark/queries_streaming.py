@@ -984,11 +984,16 @@ def udf_stateful_processor_roundtrip(spark, sf_dir):
         # scale-adaptive state partitions (r15): which micro-batch a
         # key appears in is chunk-determined, never partition-
         # determined, so emissions — and the max-n_events final
-        # selection — are partition-count invariant; mb_per_partition=0.5
+        # selection — are partition-count invariant; mb_per_partition=0.25
         # because the per-key USER PYTHON dominates (see
         # replay.scaled_state_partitions — the sf1 sweep caught the
-        # JVM-density rule starving this lane 24 -> 59.5 s)
-        with scaled_state_partitions(spark, chunks, mb_per_partition=0.5):
+        # 32 MB JVM-density rule starving this lane 24 -> 59.5 s, and
+        # the r16 same-box rule-vs-default A/B showed 0.5 STILL lost
+        # ~30 % at sf1: 18.3/20.1 s at 18 parts vs 14.6/15.5 s at the
+        # default 32 — so the density now reaches the session-default
+        # ceiling by ~8 MB of chunks while the tiny-gate floor keeps
+        # the measured 17.3 -> 4.0 s win)
+        with scaled_state_partitions(spark, chunks, mb_per_partition=0.25):
             q = (
                 emitted.writeStream.outputMode("append")
                 .format("parquet")
@@ -1142,10 +1147,11 @@ def udf_stateful_tws_roundtrip(spark, sf_dir):
         # scale-adaptive state partitions (r15) — see
         # replay.scaled_state_partitions; emissions are partition-count
         # invariant (same argument as the classic stateful lane);
-        # mb_per_partition=0.5: per-key USER PYTHON dominates
+        # mb_per_partition=0.25: per-key USER PYTHON dominates (r16
+        # rule-vs-default A/B — see udf_stateful_processor_roundtrip)
         from .streaming.replay import scaled_state_partitions
 
-        with scaled_state_partitions(spark, chunks, mb_per_partition=0.5):
+        with scaled_state_partitions(spark, chunks, mb_per_partition=0.25):
             q = (
                 emitted.writeStream.outputMode("append")
                 .format("parquet")
@@ -1334,11 +1340,12 @@ def udf_session_timeout_roundtrip(spark, sf_dir):
         # scale-adaptive state partitions (r15): the watermark driving
         # EventTimeTimeout is global per micro-batch, so timeout firing
         # — and the emitted session set — is partition-count invariant;
-        # mb_per_partition=0.5: per-key USER PYTHON dominates (see
-        # replay.scaled_state_partitions)
+        # mb_per_partition=0.25: per-key USER PYTHON dominates (r16
+        # rule-vs-default A/B: 29.5/30.5 s at 18 parts vs 21.6/21.5 s
+        # at the default 32 at sf1; see replay.scaled_state_partitions)
         from .streaming.replay import scaled_state_partitions
 
-        with scaled_state_partitions(spark, chunks, mb_per_partition=0.5):
+        with scaled_state_partitions(spark, chunks, mb_per_partition=0.25):
             q = (
                 emitted.writeStream.outputMode("append")
                 .format("parquet")

@@ -68,6 +68,7 @@ _RESAMPLE_FORCED: set[str] = {
     "ext_text_chunk_dedup",
     "ext_retrieval_bm25",
     "ext_retrieval_fusion",
+    "ext_dedup_minhash_recall",
 }
 
 # Key-tiering policy (staleness is a policy, not an accident):
@@ -107,6 +108,7 @@ _PRIORITY = [
     "ext_text_chunk_dedup",
     "ext_retrieval_bm25",
     "ext_retrieval_fusion",
+    "ext_dedup_minhash_recall",
     # --- r8 leftover cohort: last driver row in CORRECTNESS_r08
     #     (knn_hubness moved to the forced block above) ---
     "ext_graph_label_propagation",

@@ -51,24 +51,32 @@ def main() -> None:
     def cache_marks():
         return len(queries_ext.PAIR_CACHE_EVENTS), len(replay.CHUNK_CACHE_EVENTS)
 
+    paid_secs: dict[str, float] = {}
+
     for key in sorted(registry.QUERIES)[lo:hi]:
         fn = registry.QUERIES[key]
-        done = {"ok": False, "err": None}
 
-        def run():
-            try:
-                sc.setJobGroup(key, key, interruptOnCancel=True)
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                done["ok"] = True
-            except Exception as ex:  # noqa: BLE001
-                done["err"] = f"{type(ex).__name__}: {str(ex)[:200]}"
+        def attempt():
+            done = {"ok": False, "err": None}
+
+            def run():
+                try:
+                    sc.setJobGroup(key, key, interruptOnCancel=True)
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    done["ok"] = True
+                except Exception as ex:  # noqa: BLE001
+                    done["err"] = f"{type(ex).__name__}: {str(ex)[:200]}"
+
+            t0 = time.perf_counter()
+            th = threading.Thread(target=run, daemon=True)
+            th.start()
+            th.join(cap)
+            return done, th, round(time.perf_counter() - t0, 3)
 
         p0, c0 = cache_marks()
-        t0 = time.perf_counter()
-        th = threading.Thread(target=run, daemon=True)
-        th.start()
-        th.join(cap)
-        dt = round(time.perf_counter() - t0, 3)
+        done, th, dt = attempt()
         p1, c1 = cache_marks()
         marks = (["pair_cache"] if p1 > p0 else []) + (
             ["chunk_fixture"] if c1 > c0 else []
@@ -90,8 +98,33 @@ def main() -> None:
             errors[key] = done["err"]
             print(f"# {key}: ERROR {done['err']}", file=sys.stderr)
         else:
+            if marks:
+                # r15 verdict item 6: a lane whose timed pass
+                # materialized a shared cache (survivor-pair edge list
+                # / chunk fixture) is re-timed immediately with that
+                # cache WARM — the recorded timing is the lane's
+                # MARGINAL cost over the session-shared pipeline (the
+                # production posture), while the cold pay is kept in
+                # paid_secs under the same key. Detection is dynamic
+                # (the mark diff), so new cache consumers need no
+                # hardcoded list. Per-key isolation is unchanged: the
+                # blanket clearCache below still runs between keys.
+                paid_secs[key] = dt
+                done, th, dt = attempt()
+                if th.is_alive():
+                    sc.cancelJobGroup(key)
+                    th.join(30)
+                    if th.is_alive():
+                        marks_tainted_after.append(key)
+                if th.is_alive() or done["err"]:
+                    # warm re-run failed: fall back to the cold number
+                    dt = paid_secs[key]
             timings[key] = dt
-            print(f"# {key}: {dt:.3f}s", file=sys.stderr)
+            print(
+                f"# {key}: {dt:.3f}s"
+                + (f" (cold pay {paid_secs[key]:.3f}s)" if key in paid_secs else ""),
+                file=sys.stderr,
+            )
         spark.catalog.clearCache()
 
     print(
@@ -102,6 +135,7 @@ def main() -> None:
                 "errors": errors,
                 "timeouts": timeouts,
                 "paid_materialization": paid,
+                "paid_secs": paid_secs,
                 "marks_tainted_after": marks_tainted_after,
             }
         )
