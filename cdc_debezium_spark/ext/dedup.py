@@ -54,6 +54,13 @@ from .text import shingles_col, tokens_col
 _PK_BITS = 21
 _NSH_BITS = 42
 
+# Survivor-pair count above which the verify legs' broadcast pins come
+# off (shuffle joins of survivor-scale tables instead): the pinned
+# pair×|A|-shingle expansion is ~100k pairs × ~300 shingles × ~30 B ≈
+# 1 GB of broadcast build at this bound — comfortable; the sf100
+# decade's ~5e5 pairs is not (r16 graph probe OOM).
+_SURV_BROADCAST_MAX = 100_000
+
 
 def exact_dupes(docs: DataFrame) -> DataFrame:
     """Exact dedup: digest groupBy; keeps the min doc_id as canonical."""
@@ -252,32 +259,45 @@ def _capped_pair_counts(
         raise ValueError(f"unknown kind: {kind}")
     surv = bounded.where(bound >= threshold).persist()
     # Every join below is pinned BROADCAST on its survivor-derived
-    # side (the r7 plan audit found all three planned as sort-merge,
-    # i.e. three avoidable shuffles of the full corpus-rows leg —
-    # measured ~2.5s of the sf1 lane). Survivor frames are bound-prune
-    # output (~99.9% pruned), the same bounded-broadcast contract as
-    # the touched-bucket semi-join in streaming/state.py; if survivors
-    # ever outgrow the broadcast limit Spark fails loudly and the
-    # threshold/cap wants revisiting rather than silently shuffling
-    # the corpus three times.
+    # side while survivors are few (the r7 plan audit found all three
+    # planned as sort-merge, i.e. three avoidable shuffles of the full
+    # corpus-rows leg — measured ~2.5s of the sf1 lane). Survivor
+    # frames are bound-prune output (~99.9% pruned), the same
+    # bounded-broadcast contract as the touched-bucket semi-join in
+    # streaming/state.py. r16: the pins are now SIZE-AWARE — surv is
+    # counted once (it is persisted and every leg needs it anyway),
+    # and past _SURV_BROADCAST_MAX pairs the pins come off so the
+    # planner shuffle-joins survivor-scale tables instead of the r15
+    # fail-loudly broadcast OOM (the pair×|A| expansion reaches GBs by
+    # the sf100 decade: ~5e5 pairs × ~3e2 shingles — the sf100 graph
+    # probe is what forced this). Over-threshold cost is ONE extra
+    # corpus shuffle (the survivor-doc semi join); every other leg is
+    # survivor-sized either way. Same values — join strategy only.
+    n_surv = surv.count()
+    big = n_surv > _SURV_BROADCAST_MAX
+
+    def _bc(df: DataFrame) -> DataFrame:
+        return df if big else F.broadcast(df)
+
     surv_docs = (
         surv.select(F.col("doc_a").alias("doc_id"))
         .union(surv.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    vrows = rows.join(F.broadcast(surv_docs), "doc_id", "left_semi")
+    vrows = rows.join(_bc(surv_docs), "doc_id", "left_semi")
     a_rows = vrows.select(F.col("doc_id").alias("doc_a"), "s")
     b_rows = vrows.select(F.col("doc_id").alias("doc_b"), "s")
     # candidate-pair x A-shingles expansion is still survivor-sized
     # (pairs x |A| rows), so it broadcasts into the b_rows probe too
-    exp = F.broadcast(surv.select("doc_a", "doc_b")).join(a_rows, "doc_a")
+    # (below the pair cap)
+    exp = _bc(surv.select("doc_a", "doc_b")).join(a_rows, "doc_a")
     inter = (
-        b_rows.join(F.broadcast(exp), ["doc_b", "s"])
+        b_rows.join(_bc(exp), ["doc_b", "s"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("ni"))
     )
     return inter.join(
-        F.broadcast(surv.select("doc_a", "doc_b", "na", "nb")),
+        _bc(surv.select("doc_a", "doc_b", "na", "nb")),
         ["doc_a", "doc_b"],
     )
 

@@ -2464,36 +2464,25 @@ def ext_text_dedup_report(spark, sf_dir):
 def ext_multimodal_shards(spark, sf_dir):
     """WebDataset-style shard manifest: media payloads laid end-to-end
     per mime type and cut into ~4 KB byte-budget shards (the tar-shard
-    layout multimodal training loaders stream). The byte cumsum
-    windows PARTITION BY mime — shards build in parallel per modality,
-    no global sort. At rest n_bytes is a metadata column and the
-    payload stays unread (the media-scan pruning contract); this
-    fixture has no real payloads, so n_bytes derives from the text
-    column here. Integer window arithmetic, engine-exact."""
-    from pyspark.sql import Window
+    layout multimodal training loaders stream). At rest n_bytes is a
+    metadata column and the payload stays unread (the media-scan
+    pruning contract); this fixture has no real payloads, so n_bytes
+    derives from the text column here.
 
+    r16 (guide §2.5/§8): the byte cumsum is a TWO-LEVEL distributed
+    prefix sum (multimodal.shard_manifest) — mime is a handful of
+    values, so the r15 single `PARTITION BY mime` window serialized
+    each modality's entire corpus-scale metadata stream into ONE task
+    at 100 TB (same window skew class as the dsir/chunk_dedup fix).
+    Pure integer arithmetic, so the composed cumsum equals the
+    single-window cumsum exactly; n_shards-style sharding
+    (pack_sequences) is NOT used here because shard boundaries are
+    the lane's output — the decomposition must preserve the exact
+    global order."""
     m = multimodal.media_table(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "mime", F.col("meta.n_bytes").alias("n_bytes")
     )
-    w = (
-        Window.partitionBy("mime")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    p = m.withColumn(
-        "shard_id",
-        F.expr(
-            "(sum(n_bytes) OVER (PARTITION BY mime ORDER BY doc_id "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes) "
-            "div 4096"
-        ),
-    )
-    return p.groupBy("mime", "shard_id").agg(
-        F.count("*").alias("n_files"),
-        F.sum("n_bytes").cast("long").alias("shard_bytes"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
-    )
+    return multimodal.shard_manifest(m)
 
 
 @query(

@@ -1721,3 +1721,75 @@ def test_rp_lsh_multitable_rejects_negative_threshold(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with _pytest.raises(ValueError, match="negative threshold"):
         rp_lsh_pairs(emb, bits=4, threshold=-0.1, tables=2)
+
+
+def test_shard_manifest_two_level_matches_single_window(spark):
+    """r16: the shard-manifest cumsum decomposed into a two-level
+    prefix sum (bounded window partitions — the single PARTITION BY
+    mime window is a one-task straggler at scale). Gate fixtures fit
+    one doc_id bucket, so this pins the MULTI-bucket path: synthetic
+    ids spanning several buckets must reproduce the single-window
+    shard assignment exactly."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from cdc_debezium_spark.ext.multimodal import shard_manifest
+
+    rows = [
+        (i * 37 + (7919 * i % 13), ["image/png", "audio/wav", "text/plain"][i % 3],
+         (i * 2654435761) % 3000 + 1)
+        for i in range(400)
+    ]
+    m = spark.createDataFrame(rows, "doc_id long, mime string, n_bytes long")
+    got = {
+        tuple(r)
+        for r in shard_manifest(m, budget=4096, bucket_docs=1024).collect()
+    }
+    w = (
+        Window.partitionBy("mime")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = {
+        tuple(r)
+        for r in (
+            m.withColumn(
+                "shard_id",
+                F.expr(
+                    "(sum(n_bytes) OVER (PARTITION BY mime ORDER BY doc_id "
+                    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                    "- n_bytes) div 4096"
+                ),
+            )
+            .groupBy("mime", "shard_id")
+            .agg(
+                F.count("*").alias("n_files"),
+                F.sum("n_bytes").cast("long").alias("shard_bytes"),
+                F.min("doc_id").alias("first_doc"),
+                F.max("doc_id").alias("last_doc"),
+            )
+            .collect()
+        )
+    }
+    assert got == ref and len(got) > 5
+
+
+def test_capped_pair_counts_unpinned_path_matches_broadcast_path(
+    spark, sf_dir, monkeypatch
+):
+    """r16: past _SURV_BROADCAST_MAX survivor pairs the verify legs'
+    broadcast pins come off (the pinned pair×|A| expansion OOMs by the
+    sf100 decade). Join strategy must not change values: force the
+    unpinned path and compare against the pinned output."""
+    from cdc_debezium_spark.ext import dedup as dd
+    from cdc_debezium_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pinned = {
+        tuple(r) for r in dd.ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    monkeypatch.setattr(dd, "_SURV_BROADCAST_MAX", -1)
+    unpinned = {
+        tuple(r) for r in dd.ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    assert pinned == unpinned and len(pinned) > 0
