@@ -69,6 +69,25 @@ _RESAMPLE_FORCED: set[str] = {
     "ext_retrieval_bm25",
     "ext_retrieval_fusion",
     "ext_dedup_minhash_recall",
+    # gram construction rewritten (per-char zip_with -> one codegen
+    # regexp_extract_all)
+    "ext_text_charngrams",
+    # per-mime cumsum -> two-level distributed prefix sum
+    "ext_multimodal_shards",
+    # every _capped_pair_counts consumer: the verify legs' broadcast
+    # pins are size-aware now and the survivor frame gains an eager
+    # count — same values, new physical execution, so the whole pair
+    # family re-enters the driver sample (r15 ADVICE-medium policy:
+    # a materially changed implementation is never left to rotation
+    # coincidence)
+    "ext_dedup_ngram",
+    "ext_dedup_containment",
+    "ext_dedup_clusters",
+    "ext_dedup_canonical",
+    "ext_dedup_cluster_sizes",
+    "ext_dedup_graph_degree",
+    "ext_graph_triangles",
+    "ext_graph_label_propagation",
 }
 
 # Key-tiering policy (staleness is a policy, not an accident):
@@ -86,10 +105,11 @@ _RESAMPLE_FORCED: set[str] = {
 # cohort, so any count-budgeted driver prefix retires the oldest debt.
 #
 # Round-16 layout (from CORRECTNESS_r01..r15): the forced block above
-# leads (15 keys), then the r8 leftover cohort the 50-key r15 budget
-# could not retire (9 keys, 8 rounds stale), then the r9 cohort
-# (45 keys, hot-tier CDC/wire/avro first, flagship TPC-H next, so a
-# 50-key budget cut falls on the warm tail).
+# leads (25 registered keys incl. the whole reshaped pair family),
+# then the r8 leftover cohort the 50-key r15 budget could not retire
+# (7 keys, 8 rounds stale), then the r9 cohort (42 keys, hot-tier
+# CDC/wire/avro first, flagship TPC-H next, so a 50-key budget cut
+# falls on the warm tail).
 _PRIORITY = [
     # --- treated as never-sampled: _RESAMPLE_FORCED (r15 reshapes the
     #     r15 sample missed + r16 optimization reshapes) ---
@@ -100,7 +120,9 @@ _PRIORITY = [
     "join_stream_stream_roundtrip",
     "events_late_data_drop_roundtrip",
     "udf_stateful_processor_roundtrip",
-    "udf_stateful_tws_roundtrip",
+    # (udf_stateful_tws_roundtrip is in _RESAMPLE_FORCED but NOT here:
+    #  it registers only where _tws_available(), so a driver env
+    #  without it must not find unregistered names in _PRIORITY)
     "udf_session_timeout_roundtrip",
     "ext_stream_dedup_minhash_roundtrip",
     "ext_stream_dedup_embedding_roundtrip",
@@ -109,10 +131,19 @@ _PRIORITY = [
     "ext_retrieval_bm25",
     "ext_retrieval_fusion",
     "ext_dedup_minhash_recall",
-    # --- r8 leftover cohort: last driver row in CORRECTNESS_r08
-    #     (knn_hubness moved to the forced block above) ---
-    "ext_graph_label_propagation",
+    "ext_text_charngrams",
+    "ext_multimodal_shards",
+    "ext_dedup_ngram",
+    "ext_dedup_containment",
+    "ext_dedup_clusters",
+    "ext_dedup_canonical",
+    "ext_dedup_cluster_sizes",
+    "ext_dedup_graph_degree",
     "ext_graph_triangles",
+    "ext_graph_label_propagation",
+    # --- r8 leftover cohort: last driver row in CORRECTNESS_r08
+    #     (knn_hubness, LPA and triangles moved to the forced block
+    #     above) ---
     "ext_privacy_k_anon",
     "ext_quality_nb_classifier",
     "ext_text_lexical_richness",
@@ -129,10 +160,12 @@ _PRIORITY = [
     "cdc_mask_columns",
     "cdc_order_audit",
     "cdc_outbox_router",
-    "cdc_scd2_stream_delta_roundtrip",
+    # (the r9 sample's cdc_*_delta_roundtrip names were renamed when
+    #  delta became the lanes' default mode; their successors
+    #  cdc_scd2_stream_roundtrip / cdc_stream_latest_state_roundtrip
+    #  have r12/r14 driver rows, so they are not in this cohort)
     "cdc_schema_drift_stats",
     "cdc_snapshot_diff",
-    "cdc_stream_latest_state_delta_roundtrip",
     "cdc_transaction_metadata",
     # bench-flagship TPC-H shapes next, then the warm remainder
     "tpch_q1",
@@ -158,7 +191,6 @@ _PRIORITY = [
     "ext_corpus_pipeline",
     "ext_dedup_exact_normalized",
     "ext_embedding_pq",
-    "ext_multimodal_shards",
     "ext_sample_importance",
     "ext_text_bpe_pairs",
     "ext_text_dedup_report",
