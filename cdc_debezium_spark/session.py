@@ -42,6 +42,27 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _extra_confs() -> dict[str, str]:
+    """Optional static-conf overrides (SPARK_GRAFT_CONFS="k=v;k=v"),
+    for settings that must be present at JVM build time and are
+    scale-dependent, so they cannot be session defaults: the r16 sf100
+    pair-family probe sets spark.io.compression.codec=zstd (shuffle
+    files ~1.4x smaller than lz4) and
+    spark.cleaner.periodicGC.interval=1min (a long multi-job lineage
+    keeps every dereferenced shuffle on disk for up to the default
+    30min GC period — the probe's accumulated ~38 GB of exchanges
+    exhausted a 79 GB scratch disk with the defaults). No env var ->
+    empty dict -> the builder is byte-identical; bench and tests never
+    set it."""
+    extra = os.environ.get("SPARK_GRAFT_CONFS", "")
+    out: dict[str, str] = {}
+    for kv in filter(None, (p.strip() for p in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        if k.strip() and v.strip():
+            out[k.strip()] = v.strip()
+    return out
+
+
 def get_spark(
     app_name: str = "cdc-debezium-spark",
     master: str | None = None,
@@ -77,6 +98,8 @@ def get_spark(
         builder = builder.config(
             "spark.driver.extraJavaOptions", f"-Xss{xss}"
         )
+    for k, v in _extra_confs().items():
+        builder = builder.config(k, v)
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return tune(builder.getOrCreate())

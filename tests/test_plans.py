@@ -851,3 +851,22 @@ def test_zipf_keyed_lanes_have_no_window_over_hot_keys(spark, sf_dir):
         # the count-table attach must be a join (broadcast at gate
         # scale; AQE-skew-splittable shuffle join beyond)
         assert "Join" in plan, f"{key}: count-table join missing"
+
+
+def test_extra_confs_env_parsing(monkeypatch):
+    """SPARK_GRAFT_CONFS is the scale-probe static-conf escape hatch
+    (sf100 pair-family leg: zstd shuffle + 1min cleaner GC); unset it
+    must contribute nothing so bench/test sessions stay identical."""
+    from cdc_debezium_spark.session import _extra_confs
+
+    monkeypatch.delenv("SPARK_GRAFT_CONFS", raising=False)
+    assert _extra_confs() == {}
+    monkeypatch.setenv(
+        "SPARK_GRAFT_CONFS",
+        " spark.io.compression.codec = zstd ;"
+        "spark.cleaner.periodicGC.interval=1min; ;broken;",
+    )
+    assert _extra_confs() == {
+        "spark.io.compression.codec": "zstd",
+        "spark.cleaner.periodicGC.interval": "1min",
+    }
